@@ -1,0 +1,265 @@
+"""Index build pipeline — the Spark re-expression of flush (SURVEY.md §3.1).
+
+Reference lifecycle: accumulate → flush per segment → serialize with
+offsets/meta → commit (``CuVS2510GPUVectorsWriter.java:300-310,521-537``).
+Spark re-expression, one job with exactly ONE wide data shuffle:
+
+  read transcripts
+    → repartitionByRange(conv_id, turn_idx) + docID assignment   (narrow-ish)
+    → tokenize (JVM regex — whole-stage codegen, no Python)
+    → explode → groupBy(term, doc_id) partial-agg tf              (THE shuffle)
+    → salt hot terms → groupBy(bucket, term, salt)
+        applyInPandas(encode_blocks)                              (Arrow kernel)
+    → write postings partitioned by bucket; dictionary + lineage from
+      a cheap metadata re-scan of the written blocks.
+
+Scale notes (100 TB / 10^12 turns):
+  * hot-term detection is sample-based (deterministic seed) so no exact
+    full-vocab aggregation sits on the critical path; the EXACT dictionary is
+    derived afterwards from the written block metadata (tiny).
+  * postings blocks store GLOBAL docIDs (doc_base baked in at build), the
+    lesson of the reference's merge-time id remap
+    (``Lucene99AcceleratedHNSWVectorsWriter.java:352-366``): merges then never
+    rebase, they just re-block.
+  * per-posting quantized norms travel INSIDE the block (1 byte/posting), so
+    query-time scoring needs no join against a norms table.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.analysis import (
+    BM25_B,
+    BM25_K1,
+    dequantize_dl_np,
+    tokenize_col,
+    with_quantized_dl,
+)
+from cuvs_lucene_spark.codec import BLOCK_SIZE, encode_gaps, encode_u32
+from cuvs_lucene_spark.operators.doc_ids import assign_doc_ids
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, salt int, block_id int, "
+    "first_doc long, last_doc long, doc_count int, cf long, "
+    "doc_gaps binary, tfs binary, dls binary, "
+    "max_tf int, min_dl_d long, max_tf_norm float"
+)
+
+
+def make_block_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
+    """Grouped-map kernel: one (bucket, term, salt) posting list → block rows.
+
+    The analog of the reference's per-node block encoder (sort ids, delta
+    encode, write counts+gaps, record per-node sizes —
+    ``Lucene99AcceleratedHNSWVectorsWriter.java:438-487``) plus Lucene-style
+    per-block impacts: (max_tf, min_dl_d) is a bound-safe input to Block-Max
+    WAND (score is increasing in tf, decreasing in dl ⇒
+    score(tf,dl) ≤ score(max_tf, min_dl) for every posting in the block).
+    """
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dl_qs = pdf["dl_q"].to_numpy()[order]
+        term = pdf["term"].iat[0]
+        bucket = int(pdf["bucket"].iat[0])
+        salt = int(pdf["salt"].iat[0])
+
+        rows = []
+        for b0 in range(0, len(doc_ids), block_size):
+            d = doc_ids[b0 : b0 + block_size]
+            t = tfs[b0 : b0 + block_size]
+            q = dl_qs[b0 : b0 + block_size]
+            dl_d = dequantize_dl_np(q)
+            k = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d.astype(np.float64) / avgdl)
+            tf_norm = t.astype(np.float64) / (t.astype(np.float64) + k)
+            rows.append(
+                {
+                    "bucket": bucket,
+                    "term": term,
+                    "salt": salt,
+                    "block_id": b0 // block_size,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "doc_count": len(d),
+                    "cf": int(t.sum()),
+                    "doc_gaps": encode_gaps(d),
+                    "tfs": encode_u32(t),
+                    "dls": encode_u32(q),
+                    "max_tf": int(t.max()),
+                    "min_dl_d": int(dl_d.min()),
+                    "max_tf_norm": float(tf_norm.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode
+
+
+def prepare_docs(df: DataFrame, doc_base: int = 0, num_partitions: int | None = None) -> DataFrame:
+    """transcripts → docs with global doc_id, tokens, dl, quantized norms."""
+    docs = assign_doc_ids(df, num_partitions)
+    if doc_base:
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    docs = docs.withColumn("tokens", tokenize_col("text"))
+    docs = docs.withColumn(
+        "dl", F.coalesce(F.array_size("tokens"), F.lit(0)).cast("long")
+    )
+    return with_quantized_dl(docs, "dl")
+
+
+def detect_hot_terms(
+    tf: DataFrame,
+    n_docs: int,
+    hot_df_ratio: float = 0.05,
+    sample_fraction: float = 1.0,
+) -> list[str]:
+    """Terms whose df exceeds hot_df_ratio * n_docs → get salted.
+
+    sample_fraction < 1 switches to the deterministic sampled estimator (the
+    scale path — avoids an exact full-vocab agg before the postings build;
+    salting correctness does not depend on WHICH terms are salted, only block
+    layout does, so an estimate is safe).
+    """
+    src = tf if sample_fraction >= 1.0 else tf.sample(fraction=sample_fraction, seed=42)
+    thresh = hot_df_ratio * n_docs * (sample_fraction if sample_fraction < 1.0 else 1.0)
+    rows = (
+        src.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_est"))
+        .where(F.col("df_est") > F.lit(thresh))
+        .select("term")
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def build_segment(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    segment_id: int = 0,
+    *,
+    buckets: int = 32,
+    salt_buckets: int = 8,
+    hot_df_ratio: float = 0.05,
+    hot_sample_fraction: float = 1.0,
+    block_size: int = BLOCK_SIZE,
+    run_id: str | None = None,
+) -> dict:
+    """Build + commit one segment; returns its manifest entry.
+
+    Idempotent/resumable: if the manifest already lists segment_id, this is a
+    no-op (checkpoint-resume, north_rule; analog of the reference's finish()
+    idempotence guard ``CuVS2510GPUVectorsWriter.java:521-524``).
+    """
+    cat = IndexCatalog(index_dir)
+    if segment_id in cat.committed_segment_ids():
+        return next(s for s in cat.read_manifest()["segments"] if s["id"] == segment_id)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    doc_base = cat.next_doc_base()
+
+    docs = prepare_docs(transcripts, doc_base).persist()
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    total_rows, n_docs, sum_dl = stats["total_rows"], int(stats["n_docs"]), int(stats["sum_dl"])
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+
+    # doc_dim: ord↔docID map + norms (reference ordToDoc,
+    # CuVS2510GPUVectorsReader.java:385; Lucene norms, SmallFloat-quantized)
+    docs.select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "dl_q", "dl_d"
+    ).write.mode("overwrite").parquet(cat.doc_dim_path(segment_id))
+
+    # THE wide shuffle: token stream → per-(term, doc) tf with map-side combine
+    tf = (
+        docs.where(F.col("dl") > 0)
+        .select("doc_id", "dl_q", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl_q").alias("dl_q"))
+    )
+
+    hot = detect_hot_terms(tf, n_docs, hot_df_ratio, hot_sample_fraction)
+    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
+    salted = tf.withColumn(
+        "salt",
+        F.when(
+            F.array_contains(hot_lit, F.col("term")),
+            F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
+
+    blocks = salted.groupBy("bucket", "term", "salt").applyInPandas(
+        make_block_encoder(avgdl, block_size), POSTINGS_SCHEMA
+    )
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        cat.postings_path(segment_id)
+    )
+
+    # Exact dictionary + per-bucket lineage metrics from the written blocks
+    # (metadata-sized scan; binary columns only touched for byte counts).
+    written = spark.read.parquet(cat.postings_path(segment_id))
+    written.groupBy("term").agg(
+        F.min("bucket").alias("bucket"),
+        F.sum("doc_count").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).write.mode("overwrite").parquet(cat.dictionary_path(segment_id))
+
+    per_bucket = (
+        written.groupBy("bucket")
+        .agg(
+            F.sum("doc_count").alias("postings"),
+            (
+                F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+            ).alias("bytes"),
+        )
+        .collect()
+    )
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cat.append_lineage(
+        spark,
+        [
+            (run_id, segment_id, int(r["bucket"]), "committed", n_docs,
+             int(r["postings"]), int(r["bytes"]), now)
+            for r in per_bucket
+        ],
+    )
+
+    seg_meta = {
+        "id": segment_id,
+        "doc_base": doc_base,
+        "total_rows": int(total_rows),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl_local": avgdl,
+        "buckets": buckets,
+        "hot_terms": len(hot),
+        "run_id": run_id,
+    }
+    cat.commit_segment(seg_meta)
+    docs.unpersist()
+    return seg_meta
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    **kwargs,
+) -> dict:
+    """Single-segment convenience build; returns the manifest."""
+    build_segment(spark, transcripts, index_dir, 0, **kwargs)
+    return IndexCatalog(index_dir).read_manifest()

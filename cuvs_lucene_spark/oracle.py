@@ -1,0 +1,139 @@
+"""Pure numpy/pandas Lucene-BM25 oracle (the correctness gate).
+
+Analog of the reference's exact-scoring oracle
+(``TestCuVSRandomizedVectorSearch.java:154-183`` computes exhaustive exact
+results in pure Java and bounds the engine against them). BM25 is
+deterministic, so unlike the reference's ANN ±tolerance we demand exact rank
+identity and <1e-5 score agreement (SURVEY.md §5.2).
+
+Semantics replicated (SURVEY.md §4.3):
+  * tokenizer contract from analysis.tokenize_py
+  * doc length quantized with SmallFloat intToByte4, scored with the
+    DEQUANTIZED length
+  * N (docCount) and avgdl are INDEX-WIDE (IndexSearcher-level), computed
+    over docs with >= 1 token
+  * per-term scores in float32, summed in float64, final cast to float32
+    (DisjunctionSumScorer float-summation shape)
+  * tie-break: equal scores order by ascending doc_id
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from cuvs_lucene_spark.analysis import (
+    BM25_B,
+    BM25_K1,
+    dequantize_dl_np,
+    quantize_dl_np,
+    tokenize_py,
+)
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: np.ndarray                 # int64, sorted — stable (conv_id, turn_idx) order
+    dl_d: np.ndarray                    # dequantized doc lengths, aligned with doc_ids
+    postings: dict[str, tuple[np.ndarray, np.ndarray]]  # term -> (doc_idx, tf)
+    n_docs: int = 0
+    avgdl: float = 0.0
+    meta: pd.DataFrame = field(default=None, repr=False)  # doc_id, conv_id, turn_idx, role, ts
+
+
+def build_oracle_index(pdf: pd.DataFrame) -> OracleIndex:
+    """pdf: transcripts with columns conv_id, turn_idx, role, text, tool, ts.
+
+    doc_id = row_number over (conv_id, turn_idx) ascending, 0-based — the
+    per-row invariant ordering from BASELINE.json.input_hint.
+    """
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    doc_ids = np.arange(len(pdf), dtype=np.int64)
+
+    tokens = [tokenize_py(t) for t in pdf["text"]]
+    dl = np.array([len(t) for t in tokens], dtype=np.int64)
+    dl_d = dequantize_dl_np(quantize_dl_np(dl))
+
+    has_tokens = dl > 0
+    n_docs = int(has_tokens.sum())
+    sum_dl = int(dl[has_tokens].sum())  # sumTotalTermFreq uses TRUE lengths
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    postings: dict[str, list[list[int]]] = {}
+    for i, toks in enumerate(tokens):
+        if not toks:
+            continue
+        for term, tf in Counter(toks).items():
+            postings.setdefault(term, [[], []])
+            postings[term][0].append(i)
+            postings[term][1].append(tf)
+    packed = {
+        t: (np.array(d, dtype=np.int64), np.array(f, dtype=np.int64))
+        for t, (d, f) in postings.items()
+    }
+    meta = pdf[["conv_id", "turn_idx", "role", "ts"]].copy()
+    meta.insert(0, "doc_id", doc_ids)
+    return OracleIndex(doc_ids, dl_d, packed, n_docs, avgdl, meta)
+
+
+def oracle_idf(idx: OracleIndex, term: str) -> float:
+    df = len(idx.postings.get(term, ((), ()))[0])
+    if df == 0:
+        return 0.0
+    return float(np.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+
+
+def oracle_search(
+    idx: OracleIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    accept: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) with Lucene float semantics.
+
+    accept: optional boolean mask over doc index positions (pre-filter,
+    the analog of Bits acceptDocs — ``CuVS2510GPUVectorsReader.java:313``).
+    mode='and' keeps only docs matching ALL distinct query terms.
+    """
+    q_terms = tokenize_py(query)
+    if k <= 0 or not q_terms or idx.n_docs == 0:
+        return []
+    # duplicate query terms each contribute a scorer occurrence (Lucene
+    # BooleanQuery SHOULD-clause semantics): weight = occurrence count
+    weights = Counter(q_terms)
+    distinct = list(weights)
+
+    acc = np.zeros(len(idx.doc_ids), dtype=np.float64)
+    matched = np.zeros(len(idx.doc_ids), dtype=np.int32)
+    for term in distinct:
+        if term not in idx.postings:
+            continue
+        d, tf = idx.postings[term]
+        idf = np.float32(oracle_idf(idx, term))
+        dl32 = idx.dl_d[d].astype(np.float32)
+        tf32 = tf.astype(np.float32)
+        kf = np.float32(BM25_K1) * (
+            np.float32(1.0 - BM25_B) + np.float32(BM25_B) * dl32 / np.float32(idx.avgdl)
+        )
+        s = (idf * tf32 / (tf32 + kf)).astype(np.float32)
+        acc[d] += s.astype(np.float64) * weights[term]
+        matched[d] += 1
+    n_present = sum(1 for t in distinct if t in idx.postings)
+    if mode == "and":
+        if n_present < len(distinct):
+            return []
+        hit = matched == len(distinct)
+    else:
+        hit = matched > 0
+    if accept is not None:
+        hit &= accept
+    cand = np.flatnonzero(hit)
+    if len(cand) == 0:
+        return []
+    scores = acc[cand].astype(np.float32)
+    order = np.lexsort((idx.doc_ids[cand], -scores))[: min(k, len(cand))]
+    return [(int(idx.doc_ids[cand[i]]), float(scores[i])) for i in order]

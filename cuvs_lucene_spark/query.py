@@ -1,0 +1,304 @@
+"""Top-k BM25 query engine (SURVEY.md §3.3 re-expression).
+
+One Spark action per query:
+  tokenize query (driver-side) → dictionary lookup (global df summed across
+  segments; tiny collect) → postings scan pruned by (bucket partition, term
+  predicate) — the analog of Lucene's term-dictionary seek — → Arrow-batched
+  decode+score kernel (exact Lucene float semantics, shared with the oracle)
+  → optional pre-filter semi-join / deletes anti-join → groupBy(doc_id) sum
+  → ORDER BY score DESC, doc_id ASC LIMIT k  (TakeOrderedAndProject = the
+  IndexSearcher global TopDocs merge with docID tie-break, SURVEY §4.3.3).
+
+Two scoring paths, verified equal by pytest (SURVEY §4.3.6):
+  * exhaustive — decode every matching block (the brute-force engine,
+    reference analog ``CuVS2510GPUVectorsWriter.java:286-298``)
+  * block-max pruned — a distributed, bound-safe Block-Max WAND variant:
+    phase 1 exactly scores the top-m blocks per term by upper bound to obtain
+    a threshold θ (k-th best total); phase 2 decodes only blocks whose
+    bound_t(block) + Σ_{t'≠t} UB(t') > θ.  Bounds come from per-block
+    (max_tf, min_dl_d) impacts, which dominate every true score in the block.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, tokenize_py
+from cuvs_lucene_spark.codec import decode_gaps, decode_u32
+from cuvs_lucene_spark.oracle import dequantize_dl_np
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", FloatType()),
+        StructField("n_terms_matched", IntegerType()),
+    ]
+)
+
+SCORE_ROWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),  # float32 value widened for exact sum
+    ]
+)
+
+
+class IndexReader:
+    """Query-time handle: manifest + global stats + lazy table refs."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.manifest = self.cat.read_manifest()
+        self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term, summed across segments (Lucene computes idf at
+        IndexSearcher level, not per-segment — SURVEY §4.3.2)."""
+        if not terms or not self.manifest["segments"]:
+            return {}
+        rows = (
+            self.cat.read_dictionary(self.spark)
+            .where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def idf(self, df: int) -> float:
+        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+
+def _buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> dict[str, int]:
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int").alias("b")
+    ).collect()
+    return {r["term"]: r["b"] for r in rows}
+
+
+def make_score_kernel(term_meta: dict[str, tuple[float, int]], avgdl: float):
+    """mapInPandas kernel: posting blocks → (doc_id, per-term float32 score).
+
+    term_meta: term -> (idf, query_weight). Identical float32 arithmetic to
+    oracle.oracle_search (per-term float32; callers sum in float64 and cast
+    back — Lucene DisjunctionSumScorer shape, SURVEY §4.3.4).
+    """
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs_d: list[np.ndarray] = []
+            outs_s: list[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                idf, w = term_meta[row.term]
+                doc_ids = decode_gaps(row.doc_gaps, row.first_doc).astype(np.int64)
+                tfs = decode_u32(row.tfs)
+                dl_d = dequantize_dl_np(decode_u32(row.dls))
+                tf32 = tfs.astype(np.float32)
+                dl32 = dl_d.astype(np.float32)
+                kf = np.float32(BM25_K1) * (
+                    np.float32(1.0 - BM25_B)
+                    + np.float32(BM25_B) * dl32 / np.float32(avgdl)
+                )
+                s = (np.float32(idf) * tf32 / (tf32 + kf)).astype(np.float32)
+                outs_d.append(doc_ids)
+                outs_s.append(s.astype(np.float64) * w)
+            if outs_d:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(outs_d),
+                        "score": np.concatenate(outs_s),
+                    }
+                )
+
+    return score
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    prune: bool = False,
+    prune_blocks_per_term: int = 8,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
+
+    mode='or'  — Lucene BooleanQuery SHOULD semantics (disjunctive top-k)
+    mode='and' — conjunctive: doc must match every distinct query term
+    filter_cond — predicate over doc_dim columns (role, ts, conv_id, ...),
+        applied as an exact PRE-filter semi-join (replaces the reference's
+        k×10 over-sampling post-filter, ``CuVS2510GPUVectorsReader.java:313``).
+    prune=True — block-max pruned path (verified == exhaustive by pytest).
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    empty = spark.createDataFrame(
+        [], "doc_id long, score float, conv_id string, turn_idx int"
+    )
+    q_terms = tokenize_py(query)
+    if k <= 0 or not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+        return empty
+    # k-capping to the collection size (reference guard,
+    # CuVS2510GPUVectorsReader.java:335): unbounded k would otherwise make
+    # TakeOrderedAndProject allocate a 2k-slot selector per partition.
+    k = min(k, rd.n_docs)
+    weights = Counter(q_terms)
+    stats = rd.term_stats(list(weights))
+    present = [t for t in weights if stats.get(t, 0) > 0]
+    if not present or (mode == "and" and len(present) < len(weights)):
+        return empty
+    term_meta = {t: (rd.idf(stats[t]), weights[t]) for t in present}
+
+    buckets_n = rd.manifest["segments"][0]["buckets"]
+    bmap = _buckets_of(spark, present, buckets_n)
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted(set(bmap.values())))
+        & F.col("term").isin(present)
+    )
+    if prune:
+        postings = _prune_blocks(
+            spark, rd, postings, term_meta, k, mode, filter_cond,
+            prune_blocks_per_term,
+        )
+
+    score_rows = postings.mapInPandas(
+        make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
+    )
+    return _finish(spark, rd, score_rows, len(weights), k, mode, filter_cond)
+
+
+def _accepted_doc_ids(rd: IndexReader, filter_cond: Column | str) -> DataFrame:
+    dd = rd.cat.read_doc_dim(rd.spark)
+    cond = F.expr(filter_cond) if isinstance(filter_cond, str) else filter_cond
+    return dd.where(cond).select("doc_id")
+
+
+def _finish(
+    spark: SparkSession,
+    rd: IndexReader,
+    score_rows: DataFrame,
+    n_query_terms: int,
+    k: int,
+    mode: str,
+    filter_cond,
+) -> DataFrame:
+    if filter_cond is not None:
+        score_rows = score_rows.join(
+            _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
+        )
+    agg = score_rows.groupBy("doc_id").agg(
+        F.sum("score").alias("score_d"), F.count(F.lit(1)).alias("nt")
+    )
+    if mode == "and":
+        agg = agg.where(F.col("nt") == F.lit(n_query_terms))
+    topk = (
+        agg.select("doc_id", F.col("score_d").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return F.broadcast(topk).join(dd, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def _prune_blocks(
+    spark: SparkSession,
+    rd: IndexReader,
+    postings: DataFrame,
+    term_meta: dict[str, tuple[float, int]],
+    k: int,
+    mode: str,
+    filter_cond,
+    m_per_term: int,
+) -> DataFrame:
+    """Bound-safe distributed block-max pruning.
+
+    Upper bound of any posting in a block for term t:
+        ub_t(block) = w_t * idf_t * max_tf / (max_tf + K(min_dl_d))
+    (score increases in tf, decreases in dl — SURVEY §4.3.6). A doc's total
+    score ≤ ub_t(its block) + Σ_{t'≠t} UB(t') with UB(t') the term-global max
+    block bound. Phase 1: exactly score the union of the top-m blocks per
+    term → θ = k-th best total. Phase 2: keep blocks whose relaxed bound
+    exceeds θ. Pruning never drops a true top-k doc. NOT applied in AND mode:
+    θ would come from phase-1 partial sums of docs that may fail the
+    conjunction, overestimating the true conjunctive k-th best and making the
+    prune unsound — AND queries use the intersection path instead.
+    """
+    if mode == "and":
+        return postings
+    idf_map = F.create_map(
+        *[x for t, (idf, w) in term_meta.items() for x in (F.lit(t), F.lit(idf * w))]
+    )
+    kf = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(rd.avgdl)
+    )
+    bounded = postings.withColumn(
+        "_ub",
+        idf_map[F.col("term")]
+        * F.col("max_tf").cast("double")
+        / (F.col("max_tf").cast("double") + kf),
+    ).persist()
+
+    # term-global max block bound (tiny agg)
+    ub_rows = bounded.groupBy("term").agg(F.max("_ub").alias("mub")).collect()
+    term_ub = {r["term"]: float(r["mub"]) for r in ub_rows}
+    sum_ub = sum(term_ub.values())
+
+    # phase 1: exact scores over the densest blocks per term → threshold θ
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("_ub"), F.asc("block_id"), F.asc("salt"))
+    top_blocks = bounded.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= m_per_term
+    ).drop("_rk")
+    phase1 = top_blocks.mapInPandas(
+        make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
+    )
+    if filter_cond is not None:
+        phase1 = phase1.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+    theta_rows = (
+        phase1.groupBy("doc_id")
+        .agg(F.sum("score").alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(k)
+        .collect()
+    )
+    if len(theta_rows) < k:
+        bounded.unpersist()
+        return postings  # not enough candidates to establish a threshold
+    theta = float(theta_rows[-1]["s"])
+
+    # phase 2: relaxed bound — block survives if its own bound plus the other
+    # terms' global bounds can beat θ. (float64 slack: subtract an epsilon.)
+    slack_map = F.create_map(
+        *[
+            x
+            for t in term_meta
+            for x in (F.lit(t), F.lit(sum_ub - term_ub[t]))
+        ]
+    )
+    kept = bounded.where(
+        F.col("_ub") + slack_map[F.col("term")] >= F.lit(theta - 1e-9)
+    ).drop("_ub")
+    return kept
+

@@ -1,0 +1,58 @@
+"""SparkSession factory with engine-tuned defaults.
+
+local[N] here is the sandbox surrogate for an N-executor cluster; the same
+confs apply unchanged under spark-submit --py-files on a real cluster
+(north_rule deployment). AQE is on as the backstop for residual skew on top
+of the engine's explicit hot-term salting (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship cuvs_lucene_spark to executor Python workers.
+
+    The library analog of the north_rule deployment
+    (``spark-submit --py-files dist/engine.zip``): zips this package and
+    registers it via addPyFile so Arrow-UDF kernels unpickle on executors
+    even when the driver script runs outside the repo root.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "cuvs_lucene_spark_pyfiles")
+    os.makedirs(base, exist_ok=True)
+    zip_path = shutil.make_archive(
+        os.path.join(base, "cuvs_lucene_spark"), "zip",
+        root_dir=os.path.dirname(pkg_dir), base_dir="cuvs_lucene_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app: str = "cuvs-lucene-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    ship_package(spark)
+    return spark

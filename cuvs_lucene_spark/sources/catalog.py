@@ -1,0 +1,132 @@
+"""Index catalog: on-disk layout, manifest, lineage (checkpoint-resume).
+
+Plays the role of the reference's two-file meta+payload layout with versioned
+headers and checksummed footers (``CuVS2510GPUVectorsFormat.java:39-42``,
+``CuVS2510GPUVectorsWriter.java:154-165``): in our engine the "payload" is
+parquet posting blocks partitioned by term bucket, and the "meta" is a JSON
+manifest + small parquet side tables. In production these are Iceberg tables
+(snapshot = commit, ``writeTo(...).append()``); locally we use plain parquet
+directories with an atomically-renamed manifest as the snapshot pointer —
+the same commit protocol shape (write data → write meta → atomic pointer
+swap, cf. ``finish()`` end-marker at ``CuVS2510GPUVectorsWriter.java:521-537``).
+
+Layout:
+    <index_dir>/manifest.json                      # snapshot pointer (atomic rename)
+    <index_dir>/seg=<sid>/doc_dim/                 # parquet
+    <index_dir>/seg=<sid>/postings/bucket=<b>/     # parquet, hive-partitioned
+    <index_dir>/seg=<sid>/dictionary/              # parquet (per-segment term stats)
+    <index_dir>/lineage/                           # parquet append-only metric rows
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "manifest.json"
+
+LINEAGE_SCHEMA = (
+    "run_id string, segment_id int, bucket int, status string, "
+    "docs_indexed long, postings_written long, bytes_compressed long, "
+    "committed_at timestamp"
+)
+
+
+class IndexCatalog:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        os.makedirs(index_dir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def seg_dir(self, sid: int) -> str:
+        return os.path.join(self.index_dir, f"seg={sid}")
+
+    def doc_dim_path(self, sid: int) -> str:
+        return os.path.join(self.seg_dir(sid), "doc_dim")
+
+    def postings_path(self, sid: int) -> str:
+        return os.path.join(self.seg_dir(sid), "postings")
+
+    def dictionary_path(self, sid: int) -> str:
+        return os.path.join(self.seg_dir(sid), "dictionary")
+
+    def lineage_path(self) -> str:
+        return os.path.join(self.index_dir, "lineage")
+
+    # -- manifest (snapshot pointer) ------------------------------------
+    def read_manifest(self) -> dict:
+        p = os.path.join(self.index_dir, MANIFEST)
+        if not os.path.exists(p):
+            return {"segments": [], "version": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_segment(self, seg_meta: dict) -> None:
+        """Atomically add a segment to the manifest (idempotent by id)."""
+        m = self.read_manifest()
+        m["segments"] = [s for s in m["segments"] if s["id"] != seg_meta["id"]]
+        m["segments"].append(seg_meta)
+        m["segments"].sort(key=lambda s: s["id"])
+        m["version"] = m.get("version", 0) + 1
+        m["committed_at"] = time.time()
+        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+
+    def replace_segments(self, drop_ids: list[int], seg_meta: dict) -> None:
+        """Compaction commit: swap merged-away segments for the new one."""
+        m = self.read_manifest()
+        m["segments"] = [s for s in m["segments"] if s["id"] not in drop_ids]
+        m["segments"].append(seg_meta)
+        m["segments"].sort(key=lambda s: s["id"])
+        m["version"] = m.get("version", 0) + 1
+        m["committed_at"] = time.time()
+        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+
+    def committed_segment_ids(self) -> set[int]:
+        return {s["id"] for s in self.read_manifest()["segments"]}
+
+    # -- global stats (IndexSearcher-level; SURVEY §4.3.2) ---------------
+    def global_stats(self) -> tuple[int, int, float]:
+        """(n_docs, sum_dl, avgdl) summed across live segments."""
+        m = self.read_manifest()
+        n = sum(s["n_docs"] for s in m["segments"])
+        sdl = sum(s["sum_dl"] for s in m["segments"])
+        return n, sdl, (sdl / n if n else 0.0)
+
+    def next_doc_base(self) -> int:
+        m = self.read_manifest()
+        return sum(s["total_rows"] for s in m["segments"])
+
+    # -- table readers ---------------------------------------------------
+    def read_doc_dim(self, spark: SparkSession) -> DataFrame:
+        segs = self.read_manifest()["segments"]
+        paths = [self.doc_dim_path(s["id"]) for s in segs]
+        return spark.read.parquet(*paths)
+
+    def read_postings(self, spark: SparkSession) -> DataFrame:
+        segs = self.read_manifest()["segments"]
+        paths = [self.postings_path(s["id"]) for s in segs]
+        return spark.read.parquet(*paths)
+
+    def read_dictionary(self, spark: SparkSession) -> DataFrame:
+        segs = self.read_manifest()["segments"]
+        paths = [self.dictionary_path(s["id"]) for s in segs]
+        return spark.read.parquet(*paths)
+
+    # -- lineage ----------------------------------------------------------
+    def append_lineage(self, spark: SparkSession, rows: list[tuple]) -> None:
+        df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.lineage_path())
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_path())

@@ -1,0 +1,90 @@
+"""End-to-end engine ↔ oracle rank-identity gate (SURVEY.md §5.2 items 1-3).
+
+Every query in the frozen 60-query reference set must return EXACTLY the
+oracle's top-k docIDs (rank-identical, docID tie-break) with scores within
+1e-5 (target bit-equal float32). Exercised on the tiny tier for both the
+exhaustive and the block-max-pruned paths — pruned == exhaustive is the
+BM-WAND losslessness gate (SURVEY §4.3.6).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.fixtures import build_query_set
+from cuvs_lucene_spark.oracle import oracle_search
+from cuvs_lucene_spark.query import IndexReader, search
+
+
+@pytest.fixture(scope="module")
+def queries(oracle_tiny):
+    term_df = {t: len(p[0]) for t, p in oracle_tiny.postings.items()}
+    return build_query_set(term_df, oracle_tiny.n_docs)
+
+
+def _filter_args(q, oracle_tiny):
+    """(engine filter_cond, oracle accept mask) for filtered queries."""
+    if "filter" not in q:
+        return None, None
+    meta = oracle_tiny.meta
+    if q["filter"] == "role = 'user'":
+        return F.col("role") == "user", (meta["role"] == "user").to_numpy()
+    # ts range: first half of the corpus timeline
+    cut = meta["ts"].quantile(0.5)
+    return F.col("ts") <= F.lit(cut), (meta["ts"] <= cut).to_numpy()
+
+
+def _run_and_compare(spark, tiny_index, oracle_tiny, q, prune):
+    cond, accept = _filter_args(q, oracle_tiny)
+    exp = oracle_search(oracle_tiny, q["text"], k=q["k"], mode=q["mode"], accept=accept)
+    got_df = search(
+        spark, tiny_index, q["text"], k=q["k"], mode=q["mode"],
+        filter_cond=cond, prune=prune,
+    )
+    got = [(r["doc_id"], r["score"]) for r in got_df.collect()]
+    assert [d for d, _ in got] == [d for d, _ in exp], (
+        f"{q['qid']} prune={prune}: docIDs {got} != {exp}"
+    )
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-5, f"{q['qid']}: score {gs} vs {es} for doc {gd}"
+
+
+def test_all_queries_exhaustive(spark, tiny_index, oracle_tiny, queries):
+    assert len(queries) == 60
+    for q in queries:
+        _run_and_compare(spark, tiny_index, oracle_tiny, q, prune=False)
+
+
+def test_all_queries_pruned(spark, tiny_index, oracle_tiny, queries):
+    for q in queries:
+        _run_and_compare(spark, tiny_index, oracle_tiny, q, prune=True)
+
+
+def test_global_stats_match_oracle(spark, tiny_index, oracle_tiny):
+    rd = IndexReader(spark, tiny_index)
+    assert rd.n_docs == oracle_tiny.n_docs
+    assert abs(rd.avgdl - oracle_tiny.avgdl) < 1e-12
+
+
+def test_dictionary_df_matches_oracle(spark, tiny_index, oracle_tiny):
+    rd = IndexReader(spark, tiny_index)
+    some = sorted(oracle_tiny.postings)[::97]  # sample of terms
+    stats = rd.term_stats(some)
+    for t in some:
+        assert stats[t] == len(oracle_tiny.postings[t][0]), t
+
+
+def test_per_row_invariant(spark, tiny_index, tiny_pdf):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering
+    (BASELINE.json.input_hint): doc_dim doc_ids enumerate the sorted corpus."""
+    rd = IndexReader(spark, tiny_index)
+    dd = rd.cat.read_doc_dim(spark).orderBy("doc_id").collect()
+    src = tiny_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    assert len(dd) == len(src)
+    for i in [0, 1, len(dd) // 2, len(dd) - 1]:
+        assert dd[i]["doc_id"] == i
+        assert dd[i]["conv_id"] == src["conv_id"][i]
+        assert int(dd[i]["turn_idx"]) == int(src["turn_idx"][i])
+    # dense, gapless
+    ids = np.array([r["doc_id"] for r in dd])
+    np.testing.assert_array_equal(ids, np.arange(len(dd)))
