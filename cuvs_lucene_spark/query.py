@@ -94,12 +94,16 @@ def _buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> dict[str
     return {r["term"]: r["b"] for r in rows}
 
 
-def make_score_kernel(term_meta: dict[str, tuple[float, int]], avgdl: float):
-    """mapInPandas kernel: posting blocks → (doc_id, per-term float32 score).
+def make_score_kernel(
+    term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True
+):
+    """mapInPandas kernel: posting blocks → (doc_id, per-term score).
 
-    term_meta: term -> (idf, query_weight). Identical float32 arithmetic to
-    oracle.oracle_search (per-term float32; callers sum in float64 and cast
-    back — Lucene DisjunctionSumScorer shape, SURVEY §4.3.4).
+    term_meta: term -> (idf, query_weight). float32=True replicates Lucene's
+    per-term float arithmetic exactly, matching oracle.oracle_search (per-term
+    float32; callers sum in float64 and cast back — DisjunctionSumScorer
+    shape, SURVEY §4.3.4). float32=False computes in float64 throughout (the
+    DuckDB-oracle-parity mode used by __spark_entry__).
     """
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,13 +115,13 @@ def make_score_kernel(term_meta: dict[str, tuple[float, int]], avgdl: float):
                 doc_ids = decode_gaps(row.doc_gaps, row.first_doc).astype(np.int64)
                 tfs = decode_u32(row.tfs)
                 dl_d = dequantize_dl_np(decode_u32(row.dls))
-                tf32 = tfs.astype(np.float32)
-                dl32 = dl_d.astype(np.float32)
-                kf = np.float32(BM25_K1) * (
-                    np.float32(1.0 - BM25_B)
-                    + np.float32(BM25_B) * dl32 / np.float32(avgdl)
+                ftype = np.float32 if float32 else np.float64
+                tff = tfs.astype(ftype)
+                dlf = dl_d.astype(ftype)
+                kf = ftype(BM25_K1) * (
+                    ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
                 )
-                s = (np.float32(idf) * tf32 / (tf32 + kf)).astype(np.float32)
+                s = (ftype(idf) * tff / (tff + kf)).astype(ftype)
                 outs_d.append(doc_ids)
                 outs_s.append(s.astype(np.float64) * w)
             if outs_d:
@@ -141,6 +145,7 @@ def search(
     prune: bool = False,
     prune_blocks_per_term: int = 8,
     reader: IndexReader | None = None,
+    float32: bool = True,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -153,7 +158,9 @@ def search(
     """
     rd = reader or IndexReader(spark, index_dir)
     empty = spark.createDataFrame(
-        [], "doc_id long, score float, conv_id string, turn_idx int"
+        [],
+        f"doc_id long, score {'float' if float32 else 'double'}, "
+        "conv_id string, turn_idx int",
     )
     q_terms = tokenize_py(query)
     if k <= 0 or not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
@@ -182,9 +189,9 @@ def search(
         )
 
     score_rows = postings.mapInPandas(
-        make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
     )
-    return _finish(spark, rd, score_rows, len(weights), k, mode, filter_cond)
+    return _finish(spark, rd, score_rows, len(weights), k, mode, filter_cond, float32)
 
 
 def _accepted_doc_ids(rd: IndexReader, filter_cond: Column | str) -> DataFrame:
@@ -201,6 +208,7 @@ def _finish(
     k: int,
     mode: str,
     filter_cond,
+    float32: bool = True,
 ) -> DataFrame:
     if filter_cond is not None:
         score_rows = score_rows.join(
@@ -211,8 +219,9 @@ def _finish(
     )
     if mode == "and":
         agg = agg.where(F.col("nt") == F.lit(n_query_terms))
+    out_t = "float" if float32 else "double"
     topk = (
-        agg.select("doc_id", F.col("score_d").cast("float").alias("score"))
+        agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
