@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Headline benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Measures, at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+  1. **Index-build throughput** — full build pipeline (read -> docID assign ->
+     tokenize -> shuffle -> encode -> commit) on the deterministic synthetic
+     transcripts corpus (fixtures tier scaled to the sf), into a fresh /tmp
+     dir so nothing is cached; reported as turns/sec.
+  2. **Query latency** — every query in ``__spark_entry__.queries()`` run
+     warm (one untimed warmup that also populates the per-sf index cache,
+     then timed reps; median reported).
+
+Prints ONE json line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "build": {...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately by
+``tools/bench_scaling.py`` into ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+# synthetic-transcripts tier for the build benchmark, by sf dir
+_BUILD_TIER = {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "small"}
+
+
+def _sf_of(sf_dir: str) -> float:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_build(spark) -> dict:
+    from cuvs_lucene_spark.fixtures import TIERS, ensure_corpus
+    from cuvs_lucene_spark.operators.build import build_index
+
+    tier = _BUILD_TIER.get(os.path.basename(os.path.normpath(SF_DIR)), "small")
+    corpus = ensure_corpus(tier)
+    transcripts = spark.read.parquet(corpus)
+    n_turns = transcripts.count()  # warm the file-listing/scan path
+
+    idx_dir = f"/tmp/cuvs_lucene_spark_bench_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    build_index(
+        spark, transcripts, idx_dir,
+        buckets=32, salt_buckets=8, hot_df_ratio=0.05,
+    )
+    dt = time.perf_counter() - t0
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "tier": tier,
+        "turns": int(n_turns),
+        "sec": round(dt, 3),
+        "turns_per_sec": round(n_turns / dt, 1),
+    }
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        fn(spark, SF_DIR).collect()  # warmup (also builds the cached index)
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(times), 4)
+    return out
+
+
+def main() -> None:
+    from cuvs_lucene_spark.session import get_spark
+
+    spark = get_spark("cuvs-lucene-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build = bench_build(spark)
+    queries = bench_queries(spark)
+    total = round(build["sec"] + sum(queries.values()), 3)
+
+    print(json.dumps({
+        "metric": "fts_build_plus_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "build": build,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
