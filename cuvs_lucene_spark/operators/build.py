@@ -51,69 +51,138 @@ POSTINGS_SCHEMA = (
     "bucket int, term string, salt int, block_id int, "
     "first_doc long, last_doc long, doc_count int, cf long, "
     "doc_gaps binary, tfs binary, dls binary, "
-    "max_tf int, min_dl_d long, max_tf_norm float"
+    "max_tf int, min_dl_d long, max_tf_norm float, n_bytes int"
 )
 
 
-def make_block_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
-    """Grouped-map kernel: one (bucket, term, salt) posting list → block rows.
-
-    The analog of the reference's per-node block encoder (sort ids, delta
-    encode, write counts+gaps, record per-node sizes —
+def _encode_sorted_rows(
+    bucket: np.ndarray,
+    term: np.ndarray,
+    salt: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dl_qs: np.ndarray,
+    avgdl: float,
+    block_size: int,
+) -> pd.DataFrame:
+    """Encode rows already sorted by (bucket, term, salt, doc_id) into block
+    rows. Group boundaries found vectorized (np boundary scan), so Python-level
+    work is O(#blocks), never O(#groups-via-Spark): the analog of the
+    reference's per-node block encoder (sort ids, delta encode, write
+    counts+gaps, record per-node byte sizes —
     ``Lucene99AcceleratedHNSWVectorsWriter.java:438-487``) plus Lucene-style
     per-block impacts: (max_tf, min_dl_d) is a bound-safe input to Block-Max
-    WAND (score is increasing in tf, decreasing in dl ⇒
+    WAND (score increasing in tf, decreasing in dl ⇒
     score(tf,dl) ≤ score(max_tf, min_dl) for every posting in the block).
     """
+    n = len(doc_ids)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (
+            (bucket[1:] != bucket[:-1])
+            | (term[1:] != term[:-1])
+            | (salt[1:] != salt[:-1])
+        )
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dl_qs = pdf["dl_q"].to_numpy()[order]
-        term = pdf["term"].iat[0]
-        bucket = int(pdf["bucket"].iat[0])
-        salt = int(pdf["salt"].iat[0])
+    dl_d_all = dequantize_dl_np(dl_qs)
+    k_all = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d_all.astype(np.float64) / avgdl)
+    tf_norm_all = tfs.astype(np.float64) / (tfs.astype(np.float64) + k_all)
 
-        rows = []
-        for b0 in range(0, len(doc_ids), block_size):
-            d = doc_ids[b0 : b0 + block_size]
-            t = tfs[b0 : b0 + block_size]
-            q = dl_qs[b0 : b0 + block_size]
-            dl_d = dequantize_dl_np(q)
-            k = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d.astype(np.float64) / avgdl)
-            tf_norm = t.astype(np.float64) / (t.astype(np.float64) + k)
-            rows.append(
-                {
-                    "bucket": bucket,
-                    "term": term,
-                    "salt": salt,
-                    "block_id": b0 // block_size,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "doc_count": len(d),
-                    "cf": int(t.sum()),
-                    "doc_gaps": encode_gaps(d),
-                    "tfs": encode_u32(t),
-                    "dls": encode_u32(q),
-                    "max_tf": int(t.max()),
-                    "min_dl_d": int(dl_d.min()),
-                    "max_tf_norm": float(tf_norm.max()),
-                }
+    cols: dict[str, list] = {c: [] for c in (
+        "bucket", "term", "salt", "block_id", "first_doc", "last_doc",
+        "doc_count", "cf", "doc_gaps", "tfs", "dls", "max_tf", "min_dl_d",
+        "max_tf_norm", "n_bytes",
+    )}
+    for s, e in zip(starts, ends):
+        bid = 0
+        for b0 in range(s, e, block_size):
+            b1 = min(b0 + block_size, e)
+            d = doc_ids[b0:b1]
+            t = tfs[b0:b1]
+            gaps_b = encode_gaps(d)
+            tfs_b = encode_u32(t)
+            dls_b = encode_u32(dl_qs[b0:b1])
+            cols["bucket"].append(int(bucket[s]))
+            cols["term"].append(term[s])
+            cols["salt"].append(int(salt[s]))
+            cols["block_id"].append(bid)
+            cols["first_doc"].append(int(d[0]))
+            cols["last_doc"].append(int(d[-1]))
+            cols["doc_count"].append(b1 - b0)
+            cols["cf"].append(int(t.sum()))
+            cols["doc_gaps"].append(gaps_b)
+            cols["tfs"].append(tfs_b)
+            cols["dls"].append(dls_b)
+            cols["max_tf"].append(int(t.max()))
+            cols["min_dl_d"].append(int(dl_d_all[b0:b1].min()))
+            cols["max_tf_norm"].append(float(tf_norm_all[b0:b1].max()))
+            cols["n_bytes"].append(len(gaps_b) + len(tfs_b) + len(dls_b))
+            bid += 1
+    return pd.DataFrame(cols)
+
+
+def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
+    """mapInPandas kernel over a partition PRE-SORTED by
+    (bucket, term, salt, doc_id): stream Arrow batches, carry the trailing
+    (possibly incomplete) group across batch boundaries, emit block rows.
+
+    This replaces a groupBy(term).applyInPandas design: with a 50k-term
+    vocabulary the per-group Arrow round-trip overhead dominates build time;
+    here the per-Python-call unit is a whole partition batch (10k rows), so
+    overhead is O(#partitions), not O(#terms) — the difference between 10^2
+    and 10^7 Python crossings at 10^12-turn scale.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            b = pdf["bucket"].to_numpy()
+            t = pdf["term"].to_numpy()
+            s = pdf["salt"].to_numpy()
+            change = np.ones(len(pdf), dtype=bool)
+            change[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+            last_start = int(np.flatnonzero(change)[-1])
+            if last_start == 0:
+                pending = pdf  # single (possibly spanning) group: keep buffering
+                continue
+            head = pdf.iloc[:last_start]
+            pending = pdf.iloc[last_start:].reset_index(drop=True)
+            yield _encode_sorted_rows(
+                b[:last_start], t[:last_start], s[:last_start],
+                head["doc_id"].to_numpy(), head["tf"].to_numpy(),
+                head["dl_q"].to_numpy(), avgdl, block_size,
             )
-        return pd.DataFrame(rows)
+        if pending is not None and len(pending):
+            yield _encode_sorted_rows(
+                pending["bucket"].to_numpy(), pending["term"].to_numpy(),
+                pending["salt"].to_numpy(), pending["doc_id"].to_numpy(),
+                pending["tf"].to_numpy(), pending["dl_q"].to_numpy(),
+                avgdl, block_size,
+            )
 
     return encode
 
 
 def prepare_docs(df: DataFrame, doc_base: int = 0, num_partitions: int | None = None) -> DataFrame:
-    """transcripts → docs with global doc_id, tokens, dl, quantized norms."""
+    """transcripts → docs with global doc_id, dl, quantized norms.
+
+    Deliberately does NOT materialize a tokens column: persisting token
+    arrays for a 100 TB corpus is infeasible, so dl is computed in one JVM
+    expression here and the tf stage re-tokenizes from text (tokenization is
+    codegen'd JVM work — recomputing it is cheaper at scale than caching it).
+    """
     docs = assign_doc_ids(df, num_partitions)
     if doc_base:
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
-    docs = docs.withColumn("tokens", tokenize_col("text"))
     docs = docs.withColumn(
-        "dl", F.coalesce(F.array_size("tokens"), F.lit(0)).cast("long")
+        "dl", F.coalesce(F.array_size(tokenize_col("text")), F.lit(0)).cast("long")
     )
     return with_quantized_dl(docs, "dl")
 
@@ -186,7 +255,7 @@ def build_segment(
     # THE wide shuffle: token stream → per-(term, doc) tf with map-side combine
     tf = (
         docs.where(F.col("dl") > 0)
-        .select("doc_id", "dl_q", F.explode("tokens").alias("term"))
+        .select("doc_id", "dl_q", F.explode(tokenize_col("text")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl_q").alias("dl_q"))
     )
@@ -201,15 +270,23 @@ def build_segment(
         ).otherwise(F.lit(0)),
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
 
-    blocks = salted.groupBy("bucket", "term", "salt").applyInPandas(
-        make_block_encoder(avgdl, block_size), POSTINGS_SCHEMA
+    # Narrow-ish encode: co-locate each (bucket, salt) slice, sort so every
+    # (term, salt) posting list is contiguous and docID-ascending, then stream
+    # whole partitions through the Arrow encoder (O(#partitions) Python
+    # crossings — see make_partition_encoder).
+    enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    blocks = (
+        salted.repartition(enc_parts, "bucket", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .mapInPandas(make_partition_encoder(avgdl, block_size), POSTINGS_SCHEMA)
     )
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(segment_id)
     )
 
-    # Exact dictionary + per-bucket lineage metrics from the written blocks
-    # (metadata-sized scan; binary columns only touched for byte counts).
+    # Exact dictionary + per-bucket lineage metrics from the written blocks —
+    # a metadata-sized re-scan: only small stat columns are read (byte counts
+    # were recorded per block at encode time), never the binary payloads.
     written = spark.read.parquet(cat.postings_path(segment_id))
     written.groupBy("term").agg(
         F.min("bucket").alias("bucket"),
@@ -222,9 +299,7 @@ def build_segment(
         written.groupBy("bucket")
         .agg(
             F.sum("doc_count").alias("postings"),
-            (
-                F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
-            ).alias("bytes"),
+            F.sum("n_bytes").alias("bytes"),
         )
         .collect()
     )
