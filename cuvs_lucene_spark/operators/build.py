@@ -170,6 +170,28 @@ def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
     return encode
 
 
+def encode_postings(
+    spark: SparkSession,
+    salted: DataFrame,
+    avgdl: float,
+    buckets: int,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """(term, doc_id, tf, dl_q, salt, bucket) rows → posting block rows.
+
+    Co-locates each (bucket, salt) slice, sorts so every (term, salt) posting
+    list is contiguous and docID-ascending, then streams whole partitions
+    through the Arrow encoder (O(#partitions) Python crossings — see
+    make_partition_encoder). Shared by the initial build and compaction.
+    """
+    enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return (
+        salted.repartition(enc_parts, "bucket", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .mapInPandas(make_partition_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+    )
+
+
 def prepare_docs(df: DataFrame, doc_base: int = 0, num_partitions: int | None = None) -> DataFrame:
     """transcripts → docs with global doc_id, dl, quantized norms.
 
@@ -232,8 +254,13 @@ def build_segment(
     idempotence guard ``CuVS2510GPUVectorsWriter.java:521-524``).
     """
     cat = IndexCatalog(index_dir)
-    if segment_id in cat.committed_segment_ids():
-        return next(s for s in cat.read_manifest()["segments"] if s["id"] == segment_id)
+    existing = cat.read_manifest()["segments"]
+    if segment_id in {s["id"] for s in existing}:
+        return next(s for s in existing if s["id"] == segment_id)
+    if existing:
+        # bucket layout must agree across segments: the query planner prunes
+        # partitions with one term→bucket map for the whole index
+        buckets = existing[0]["buckets"]
     run_id = run_id or uuid.uuid4().hex[:12]
     doc_base = cat.next_doc_base()
 
@@ -270,16 +297,7 @@ def build_segment(
         ).otherwise(F.lit(0)),
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
 
-    # Narrow-ish encode: co-locate each (bucket, salt) slice, sort so every
-    # (term, salt) posting list is contiguous and docID-ascending, then stream
-    # whole partitions through the Arrow encoder (O(#partitions) Python
-    # crossings — see make_partition_encoder).
-    enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    blocks = (
-        salted.repartition(enc_parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
-        .mapInPandas(make_partition_encoder(avgdl, block_size), POSTINGS_SCHEMA)
-    )
+    blocks = encode_postings(spark, salted, avgdl, buckets, block_size)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(segment_id)
     )

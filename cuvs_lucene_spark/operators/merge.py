@@ -1,0 +1,193 @@
+"""Merge / compaction — the Spark re-expression of mergeOneField (SURVEY.md §2.4).
+
+Reference dispatcher (``CuVS2510GPUVectorsWriter.java:491-519``): fast-path
+native merge iff >1 segments and no deletions, else rebuild from raw values.
+Our postings blocks are self-contained — they carry (doc_id gaps, tf, dl_q)
+with GLOBAL docIDs (baked in at build, the lesson of the reference's
+merge-time id remap ``Lucene99AcceleratedHNSWVectorsWriter.java:352-366``) —
+so the "rebuild" path never touches the source table: it decodes the live
+blocks, drops tombstoned docs, and re-encodes through the exact same
+partition encoder as the initial build. One distributed job, no driver-side
+data movement.
+
+Stats semantics after compaction match Lucene post-merge: deleted docs no
+longer count in N/avgdl/df (before compaction they still do, as in Lucene —
+see operators/deletes.py).
+
+docIDs stay STABLE across compaction (deviation from the reference's dense
+re-numbering at merge, ``MergedVectorValues`` at
+``CuVS2510GPUVectorsWriter.java:438``): our doc_id is the global rank-tiebreak
+authority, and renumbering would change tie-break order run-to-run; density
+is not required anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.codec import BLOCK_SIZE, decode_gaps, decode_u32
+from cuvs_lucene_spark.operators.build import encode_postings
+from cuvs_lucene_spark.operators.deletes import (
+    clear_deletes,
+    deleted_doc_ids,
+    has_deletes,
+)
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, dl_q int"
+
+
+def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Posting block rows → flat (term, doc_id, tf, dl_q) rows (Arrow-batched)."""
+    for pdf in batches:
+        terms: list[np.ndarray] = []
+        dids: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        dlqs: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):
+            d = decode_gaps(row.doc_gaps, row.first_doc).astype(np.int64)
+            terms.append(np.full(len(d), row.term, dtype=object))
+            dids.append(d)
+            tfs.append(decode_u32(row.tfs))
+            dlqs.append(decode_u32(row.dls))
+        if dids:
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(dids),
+                    "tf": np.concatenate(tfs),
+                    "dl_q": np.concatenate(dlqs).astype(np.int32),
+                }
+            )
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Decode block rows back to per-posting rows (the M3 'raw values' source)."""
+    return postings.select(
+        "term", "first_doc", "doc_gaps", "tfs", "dls"
+    ).mapInPandas(_decode_kernel, DECODED_SCHEMA)
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    salt_buckets: int = 8,
+    hot_df_ratio: float = 0.05,
+    block_size: int = BLOCK_SIZE,
+    run_id: str | None = None,
+    force: bool = False,
+) -> dict | None:
+    """Merge all live segments (and purge tombstones) into one new segment.
+
+    Returns the new segment's manifest entry, or None if compaction was a
+    no-op (single segment, no deletes, not forced) — the analog of the merge
+    policy declining a merge (``TieredMergePolicy`` via ``TestMerge.java:231``).
+    """
+    cat = IndexCatalog(index_dir)
+    m = cat.read_manifest()
+    segs = m["segments"]
+    if not segs:
+        return None
+    deletes = has_deletes(index_dir)
+    if len(segs) == 1 and not deletes and not force:
+        return None
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    old_ids = [s["id"] for s in segs]
+    new_id = max(old_ids) + 1
+    buckets = segs[0]["buckets"]
+
+    del_ids = deleted_doc_ids(spark, index_dir) if deletes else None
+
+    # new doc_dim = union of segment doc_dims minus tombstoned rows
+    dd = cat.read_doc_dim(spark)
+    if del_ids is not None:
+        dd = dd.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    dd = dd.persist()
+    stats = dd.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    n_docs = int(stats["n_docs"] or 0)
+    sum_dl = int(stats["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+    dd.write.mode("overwrite").parquet(cat.doc_dim_path(new_id))
+
+    # live postings, decoded (blocks are self-contained: no source table read)
+    tf = decode_postings(cat.read_postings(spark))
+    if del_ids is not None:
+        tf = tf.join(F.broadcast(del_ids), "doc_id", "left_anti")
+
+    # exact hot-term detection (compaction is offline; full-vocab agg is fine)
+    hot_rows = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > F.lit(hot_df_ratio * n_docs))
+        .select("term")
+        .collect()
+    )
+    hot = sorted(r["term"] for r in hot_rows)
+    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
+    salted = tf.withColumn(
+        "salt",
+        F.when(
+            F.array_contains(hot_lit, F.col("term")),
+            F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
+
+    blocks = encode_postings(spark, salted, avgdl, buckets, block_size)
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        cat.postings_path(new_id)
+    )
+
+    written = spark.read.parquet(cat.postings_path(new_id))
+    written.groupBy("term").agg(
+        F.min("bucket").alias("bucket"),
+        F.sum("doc_count").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).write.mode("overwrite").parquet(cat.dictionary_path(new_id))
+
+    per_bucket = (
+        written.groupBy("bucket")
+        .agg(F.sum("doc_count").alias("postings"), F.sum("n_bytes").alias("bytes"))
+        .collect()
+    )
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    cat.append_lineage(
+        spark,
+        [
+            (run_id, new_id, int(r["bucket"]), "compacted", n_docs,
+             int(r["postings"]), int(r["bytes"]), now)
+            for r in per_bucket
+        ],
+    )
+
+    seg_meta = {
+        "id": new_id,
+        "doc_base": 0,
+        # preserve the docID high-water mark so future appended segments never
+        # collide with retained (stable) doc_ids
+        "total_rows": cat.next_doc_base(),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl_local": avgdl,
+        "buckets": buckets,
+        "hot_terms": len(hot),
+        "run_id": run_id,
+        "compacted_from": old_ids,
+    }
+    cat.replace_segments(old_ids, seg_meta)
+    clear_deletes(index_dir)
+    dd.unpersist()
+    return seg_meta

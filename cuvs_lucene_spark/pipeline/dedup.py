@@ -1,0 +1,427 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each with a DuckDB-SQL twin for the oracle gate:
+
+  * exact            — md5-of-normalized-text groupBy (one shuffle on a
+                       16-byte key, never on raw text)
+  * n-gram Jaccard   — EXACT near-dup pairs: docs sharing ≥1 word-shingle are
+                       the only candidates (Jaccard > 0 ⇒ shared shingle), so
+                       the shared-shingle self-join + exact Jaccard filter is
+                       both complete and distributed
+  * MinHash + LSH    — signature sketch → banded bucketing → candidate pairs
+                       → exact-Jaccard verification
+  * SimHash          — 32-bit fingerprint; banded exact search: for hamming
+                       distance ≤ d and B > d bands, a matching band is
+                       guaranteed (pigeonhole), so the band join is lossless
+  * embedding cosine — see pipeline/similarity.py
+
+Portability contract: every hash used in a correctness-gated path is defined
+arithmetically ((a·x + b) mod p over dense shingle ranks) so the DuckDB
+oracle can reproduce it bit-for-bit. At 100 TB the dense-rank dictionary
+join is swapped for xxhash64 (hash_mode='xxhash'), which changes no
+semantics — only the (already content-blind) bucketing of shingles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cuvs_lucene_spark.analysis import tokenize_col
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+SIMHASH_BITS = 32
+
+
+def hash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for (a·x + b) mod p; shared with the SQL twin."""
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, MERSENNE_P)), int(rng.randint(0, MERSENNE_P)))
+        for _ in range(n_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rows belonging to exact-duplicate groups (normalized text equality).
+
+    Returns (id, canonical_id, group_size): canonical = min id per group.
+    Shuffles on md5(normalized) — constant-width key regardless of doc size.
+    """
+    norm = F.md5(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))))
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("h"))
+    groups = (
+        d.groupBy("h")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+    return (
+        d.join(groups, "h")
+        .select("id", "canonical_id", "group_size")
+    )
+
+
+def exact_duplicates_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id, md5(lower(trim(coalesce({text_col}, '')))) AS h FROM {table}
+),
+g AS (
+  SELECT h, min(id) AS canonical_id, count(*) AS group_size
+  FROM d GROUP BY h HAVING count(*) > 1
+)
+SELECT d.id AS id, g.canonical_id AS canonical_id, g.group_size AS group_size
+FROM d JOIN g USING (h)
+"""
+
+
+# ---------------------------------------------------------------------------
+# word shingles
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, n: int) -> Column:
+    """DISTINCT word n-grams of the analyzer token stream (array<string>)."""
+    toks = tokenize_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.array_size(toks) - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingles_sql(text_col: str, n: int) -> str:
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(coalesce({text_col},'')),"
+        f" '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n} + 1, 0) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, n)).alias("sh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs with shingle-set Jaccard ≥ threshold.
+
+    (id_a < id_b, inter, union, jaccard). The self-join key is the shingle —
+    hot shingles fan out quadratically, so at scale pass max_shingle_df to
+    drop shingles shared by more than that many docs (standard frequency
+    pruning; slightly lowers recall for pairs overlapping ONLY on ubiquitous
+    shingles — leave None for oracle-exact mode).
+    """
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("sh").count().where(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.round(F.col("inter").cast("double") / F.col("union"), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({shingles_sql(text_col, n)}) AS sh FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter,
+       sa.sz + sb.sz - inter AS "union",
+       round(cast(inter AS double) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(cast(inter AS double) / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dense shingle ranks (the portable feature id)
+# ---------------------------------------------------------------------------
+
+def shingle_ids(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sid) rows; sid = 1-based rank of the shingle in global lexicographic
+    order — reproducible in ANSI SQL (dense_rank), unlike any native hash.
+
+    The rank dictionary is a global sort of the distinct-shingle set — fine
+    for oracle-gated runs; at 100 TB use hash_mode='xxhash' in the callers,
+    which replaces this join with one codegen'd hash expression.
+    """
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    dictionary = (
+        sh.select("sh").distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("sh")).cast("long"))
+    )
+    return sh.join(dictionary, "sh").select("id", "sid")
+
+
+def _shingle_ids_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    return f"""
+sh AS (
+  SELECT {id_col} AS id, unnest({shingles_sql(text_col, n)}) AS sh FROM {table}
+),
+dict AS (
+  SELECT sh, dense_rank() OVER (ORDER BY sh) AS sid FROM (SELECT DISTINCT sh FROM sh)
+),
+sids AS (SELECT id, sid FROM sh JOIN dict USING (sh))
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[n_hashes]); sig_i = min over shingles of
+    (a_i·sid + b_i) mod p — the classic permutation-sketch estimator."""
+    sids = shingle_ids(docs, id_col, text_col, n)
+    params = hash_params(n_hashes, seed)
+    sig = F.array(*[
+        F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ])
+    return sids.groupBy("id").agg(sig.alias("sig"))
+
+
+def minhash_signatures_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> str:
+    params = hash_params(n_hashes, seed)
+    mins = ", ".join(
+        f"min(({a}*sid + {b}) % {MERSENNE_P})" for a, b in params
+    )
+    return f"""
+WITH {_shingle_ids_sql(table, id_col, text_col, n)}
+SELECT id, [{mins}] AS sig FROM sids GROUP BY id
+"""
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash bucketing, VERIFIED with exact
+    Jaccard (so emitted pairs are never false positives; LSH only bounds
+    which pairs are examined). Output schema matches ngram_jaccard_pairs."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, n_hashes, seed)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[
+                        F.col("sig")[bi * r + j].cast("string") for j in range(r)
+                    ]).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    return (
+        exact.join(cand, ["id_a", "id_b"], "left_semi")
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, fp long): 32-bit SimHash over shingle features.
+
+    Feature hash h = (a·sid + b) mod p; fingerprint bit j is 1 iff the count
+    of features with bit j set exceeds half the feature count (the standard
+    +1/−1 vote, expressed as 2·ones > total so it stays in integer SQL).
+    Ties (exactly half) vote 0.
+    """
+    sids = shingle_ids(docs, id_col, text_col, n)
+    (a, b) = hash_params(1, seed)[0]
+    h = (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MERSENNE_P)
+    d = sids.select("id", h.alias("h"))
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"ones{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = d.groupBy("id").agg(*aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = (F.lit(2) * F.col(f"ones{j}") > F.col("total")).cast("long") * F.lit(1 << j)
+        fp = bit if fp is None else fp + bit
+    return votes.select("id", fp.alias("fp"))
+
+
+def simhash_fingerprints_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> str:
+    (a, b) = hash_params(1, seed)[0]
+    ones = ", ".join(
+        f"sum((h >> {j}) & 1) AS ones{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2*ones{j} > total THEN cast({1 << j} AS bigint) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_shingle_ids_sql(table, id_col, text_col, n)},
+hs AS (SELECT id, ({a}*sid + {b}) % {MERSENNE_P} AS h FROM sids),
+votes AS (SELECT id, count(*) AS total, {ones} FROM hs GROUP BY id)
+SELECT id, {fp} AS fp FROM votes
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+    seed: int = 42,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT pairs with hamming(fp_a, fp_b) ≤ max_hamming.
+
+    Banded search: split the 32-bit fp into `bands` equal slices and join on
+    slice equality — lossless for max_hamming < bands (pigeonhole: ≤ d
+    differing bits cannot touch all B > d bands), so results equal the full
+    quadratic scan while the join stays linear in bucket sizes.
+    """
+    assert max_hamming < bands and SIMHASH_BITS % bands == 0
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(docs, id_col, text_col, n, seed)
+    banded = fps.select(
+        "id", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright(F.col("fp"), bi * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "fp", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.withColumn("hamming", ham.cast("int")).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def simhash_pairs_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> str:
+    """Oracle = full quadratic scan (no banding needed at oracle scale)."""
+    fps = simhash_fingerprints_sql(table, id_col, text_col, n, seed)
+    return f"""
+WITH fps AS ({fps})
+SELECT a.id AS id_a, b.id AS id_b,
+       cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""

@@ -182,16 +182,24 @@ def search(
         F.col("bucket").isin(sorted(set(bmap.values())))
         & F.col("term").isin(present)
     )
+    # liveDocs mask (D1): tombstoned docs dropped from every scoring path —
+    # including the phase-1 threshold inside pruning, which would otherwise
+    # overestimate θ from scores of dead docs and prune live results.
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    del_ids = deleted_doc_ids(spark, index_dir)
     if prune:
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
-            prune_blocks_per_term,
+            prune_blocks_per_term, del_ids,
         )
 
     score_rows = postings.mapInPandas(
         make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
     )
-    return _finish(spark, rd, score_rows, len(weights), k, mode, filter_cond, float32)
+    return _finish(
+        spark, rd, score_rows, len(weights), k, mode, filter_cond, float32, del_ids
+    )
 
 
 def _accepted_doc_ids(rd: IndexReader, filter_cond: Column | str) -> DataFrame:
@@ -209,7 +217,10 @@ def _finish(
     mode: str,
     filter_cond,
     float32: bool = True,
+    del_ids: DataFrame | None = None,
 ) -> DataFrame:
+    if del_ids is not None:
+        score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:
         score_rows = score_rows.join(
             _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
@@ -238,6 +249,7 @@ def _prune_blocks(
     mode: str,
     filter_cond,
     m_per_term: int,
+    del_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Bound-safe distributed block-max pruning.
 
@@ -283,6 +295,8 @@ def _prune_blocks(
     phase1 = top_blocks.mapInPandas(
         make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
     )
+    if del_ids is not None:
+        phase1 = phase1.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:
         phase1 = phase1.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
     theta_rows = (

@@ -116,7 +116,13 @@ class IndexCatalog:
     def read_postings(self, spark: SparkSession) -> DataFrame:
         segs = self.read_manifest()["segments"]
         paths = [self.postings_path(s["id"]) for s in segs]
-        return spark.read.parquet(*paths)
+        # each segment is its own hive-partitioned (bucket=N) tree; reading
+        # them in one call trips partition-discovery root conflicts — union
+        # per-segment scans instead (bucket pruning still applies per scan)
+        from functools import reduce
+
+        dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
+        return reduce(DataFrame.unionByName, dfs)
 
     def read_dictionary(self, spark: SparkSession) -> DataFrame:
         segs = self.read_manifest()["segments"]

@@ -1,0 +1,148 @@
+"""Lifecycle tests: multi-segment build, deletes, merge/compaction, resume.
+
+The pytest analog of the reference's lifecycle suites — multi-segment merge
+(``TestMerge.java:105-214``), deletion semantics
+(``TestCuVSDeletedDocuments.java:69-132,213-255``), and the finish()
+idempotence / resumability guard (``CuVS2510GPUVectorsWriter.java:521-524``).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.operators.build import build_index, build_segment
+from cuvs_lucene_spark.operators.deletes import delete_docs, has_deletes
+from cuvs_lucene_spark.operators.merge import compact
+from cuvs_lucene_spark.query import IndexReader, search
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+QUERIES = ["world school", "the", "student country help", "w00350"]
+
+
+def _topk(spark, idx, q, k=10, prune=False):
+    return [
+        (r["doc_id"], round(float(r["score"]), 6))
+        for r in search(spark, idx, q, k=k, prune=prune).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def split_dfs(spark, tiny_df):
+    """tiny corpus split into two conv_id ranges (sorted halves, so segment-
+    local docID assignment with doc_base reproduces the global order)."""
+    cut = "conv-00000100"
+    return (
+        tiny_df.where(F.col("conv_id") < cut),
+        tiny_df.where(F.col("conv_id") >= cut),
+    )
+
+
+@pytest.fixture(scope="module")
+def two_seg_index(spark, split_dfs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "twoseg")
+    build_segment(spark, split_dfs[0], d, 0, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+    build_segment(spark, split_dfs[1], d, 1, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+    return d
+
+
+class TestMultiSegment:
+    def test_two_segments_committed(self, spark, two_seg_index):
+        cat = IndexCatalog(two_seg_index)
+        assert cat.committed_segment_ids() == {0, 1}
+
+    def test_equals_single_segment_build(self, spark, two_seg_index, tiny_index):
+        """Incremental 2-segment build ≡ one-shot build: same global stats and
+        rank+score-identical results (the TestMerge count/value/order gate)."""
+        rd2, rd1 = IndexReader(spark, two_seg_index), IndexReader(spark, tiny_index)
+        assert (rd2.n_docs, rd2.sum_dl) == (rd1.n_docs, rd1.sum_dl)
+        for q in QUERIES:
+            assert _topk(spark, two_seg_index, q) == _topk(spark, tiny_index, q)
+
+    def test_segment_build_idempotent(self, spark, split_dfs, two_seg_index):
+        meta = build_segment(spark, split_dfs[0], two_seg_index, 0, buckets=8)
+        assert meta["id"] == 0  # no-op re-commit returned the committed entry
+        assert IndexCatalog(two_seg_index).read_manifest()["version"] >= 2
+
+    def test_compact_no_deletes_preserves_results(
+        self, spark, two_seg_index, tmp_path_factory
+    ):
+        import shutil
+
+        d = str(tmp_path_factory.mktemp("idx") / "compacted")
+        shutil.copytree(two_seg_index, d)
+        before = {q: _topk(spark, d, q) for q in QUERIES}
+        meta = compact(spark, d)
+        assert meta is not None and meta["compacted_from"] == [0, 1]
+        assert IndexCatalog(d).committed_segment_ids() == {meta["id"]}
+        for q in QUERIES:
+            assert _topk(spark, d, q) == before[q], q
+            assert _topk(spark, d, q, prune=True) == before[q], q
+
+
+class TestDeletes:
+    @pytest.fixture()
+    def del_index(self, spark, tiny_df, tmp_path_factory):
+        import shutil
+
+        src = str(tmp_path_factory.mktemp("idx") / "delsrc")
+        build_index(spark, tiny_df, src, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        return src
+
+    def test_deleted_never_returned_and_scores_stable(self, spark, tiny_df, del_index):
+        before = _topk(spark, del_index, "world school", k=5)
+        victims = [d for d, _ in before[:2]]
+        rd = IndexReader(spark, del_index)
+        keys = (
+            rd.cat.read_doc_dim(spark)
+            .where(F.col("doc_id").isin(victims))
+            .select("conv_id", "turn_idx")
+        )
+        assert delete_docs(spark, del_index, keys) == 2
+        after = _topk(spark, del_index, "world school", k=5, prune=False)
+        after_p = _topk(spark, del_index, "world school", k=5, prune=True)
+        assert not {d for d, _ in after} & set(victims)
+        assert after == after_p
+        # Lucene pre-merge semantics: stats unchanged, so surviving docs keep
+        # their exact scores and relative order
+        survivors = [(d, s) for d, s in before if d not in victims]
+        assert after[: len(survivors)] == survivors
+
+    def test_compact_purges_and_matches_filtered_rebuild(
+        self, spark, tiny_df, del_index, tmp_path_factory
+    ):
+        rd = IndexReader(spark, del_index)
+        # delete one entire conversation
+        keys = (
+            rd.cat.read_doc_dim(spark)
+            .where(F.col("conv_id") == "conv-00000003")
+            .select("conv_id", "turn_idx")
+        )
+        n = delete_docs(spark, del_index, keys)
+        assert n > 0
+        meta = compact(spark, del_index)
+        assert meta is not None and not has_deletes(del_index)
+
+        ref = str(tmp_path_factory.mktemp("idx") / "filtered")
+        build_index(
+            spark,
+            tiny_df.where(F.col("conv_id") != "conv-00000003"),
+            ref, buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+        )
+        rd_c, rd_f = IndexReader(spark, del_index), IndexReader(spark, ref)
+        assert (rd_c.n_docs, rd_c.sum_dl) == (rd_f.n_docs, rd_f.sum_dl)
+        for q in QUERIES:
+            # docIDs differ between the two indexes (stable vs re-assigned) —
+            # compare by (conv_id, turn_idx) identity and score; tie-break
+            # order still agrees because both docID assignments are monotone
+            # in (conv_id, turn_idx)
+            def to_keys(idx, pairs):
+                m = {
+                    r["doc_id"]: (r["conv_id"], r["turn_idx"])
+                    for r in IndexReader(spark, idx).cat.read_doc_dim(spark)
+                    .where(F.col("doc_id").isin([d for d, _ in pairs]))
+                    .collect()
+                }
+                return [(m[d], s) for d, s in pairs]
+
+            assert to_keys(del_index, _topk(spark, del_index, q)) == to_keys(
+                ref, _topk(spark, ref, q)
+            ), q
