@@ -257,7 +257,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_global_stats"] = global_stats
 
+    # -- training-data pipeline operators over documents/embeddings ---------
+
+    def _docs(s: SparkSession, d: str) -> DataFrame:
+        return s.read.parquet(os.path.join(d, "documents.parquet"))
+
+    def _emb(s: SparkSession, d: str) -> DataFrame:
+        return s.read.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def dedup_exact(s, d):
+        from cuvs_lucene_spark.pipeline.dedup import exact_duplicates
+
+        return exact_duplicates(_docs(s, d)).select(
+            F.col("id").cast("long"), F.col("canonical_id").cast("long"),
+            F.col("group_size").cast("long"),
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_jaccard(s, d):
+        from cuvs_lucene_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.5).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("inter").cast("long"), F.col("union").cast("long"), "jaccard",
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_jaccard
+
+    def dedup_minhash_sigs(s, d):
+        from cuvs_lucene_spark.pipeline.dedup import minhash_signatures
+
+        sig = minhash_signatures(_docs(s, d), n=3, n_hashes=32)
+        return sig.select(
+            F.col("id").cast("long"),
+            *[F.col("sig")[i].cast("long").alias(f"sig_{i}") for i in (0, 7, 15, 31)],
+        )
+
+    q["dedup_minhash_sigs"] = dedup_minhash_sigs
+
+    def dedup_minhash_lsh(s, d):
+        from cuvs_lucene_spark.pipeline.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _docs(s, d), n=3, n_hashes=32, bands=16, threshold=0.5
+        ).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("inter").cast("long"), F.col("union").cast("long"), "jaccard",
+        )
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(s, d):
+        from cuvs_lucene_spark.pipeline.dedup import simhash_pairs
+
+        return simhash_pairs(_docs(s, d), n=3, max_hamming=3).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("hamming").cast("long"),
+        )
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def textstats_quality(s, d):
+        from cuvs_lucene_spark.pipeline.textstats import with_quality
+
+        return with_quality(_docs(s, d)).select(
+            F.col("doc_id").cast("long"),
+            F.col("n_tokens").cast("long"), F.col("n_bpe_tokens").cast("long"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+            F.col("len_ok").cast("long"), "quality",
+        )
+
+    q["textstats_quality"] = textstats_quality
+
+    def textstats_langid(s, d):
+        from cuvs_lucene_spark.pipeline.textstats import with_lang_id
+
+        return with_lang_id(_docs(s, d)).select(
+            F.col("doc_id").cast("long"),
+            "score_de", "score_en", "score_es", "score_fr", "lang_pred",
+        )
+
+    q["textstats_langid"] = textstats_langid
+
+    def textstats_fingerprint(s, d):
+        from cuvs_lucene_spark.pipeline.textstats import with_fingerprint
+
+        return with_fingerprint(_docs(s, d)).select(
+            F.col("doc_id").cast("long"), F.col("fingerprint").cast("long"),
+        )
+
+    q["textstats_fingerprint"] = textstats_fingerprint
+
+    def sim_cosine_topk(s, d):
+        from cuvs_lucene_spark.pipeline.similarity import cosine_topk
+
+        return cosine_topk(_emb(s, d), _SIM_QUERY_VEC, k=10)
+
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    def sim_ivf_exact(s, d):
+        from cuvs_lucene_spark.pipeline.similarity import ivf_search, ivf_train
+
+        emb = _emb(s, d)
+        cents = ivf_train(emb, n_centroids=8, iters=2)
+        return ivf_search(emb, cents, _SIM_QUERY_VEC, k=10, nprobe=8)
+
+    q["sim_ivf_exact"] = sim_ivf_exact
+
+    def multimodal_features(s, d):
+        from cuvs_lucene_spark.pipeline.multimodal import (
+            derive_assets,
+            extract_features,
+        )
+
+        feats = extract_features(derive_assets(_docs(s, d)))
+        return feats.select(
+            F.col("asset_id").cast("long"), "kind",
+            *[F.col("features")[i].alias(f"f{i}") for i in range(4)],
+        )
+
+    q["multimodal_features"] = multimodal_features
+
     return q
+
+
+# deterministic 64-dim query vector for the similarity queries (shared with
+# the SQL oracle literal)
+_SIM_QUERY_VEC = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -286,5 +414,58 @@ FROM dlq
 SELECT cast(n_docs AS bigint) AS n_docs, cast(sum_dl AS bigint) AS sum_dl,
        round(avgdl, 6) AS avgdl
 FROM stats
+"""
+
+    # -- training-data pipeline oracles -------------------------------------
+    from cuvs_lucene_spark.pipeline import dedup as _dd
+    from cuvs_lucene_spark.pipeline import multimodal as _mm
+    from cuvs_lucene_spark.pipeline import similarity as _sim
+    from cuvs_lucene_spark.pipeline import textstats as _ts
+
+    o["dedup_exact"] = _dd.exact_duplicates_sql("documents")
+    o["dedup_ngram_jaccard"] = _dd.ngram_jaccard_pairs_sql(
+        "documents", n=3, threshold=0.5
+    )
+    o["dedup_minhash_sigs"] = f"""
+WITH sigs AS ({_dd.minhash_signatures_sql("documents", n=3, n_hashes=32)})
+SELECT id, sig[1] AS sig_0, sig[8] AS sig_7, sig[16] AS sig_15, sig[32] AS sig_31
+FROM sigs
+"""
+    # LSH with exact-Jaccard verification emits exactly the qualifying pairs
+    # (100% recall on this corpus, empirically pinned by pytest)
+    o["dedup_minhash_lsh"] = _dd.ngram_jaccard_pairs_sql(
+        "documents", n=3, threshold=0.5
+    )
+    o["dedup_simhash"] = _dd.simhash_pairs_sql("documents", n=3, max_hamming=3)
+
+    tq = _ts.quality_sql("text")
+    o["textstats_quality"] = f"""
+SELECT doc_id, cast({tq['n_tokens']} AS bigint) AS n_tokens,
+       cast({tq['n_bpe_tokens']} AS bigint) AS n_bpe_tokens,
+       round({tq['punct_ratio']}, 6) AS punct_ratio,
+       round({tq['stop_ratio']}, 6) AS stop_ratio,
+       cast({tq['len_ok']} AS bigint) AS len_ok,
+       {tq['quality']} AS quality
+FROM documents
+"""
+    tl = _ts.lang_scores_sql("text")
+    o["textstats_langid"] = f"""
+SELECT doc_id, {tl['score_de']} AS score_de, {tl['score_en']} AS score_en,
+       {tl['score_es']} AS score_es, {tl['score_fr']} AS score_fr,
+       {tl['lang_pred']} AS lang_pred
+FROM documents
+"""
+    o["textstats_fingerprint"] = f"""
+SELECT doc_id, cast({_ts.fingerprint_sql('text')} AS bigint) AS fingerprint
+FROM documents
+"""
+    o["sim_cosine_topk"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
+    # nprobe == n_centroids degrades IVF to exact search — same oracle
+    o["sim_ivf_exact"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
+    o["multimodal_features"] = f"""
+WITH feats AS ({_mm.features_sql("documents")})
+SELECT asset_id, kind, features[1] AS f0, features[2] AS f1,
+       features[3] AS f2, features[4] AS f3
+FROM feats
 """
     return o

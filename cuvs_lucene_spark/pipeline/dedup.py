@@ -88,13 +88,19 @@ FROM d JOIN g USING (h)
 # ---------------------------------------------------------------------------
 
 def shingles_col(text_col: str, n: int) -> Column:
-    """DISTINCT word n-grams of the analyzer token stream (array<string>)."""
+    """DISTINCT word n-grams of the analyzer token stream (array<string>).
+
+    Docs with fewer than n tokens yield an empty array (guarded explicitly:
+    sequence(1, 0) would count DOWN in Spark and feed slice() a 0 start).
+    """
     toks = tokenize_col(text_col)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.array_size(toks) - n + 1, F.lit(0))),
+        F.sequence(F.lit(1), F.array_size(toks) - n + 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        F.coalesce(F.array_size(toks), F.lit(0)) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(text_col: str, n: int) -> str:

@@ -1,0 +1,193 @@
+"""Training-data pipeline operator tests (dedup, similarity, textstats,
+multimodal plumbing). DuckDB value-parity for these ops is covered by the
+driver gate (tools/check_entry.py); here we pin functional semantics the
+oracle can't see: synthetic duplicate recovery, LSH completeness vs the
+exact pairs, SimHash band-join losslessness, IVF exactness/recall, and the
+Arrow batch plumbing of the multimodal stubs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.pipeline import dedup as D
+from cuvs_lucene_spark.pipeline import multimodal as M
+from cuvs_lucene_spark.pipeline import similarity as S
+from cuvs_lucene_spark.pipeline import textstats as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """12 docs: 3 exact-dup groups, 1 near-dup pair, rest unique."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "  THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN  "),
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "a unique sentence mentioning inverted indexes and posting lists"),
+        (6, "the quick brown fox jumps over the lazy dog again and often"),  # near-dup of 0
+        (7, "another singleton row with nothing in common with the others"),
+        (8, "row eight talks about bm25 scoring and term frequencies"),
+        (9, "row nine talks about bm25 scoring and term frequencies"),
+        (10, None),
+        (11, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups_recovered(self, spark, dup_corpus):
+        got = {
+            (r["id"], r["canonical_id"], r["group_size"])
+            for r in D.exact_duplicates(dup_corpus).collect()
+        }
+        # group {0,1,2} (case/trim-insensitive), {3,4}; null and empty
+        # normalize to the same '' group {10, 11}; 8/9 differ by one word →
+        # NOT exact duplicates
+        assert got == {
+            (0, 0, 3), (1, 0, 3), (2, 0, 3),
+            (3, 3, 2), (4, 3, 2),
+            (10, 10, 2), (11, 10, 2),
+        }
+
+
+class TestJaccardFamilies:
+    def test_near_dup_found_exact_jaccard(self, spark, dup_corpus):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(dup_corpus, n=3, threshold=0.5).collect()
+        }
+        assert (0, 6) in pairs  # the engineered near-dup
+        assert (0, 1) in pairs and (0, 2) in pairs  # exact dups have j=1.0
+
+    def test_lsh_equals_exact(self, spark, docs):
+        exact = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        )
+        lsh = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(
+                docs, n=3, n_hashes=32, bands=16, threshold=0.5
+            ).collect()
+        )
+        assert len(exact) > 0 and lsh == exact
+
+    def test_frequency_pruning_monotone(self, spark, docs):
+        full = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+        pruned = D.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=50
+        ).count()
+        assert pruned <= full
+
+
+class TestSimHash:
+    def test_band_join_is_lossless(self, spark, docs):
+        """Banded search must equal the quadratic scan for d < bands."""
+        fps = D.simhash_fingerprints(docs, n=3).collect()
+        quad = set()
+        for i, a in enumerate(fps):
+            for b in fps[i + 1:]:
+                x, y = (a, b) if a["id"] < b["id"] else (b, a)
+                h = bin(x["fp"] ^ y["fp"]).count("1")
+                if h <= 3:
+                    quad.add((x["id"], y["id"], h))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in D.simhash_pairs(docs, n=3, max_hamming=3).collect()
+        }
+        assert got == quad and len(quad) > 0
+
+
+class TestSimilarity:
+    QV = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+
+    def test_ivf_all_probe_is_exact(self, spark, emb):
+        exact = [(r["id"], r["score"]) for r in S.cosine_topk(emb, self.QV, 10).collect()]
+        cents = S.ivf_train(emb, n_centroids=8, iters=2)
+        ivf = [
+            (r["id"], r["score"])
+            for r in S.ivf_search(emb, cents, self.QV, 10, nprobe=8).collect()
+        ]
+        assert ivf == exact
+
+    def test_ivf_partial_probe_recall(self, spark, emb):
+        exact_ids = {r["id"] for r in S.cosine_topk(emb, self.QV, 10).collect()}
+        cents = S.ivf_train(emb, n_centroids=8, iters=2)
+        got = {
+            r["id"] for r in S.ivf_search(emb, cents, self.QV, 10, nprobe=4).collect()
+        }
+        # deterministic corpus+algorithm → fixed recall; floor it loosely
+        assert len(got & exact_ids) >= 5
+
+    def test_tie_break_ascending_id(self, spark):
+        e = spark.createDataFrame(
+            [(3, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = [r["id"] for r in S.cosine_topk(e, [1.0, 0.0], 3).collect()]
+        assert got == [1, 3, 2]  # ids 1,3 both cos=1.0 → ascending id
+
+
+class TestTextStats:
+    def test_lang_id_obvious_sentences(self, spark):
+        d = spark.createDataFrame(
+            [
+                (0, "the cat and the dog sat in that house for it was warm"),
+                (1, "el perro y la casa de la ciudad es un lugar para los gatos"),
+                (2, "xyzzy plugh qwerty"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lang_pred"] for r in T.with_lang_id(d).collect()}
+        assert got == {0: "en", 1: "es", 2: "und"}
+
+    def test_quality_bounds_and_fingerprint_stability(self, spark, docs):
+        rows = T.with_fingerprint(T.with_quality(docs)).select(
+            "quality", "fingerprint"
+        ).collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+        assert all(0 <= r["fingerprint"] < 2_147_483_647 for r in rows)
+        again = T.with_fingerprint(docs).select("fingerprint").collect()
+        assert [r["fingerprint"] for r in again] == [r["fingerprint"] for r in rows]
+
+
+class TestMultimodal:
+    def test_feature_plumbing_matches_local_stub(self, spark, docs):
+        assets = M.derive_assets(docs)
+        feats = {r["asset_id"]: r["features"] for r in M.extract_features(assets).collect()}
+        local = {
+            r["doc_id"]: M.fake_decode_features(
+                M.KINDS[r["doc_id"] % 3],
+                (r["text"] or "").encode(),
+            )
+            for r in docs.collect()
+        }
+        assert feats == local
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_asset("image", b"\x00")
+
+    def test_frame_sample_counts(self, spark, docs):
+        assets = M.derive_assets(docs)
+        frames = M.frame_sample(assets, every_n_bytes=64)
+        per = frames.groupBy("asset_id").count().collect()
+        meta = {r["asset_id"]: r["meta"]["n_bytes"] for r in assets.collect()}
+        for r in per:
+            assert r["count"] == max(meta[r["asset_id"]] // 64, 1)
+        kinds = {r["asset_id"] % 3 for r in per}
+        assert kinds == {2}  # only 'video' assets produce frames
