@@ -122,7 +122,10 @@ def ensure_corpus(tier: str, root: str = "/root/repo/data") -> str:
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         tbl = generate_transcripts(TIERS[tier])
-        pq.write_table(tbl, path)
+        # small row groups so a single-file corpus still splits into enough
+        # scan tasks to parallelize the read (default ~1M-row groups would
+        # cap read parallelism at 1-2 tasks regardless of cores)
+        pq.write_table(tbl, path, row_group_size=50_000)
     return path
 
 

@@ -75,6 +75,25 @@ def _encode_sorted_rows(
     WAND (score increasing in tf, decreasing in dl ⇒
     score(tf,dl) ≤ score(max_tf, min_dl) for every posting in the block).
     """
+    # Run-length aggregate duplicate (term, salt, doc_id) rows into tf counts
+    # FIRST (the token stream arrives un-aggregated — sort-based aggregation
+    # replaces a second hash-aggregation exchange): a "run" is consecutive
+    # equal (bucket, term, salt, doc_id); tf = run length (or the sum of
+    # pre-combined tfs when the input already carries tf > 1).
+    n0 = len(doc_ids)
+    rchange = np.ones(n0, dtype=bool)
+    if n0 > 1:
+        rchange[1:] = (
+            (doc_ids[1:] != doc_ids[:-1])
+            | (term[1:] != term[:-1])
+            | (salt[1:] != salt[:-1])
+            | (bucket[1:] != bucket[:-1])
+        )
+    rstarts = np.flatnonzero(rchange)
+    tf_sums = np.add.reduceat(tfs.astype(np.int64), rstarts)
+    bucket, term, salt = bucket[rstarts], term[rstarts], salt[rstarts]
+    doc_ids, tfs, dl_qs = doc_ids[rstarts], tf_sums, dl_qs[rstarts]
+
     n = len(doc_ids)
     change = np.ones(n, dtype=bool)
     if n > 1:
@@ -192,40 +211,57 @@ def encode_postings(
     )
 
 
-def prepare_docs(df: DataFrame, doc_base: int = 0, num_partitions: int | None = None) -> DataFrame:
+def prepare_docs(
+    df: DataFrame,
+    doc_base: int = 0,
+    num_partitions: int | None = None,
+    return_cached: bool = False,
+) -> DataFrame:
     """transcripts → docs with global doc_id, dl, quantized norms.
 
     Deliberately does NOT materialize a tokens column: persisting token
     arrays for a 100 TB corpus is infeasible, so dl is computed in one JVM
     expression here and the tf stage re-tokenizes from text (tokenization is
     codegen'd JVM work — recomputing it is cheaper at scale than caching it).
+    The only cache is the sorted source rows inside assign_doc_ids (docID
+    determinism); derived columns recompute from it per consumer rather than
+    being cached a second time.
     """
-    docs = assign_doc_ids(df, num_partitions)
+    res = assign_doc_ids(df, num_partitions, return_cached=return_cached)
+    docs, cached = res if return_cached else (res, None)
     if doc_base:
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
     docs = docs.withColumn(
         "dl", F.coalesce(F.array_size(tokenize_col("text")), F.lit(0)).cast("long")
     )
-    return with_quantized_dl(docs, "dl")
+    docs = with_quantized_dl(docs, "dl")
+    if return_cached:
+        return docs, cached
+    return docs
 
 
 def detect_hot_terms(
-    tf: DataFrame,
+    docs: DataFrame,
     n_docs: int,
     hot_df_ratio: float = 0.05,
-    sample_fraction: float = 1.0,
+    sample_fraction: float = 0.05,
 ) -> list[str]:
-    """Terms whose df exceeds hot_df_ratio * n_docs → get salted.
+    """Terms whose estimated df exceeds hot_df_ratio·n_docs → get salted.
 
-    sample_fraction < 1 switches to the deterministic sampled estimator (the
-    scale path — avoids an exact full-vocab agg before the postings build;
-    salting correctness does not depend on WHICH terms are salted, only block
-    layout does, so an estimate is safe).
+    Runs BEFORE the wide shuffle on a deterministic doc sample: tokenize the
+    sample, count docs-containing-term (distinct per doc), scale by the
+    sample fraction. A full-corpus pre-pass would double the heaviest stage;
+    salting correctness does not depend on WHICH terms are salted (only block
+    layout does), so a seeded estimate over a few % of docs is safe — terms
+    hot enough to skew a shuffle are, by definition, frequent enough to be
+    visible in any few-% sample.
     """
-    src = tf if sample_fraction >= 1.0 else tf.sample(fraction=sample_fraction, seed=42)
-    thresh = hot_df_ratio * n_docs * (sample_fraction if sample_fraction < 1.0 else 1.0)
+    src = docs if sample_fraction >= 1.0 else docs.sample(fraction=sample_fraction, seed=42)
+    eff = min(sample_fraction, 1.0)
+    thresh = hot_df_ratio * n_docs * eff
     rows = (
-        src.groupBy("term")
+        src.select(F.explode(F.array_distinct(tokenize_col("text"))).alias("term"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_est"))
         .where(F.col("df_est") > F.lit(thresh))
         .select("term")
@@ -243,7 +279,7 @@ def build_segment(
     buckets: int = 32,
     salt_buckets: int = 8,
     hot_df_ratio: float = 0.05,
-    hot_sample_fraction: float = 1.0,
+    hot_sample_fraction: float = 0.05,
     block_size: int = BLOCK_SIZE,
     run_id: str | None = None,
 ) -> dict:
@@ -263,8 +299,12 @@ def build_segment(
         buckets = existing[0]["buckets"]
     run_id = run_id or uuid.uuid4().hex[:12]
     doc_base = cat.next_doc_base()
+    import time as _time
 
-    docs = prepare_docs(transcripts, doc_base).persist()
+    timings: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    docs, _cached = prepare_docs(transcripts, doc_base, return_cached=True)
     stats = docs.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
@@ -272,35 +312,43 @@ def build_segment(
     ).collect()[0]
     total_rows, n_docs, sum_dl = stats["total_rows"], int(stats["n_docs"]), int(stats["sum_dl"])
     avgdl = sum_dl / n_docs if n_docs else 1.0
+    timings["docs_stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # doc_dim: ord↔docID map + norms (reference ordToDoc,
     # CuVS2510GPUVectorsReader.java:385; Lucene norms, SmallFloat-quantized)
     docs.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "dl_q", "dl_d"
     ).write.mode("overwrite").parquet(cat.doc_dim_path(segment_id))
+    timings["doc_dim_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # THE wide shuffle: token stream → per-(term, doc) tf with map-side combine
-    tf = (
+    hot = detect_hot_terms(docs, n_docs, hot_df_ratio, hot_sample_fraction)
+    timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+
+    # THE wide shuffle — the ONLY full-corpus exchange in the build: the raw
+    # token stream keyed by (bucket, salt). tf aggregation happens inside the
+    # encoder by run-length over the partition sort (sort-based aggregation),
+    # NOT a separate groupBy(term, doc) hash exchange — one shuffle of
+    # ~token-count rows replaces two exchanges plus their hash-agg buffers.
+    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
+    tokens = (
         docs.where(F.col("dl") > 0)
         .select("doc_id", "dl_q", F.explode(tokenize_col("text")).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl_q").alias("dl_q"))
+        .withColumn("tf", F.lit(1).cast("long"))
+        .withColumn(
+            "salt",
+            F.when(
+                F.array_contains(hot_lit, F.col("term")),
+                F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
     )
 
-    hot = detect_hot_terms(tf, n_docs, hot_df_ratio, hot_sample_fraction)
-    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
-    salted = tf.withColumn(
-        "salt",
-        F.when(
-            F.array_contains(hot_lit, F.col("term")),
-            F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
-
-    blocks = encode_postings(spark, salted, avgdl, buckets, block_size)
+    blocks = encode_postings(spark, tokens, avgdl, buckets, block_size)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(segment_id)
     )
+    timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # Exact dictionary + per-bucket lineage metrics from the written blocks —
     # a metadata-sized re-scan: only small stat columns are read (byte counts
@@ -321,6 +369,7 @@ def build_segment(
         )
         .collect()
     )
+    timings["dict_lineage"] = _time.perf_counter() - _t
     now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     cat.append_lineage(
         spark,
@@ -341,9 +390,10 @@ def build_segment(
         "buckets": buckets,
         "hot_terms": len(hot),
         "run_id": run_id,
+        "timings": {k: round(v, 2) for k, v in timings.items()},
     }
     cat.commit_segment(seg_meta)
-    docs.unpersist()
+    _cached.unpersist()
     return seg_meta
 
 

@@ -19,13 +19,19 @@ from pyspark.sql import functions as F
 _MID_PART_SHIFT = 33
 
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    return_cached: bool = False,
+) -> DataFrame:
     """Return df + doc_id (long), densely numbered in (conv_id, turn_idx) order.
 
     The input is persisted mid-flight: monotonically_increasing_id is only
-    deterministic for a FIXED partitioning, and we read it twice (once for
-    bases, once for ids). Caller should unpersist via the returned DataFrame's
-    lineage when done (or just let it age out).
+    deterministic for a FIXED partitioning (repartitionByRange samples
+    non-deterministically), and the ids are read twice (bases, then final).
+    With return_cached=True, returns (out, cached_df) so the caller can
+    unpersist the cache once every downstream consumer has run — the result
+    stays correct only while the cache lives, so unpersist LAST.
     """
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     sorted_df = (
@@ -61,4 +67,6 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         )
         .drop("_pid", "_mid", "_base")
     )
+    if return_cached:
+        return out, sorted_df
     return out

@@ -67,32 +67,24 @@ class IndexReader:
         self.manifest = self.cat.read_manifest()
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
 
-    def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Global df per term, summed across segments (Lucene computes idf at
-        IndexSearcher level, not per-segment — SURVEY §4.3.2)."""
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (global df, bucket)} in ONE tiny job — df summed across
+        segments (Lucene computes idf at IndexSearcher level, not per-segment
+        — SURVEY §4.3.2); bucket rides along so query planning needs no
+        second hash job (it is identical across segments by construction)."""
         if not terms or not self.manifest["segments"]:
             return {}
         rows = (
             self.cat.read_dictionary(self.spark)
             .where(F.col("term").isin(terms))
             .groupBy("term")
-            .agg(F.sum("df").alias("df"))
+            .agg(F.sum("df").alias("df"), F.min("bucket").alias("bucket"))
             .collect()
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
     def idf(self, df: int) -> float:
         return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
-
-def _buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> dict[str, int]:
-    if not terms:
-        return {}
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select(
-        "term", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int").alias("b")
-    ).collect()
-    return {r["term"]: r["b"] for r in rows}
-
 
 def make_score_kernel(
     term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True
@@ -171,15 +163,13 @@ def search(
     k = min(k, rd.n_docs)
     weights = Counter(q_terms)
     stats = rd.term_stats(list(weights))
-    present = [t for t in weights if stats.get(t, 0) > 0]
+    present = [t for t in weights if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(weights)):
         return empty
-    term_meta = {t: (rd.idf(stats[t]), weights[t]) for t in present}
+    term_meta = {t: (rd.idf(stats[t][0]), weights[t]) for t in present}
 
-    buckets_n = rd.manifest["segments"][0]["buckets"]
-    bmap = _buckets_of(spark, present, buckets_n)
     postings = rd.cat.read_postings(spark).where(
-        F.col("bucket").isin(sorted(set(bmap.values())))
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
         & F.col("term").isin(present)
     )
     # liveDocs mask (D1): tombstoned docs dropped from every scoring path —

@@ -40,10 +40,18 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+    # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present — the
+    # single-box sandbox shares ONE throttled disk across all cores, which
+    # makes shuffle I/O the non-scaling bottleneck; a real cluster has
+    # per-executor local NVMe whose aggregate bandwidth scales with N.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest: continuous transcript feed → index segments.
+
+The reference is batch-only (flush/merge; no streaming surface anywhere in
+``src/main/`` — SURVEY.md §1.2), but its segment lifecycle maps directly onto
+micro-batches: each micro-batch is one "flush" (accumulate → build → commit),
+and the periodic compaction job (operators/merge.py) plays TieredMergePolicy.
+
+Exactly-once: ``foreachBatch`` may replay a batch after failure; segment_id
+is the stream's batch_id, and ``build_segment`` is a committed-id no-op on
+replay (the manifest is the idempotence ledger — same mechanism as the
+checkpoint-resume path, ``CuVS2510GPUVectorsWriter.java:521-524`` analog).
+
+Scale notes: each micro-batch build is the same one-wide-shuffle job as the
+batch build; segment count grows with stream lifetime, so a compaction
+trigger (``compact_every``) folds segments back to one, bounding per-query
+fan-out. Late/out-of-order data is fine — docIDs are segment-local + base,
+and BM25 global stats are summed across segments at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cuvs_lucene_spark.operators.build import build_segment
+from cuvs_lucene_spark.operators.merge import compact
+from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+
+def make_batch_sink(
+    index_dir: str,
+    compact_every: int | None = None,
+    **build_kwargs,
+):
+    """Returns a foreachBatch(batch_df, batch_id) callable that builds one
+    segment per non-empty micro-batch and optionally compacts every N
+    committed segments."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        build_segment(spark, batch_df, index_dir, segment_id=int(batch_id), **build_kwargs)
+        if compact_every:
+            n_segs = len(IndexCatalog(index_dir).read_manifest()["segments"])
+            if n_segs >= compact_every:
+                compact(spark, index_dir)
+
+    return sink
+
+
+def stream_build(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    trigger_available_now: bool = True,
+    **build_kwargs,
+):
+    """Wire a streaming transcripts DataFrame into the index: returns the
+    started StreamingQuery. With trigger_available_now the stream drains the
+    currently-available input and stops (the batch-backfill/testing mode);
+    without it, it runs continuously on the default micro-batch trigger."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            make_batch_sink(index_dir, compact_every, **build_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

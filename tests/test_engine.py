@@ -71,7 +71,7 @@ def test_dictionary_df_matches_oracle(spark, tiny_index, oracle_tiny):
     some = sorted(oracle_tiny.postings)[::97]  # sample of terms
     stats = rd.term_stats(some)
     for t in some:
-        assert stats[t] == len(oracle_tiny.postings[t][0]), t
+        assert stats[t][0] == len(oracle_tiny.postings[t][0]), t
 
 
 def test_per_row_invariant(spark, tiny_index, tiny_pdf):

