@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v004"
+_IDX_VERSION = "v005"
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 _SHIPPED: set[str] = set()
@@ -107,17 +107,32 @@ tf AS (
 
 
 def _oracle_topk_sql(terms: list[str], k: int, mode: str, filter_sql: str | None) -> str:
-    """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle)."""
+    """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
+
+    The per-doc total is a PIVOTED sum — one max(CASE term) aggregate per
+    query term (≤1 row per (doc, term)), added left-to-right in sorted-term
+    order — so its float64 value is bit-identical to the engine's _finish,
+    which sums in the same fixed order. A plain SUM(...) aggregates in
+    arrival order; its last-ULP noise splits exact ties at the k boundary.
+    """
     vals = ", ".join(f"('{t}')" for t in terms)
     where = f"AND d.{filter_sql}" if filter_sql else ""
     and_having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
     return f"""{_ORACLE_PREFIX},
 qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
-ts AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
 scores AS (
-  SELECT tf.doc_id,
-         sum( ln(1 + (s.n_docs - ts.df + 0.5)/(ts.df + 0.5))
-              * tf.tf / (tf.tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) ) AS score
+  SELECT tf.doc_id, ({pivot}) AS score
   FROM tf
   JOIN qt ON tf.term = qt.term
   JOIN ts ON tf.term = ts.term

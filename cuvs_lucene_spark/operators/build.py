@@ -2,16 +2,27 @@
 
 Reference lifecycle: accumulate → flush per segment → serialize with
 offsets/meta → commit (``CuVS2510GPUVectorsWriter.java:300-310,521-537``).
-Spark re-expression, one job with exactly ONE wide data shuffle:
+Spark re-expression — two-phase flush+merge (the reference's own per-segment
+flush then segment-merge shape), one job with exactly ONE wide data shuffle
+that carries COMPRESSED PARTIAL BLOCKS, never raw token rows:
 
   read transcripts
     → repartitionByRange(conv_id, turn_idx) + docID assignment   (narrow-ish)
-    → tokenize (JVM regex — whole-stage codegen, no Python)
-    → explode → groupBy(term, doc_id) partial-agg tf              (THE shuffle)
-    → salt hot terms → groupBy(bucket, term, salt)
-        applyInPandas(encode_blocks)                              (Arrow kernel)
+    → per-partition FLUSH (mapInPandas): tokenize + build partial
+      posting blocks for the partition's disjoint docID range     (narrow)
+    → repartition(bucket, salt [hot terms salted])                (THE shuffle)
+    → per-partition MERGE (mapInPandas): concat each term's partials
+      in first_doc order, re-block to 128                         (narrow)
     → write postings partitioned by bucket; dictionary + lineage from
       a cheap metadata re-scan of the written blocks.
+
+Why flush+merge and not explode→shuffle→encode: the token stream is ~100x
+the row count of the corpus; shuffling/sorting it in the JVM and shipping it
+through Arrow is the single dominant, poorly-scaling cost (measured: of a
+164 s encode stage at 16 cores, ~54 s was Arrow transfer and ~29 s JVM sort
+of 124M rows, both nearly flat in core count). Flush keeps tokens inside one
+Python kernel; the shuffle moves ~10-20x fewer bytes — on a real cluster
+this is the difference between shuffling ~100 TB and shuffling ~5 TB.
 
 Scale notes (100 TB / 10^12 turns):
   * hot-term detection is sample-based (deterministic seed) so no exact
@@ -39,11 +50,12 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.analysis import (
     BM25_B,
     BM25_K1,
+    TOKEN_PATTERN,
     dequantize_dl_np,
     tokenize_col,
     with_quantized_dl,
 )
-from cuvs_lucene_spark.codec import BLOCK_SIZE, encode_gaps, encode_u32
+from cuvs_lucene_spark.codec import BLOCK_SIZE, pack_u64_blocks
 from cuvs_lucene_spark.operators.doc_ids import assign_doc_ids
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
@@ -64,6 +76,7 @@ def _encode_sorted_rows(
     dl_qs: np.ndarray,
     avgdl: float,
     block_size: int,
+    term_codes: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode rows already sorted by (bucket, term, salt, doc_id) into block
     rows. Group boundaries found vectorized (np boundary scan), so Python-level
@@ -79,19 +92,28 @@ def _encode_sorted_rows(
     # FIRST (the token stream arrives un-aggregated — sort-based aggregation
     # replaces a second hash-aggregation exchange): a "run" is consecutive
     # equal (bucket, term, salt, doc_id); tf = run length (or the sum of
-    # pre-combined tfs when the input already carries tf > 1).
+    # pre-combined tfs when the input already carries tf > 1). Terms are
+    # factorized to int codes once so boundary scans are int compares, not
+    # per-element Python string equality.
     n0 = len(doc_ids)
+    if term_codes is not None:
+        tcodes = term_codes
+    elif n0 and term.dtype != object:
+        tcodes = term  # already integer codes
+    else:
+        tcodes = pd.factorize(term)[0] if n0 else np.empty(0, dtype=np.int64)
     rchange = np.ones(n0, dtype=bool)
     if n0 > 1:
         rchange[1:] = (
             (doc_ids[1:] != doc_ids[:-1])
-            | (term[1:] != term[:-1])
+            | (tcodes[1:] != tcodes[:-1])
             | (salt[1:] != salt[:-1])
             | (bucket[1:] != bucket[:-1])
         )
     rstarts = np.flatnonzero(rchange)
     tf_sums = np.add.reduceat(tfs.astype(np.int64), rstarts)
     bucket, term, salt = bucket[rstarts], term[rstarts], salt[rstarts]
+    tcodes = tcodes[rstarts]
     doc_ids, tfs, dl_qs = doc_ids[rstarts], tf_sums, dl_qs[rstarts]
 
     n = len(doc_ids)
@@ -99,7 +121,7 @@ def _encode_sorted_rows(
     if n > 1:
         change[1:] = (
             (bucket[1:] != bucket[:-1])
-            | (term[1:] != term[:-1])
+            | (tcodes[1:] != tcodes[:-1])
             | (salt[1:] != salt[:-1])
         )
     starts = np.flatnonzero(change)
@@ -109,37 +131,56 @@ def _encode_sorted_rows(
     k_all = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d_all.astype(np.float64) / avgdl)
     tf_norm_all = tfs.astype(np.float64) / (tfs.astype(np.float64) + k_all)
 
-    cols: dict[str, list] = {c: [] for c in (
-        "bucket", "term", "salt", "block_id", "first_doc", "last_doc",
-        "doc_count", "cf", "doc_gaps", "tfs", "dls", "max_tf", "min_dl_d",
-        "max_tf_norm", "n_bytes",
-    )}
-    for s, e in zip(starts, ends):
-        bid = 0
-        for b0 in range(s, e, block_size):
-            b1 = min(b0 + block_size, e)
-            d = doc_ids[b0:b1]
-            t = tfs[b0:b1]
-            gaps_b = encode_gaps(d)
-            tfs_b = encode_u32(t)
-            dls_b = encode_u32(dl_qs[b0:b1])
-            cols["bucket"].append(int(bucket[s]))
-            cols["term"].append(term[s])
-            cols["salt"].append(int(salt[s]))
-            cols["block_id"].append(bid)
-            cols["first_doc"].append(int(d[0]))
-            cols["last_doc"].append(int(d[-1]))
-            cols["doc_count"].append(b1 - b0)
-            cols["cf"].append(int(t.sum()))
-            cols["doc_gaps"].append(gaps_b)
-            cols["tfs"].append(tfs_b)
-            cols["dls"].append(dls_b)
-            cols["max_tf"].append(int(t.max()))
-            cols["min_dl_d"].append(int(dl_d_all[b0:b1].min()))
-            cols["max_tf_norm"].append(float(tf_norm_all[b0:b1].max()))
-            cols["n_bytes"].append(len(gaps_b) + len(tfs_b) + len(dls_b))
-            bid += 1
-    return pd.DataFrame(cols)
+    # --- block segmentation, fully vectorized: group g splits into
+    # ceil(size_g / block_size) blocks of consecutive rows -------------------
+    sizes = ends - starts
+    nb_per_group = -(-sizes // block_size)
+    g_idx = np.repeat(np.arange(len(starts)), nb_per_group)  # group of each block
+    nb_cum = np.cumsum(nb_per_group)
+    block_id = (np.arange(int(nb_cum[-1]) if len(nb_cum) else 0)
+                - np.repeat(nb_cum - nb_per_group, nb_per_group))
+    block_starts = starts[g_idx] + block_id * block_size
+    block_ends = np.minimum(block_starts + block_size, ends[g_idx])
+    bs = block_starts.astype(np.intp)
+
+    # --- per-block metadata via reduceat (no Python loop) -------------------
+    doc_count = (block_ends - block_starts).astype(np.int32)
+    cf = np.add.reduceat(tfs.astype(np.int64), bs)
+    max_tf = np.maximum.reduceat(tfs, bs)
+    min_dl_d = np.minimum.reduceat(dl_d_all, bs)
+    max_tf_norm = np.maximum.reduceat(tf_norm_all, bs)
+
+    # --- payload streams: delta gaps (reset per block), tfs, quantized dls --
+    ids64 = doc_ids.astype(np.uint64)
+    gaps = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = ids64[1:] - ids64[:-1]
+    gaps[bs] = 0  # first gap of every block is 0 (first_doc is the anchor)
+    gaps_col = pack_u64_blocks(gaps, bs, block_ends)
+    tfs_col = pack_u64_blocks(tfs.astype(np.uint64), bs, block_ends)
+    dls_col = pack_u64_blocks(dl_qs.astype(np.uint64), bs, block_ends)
+    n_bytes = np.fromiter(
+        (len(a) + len(b) + len(c) for a, b, c in zip(gaps_col, tfs_col, dls_col)),
+        dtype=np.int64, count=len(gaps_col),
+    )
+
+    return pd.DataFrame({
+        "bucket": bucket[block_starts].astype(np.int32),
+        "term": term[block_starts],
+        "salt": salt[block_starts].astype(np.int32),
+        "block_id": block_id.astype(np.int32),
+        "first_doc": doc_ids[block_starts].astype(np.int64),
+        "last_doc": doc_ids[block_ends - 1].astype(np.int64),
+        "doc_count": doc_count,
+        "cf": cf,
+        "doc_gaps": gaps_col,
+        "tfs": tfs_col,
+        "dls": dls_col,
+        "max_tf": max_tf.astype(np.int32),
+        "min_dl_d": min_dl_d.astype(np.int64),
+        "max_tf_norm": max_tf_norm.astype(np.float32),
+        "n_bytes": n_bytes,
+    })
 
 
 def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
@@ -164,9 +205,10 @@ def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
                 continue
             b = pdf["bucket"].to_numpy()
             t = pdf["term"].to_numpy()
+            tc = pd.factorize(t)[0]  # int codes for the boundary scan only
             s = pdf["salt"].to_numpy()
             change = np.ones(len(pdf), dtype=bool)
-            change[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1]) | (s[1:] != s[:-1])
+            change[1:] = (b[1:] != b[:-1]) | (tc[1:] != tc[:-1]) | (s[1:] != s[:-1])
             last_start = int(np.flatnonzero(change)[-1])
             if last_start == 0:
                 pending = pdf  # single (possibly spanning) group: keep buffering
@@ -201,13 +243,216 @@ def encode_postings(
     Co-locates each (bucket, salt) slice, sorts so every (term, salt) posting
     list is contiguous and docID-ascending, then streams whole partitions
     through the Arrow encoder (O(#partitions) Python crossings — see
-    make_partition_encoder). Shared by the initial build and compaction.
+    make_partition_encoder). Used by compaction (whose input is already
+    decoded posting rows); the initial build uses the cheaper
+    flush+merge path (make_flush_kernel / merge_partials).
     """
     enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
     return (
         salted.repartition(enc_parts, "bucket", "salt")
         .sortWithinPartitions("bucket", "term", "salt", "doc_id")
         .mapInPandas(make_partition_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flush + merge build path — the reference's own two-phase shape
+# (per-segment flush ``CuVS2510GPUVectorsWriter.java:300-310`` then segment
+# merge ``:491-519``), re-expressed per Spark partition:
+#   phase 1 (narrow): each doc partition tokenizes IN PYTHON and emits
+#     already-encoded PARTIAL posting blocks for its disjoint docID range;
+#   phase 2 (wide): partials shuffle by (bucket, salt) — compressed binary
+#     blocks, 10-20x fewer bytes than raw token rows — and concatenate per
+#     term in first_doc order (ranges are disjoint ⇒ merge is pure concat,
+#     the M2 fast path), re-blocked to BLOCK_SIZE.
+# This keeps the 10^8-row token stream entirely inside one Python kernel:
+# no JVM explode, no raw-token shuffle/sort, no bulk Arrow transfer — the
+# three stages a shared-memory-bandwidth box (and a 1000-executor shuffle
+# fabric) pays for most dearly.
+# ---------------------------------------------------------------------------
+
+_FINDALL_PATTERN = "[a-z0-9]+"  # findall twin of analysis.TOKEN_PATTERN split
+
+
+def bucket_of_terms(terms: np.ndarray, buckets: int) -> np.ndarray:
+    """crc32(term) % buckets — computable identically in numpy-Python (zlib)
+    and JVM (F.crc32), so flush kernels and compaction agree on layout."""
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % buckets for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+def bucket_col(term_col, buckets: int):
+    """JVM twin of bucket_of_terms (used by compaction)."""
+    return F.pmod(F.crc32(F.encode(term_col, "UTF-8")), F.lit(buckets)).cast("int")
+
+
+def make_flush_kernel(
+    avgdl: float,
+    buckets: int,
+    salt_buckets: int,
+    hot_terms: list[str],
+    block_size: int = BLOCK_SIZE,
+):
+    """mapInPandas kernel over (doc_id, dl_q, text) partitions → partial
+    posting block rows for that partition's docID range.
+
+    Tokenization here is the pinned analyzer contract (analysis.tokenize_py):
+    lowercase + [a-z0-9]+ runs. Salting of hot terms happens at flush so the
+    downstream shuffle key (bucket, salt) splits them S ways.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hot = set(hot_terms)
+
+    def flush(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            dl_qs = pdf["dl_q"].to_numpy()
+            # tokenize entirely in Arrow C++: lower → regex split → flatten →
+            # dictionary-encode. No per-token Python string objects exist at
+            # any point; Python touches only the ~|vocab∩partition| uniques.
+            texts = pa.array(pdf["text"], type=pa.string(), from_pandas=True)
+            tok_list = pc.split_pattern_regex(
+                pc.utf8_lower(texts), TOKEN_PATTERN
+            )  # list<string>; "" at text boundaries; NULL text → NULL list
+            lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)  # NULL → 0
+            flat = pc.list_flatten(tok_list)  # null lists contribute nothing
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+            d_rep = np.repeat(doc_ids, lens)
+            q_rep = np.repeat(dl_qs, lens)
+            # drop empty tokens ("" occurs only at string boundaries)
+            empty_code = np.flatnonzero(uniq == "")
+            if len(empty_code):
+                keep = codes != empty_code[0]
+                codes, d_rep, q_rep = codes[keep], d_rep[keep], q_rep[keep]
+            if not len(codes):
+                continue
+            u_bucket = bucket_of_terms(uniq, buckets)
+            if hot:
+                u_hot = np.fromiter(
+                    (u in hot for u in uniq), dtype=bool, count=len(uniq)
+                )
+                salt = np.where(
+                    u_hot[codes], d_rep % salt_buckets, 0
+                ).astype(np.int64)
+            else:
+                salt = np.zeros(len(codes), dtype=np.int64)
+            # stable sort: (term, salt) groups, docID-ascending inside (input
+            # rows arrive in docID order — the partition IS a sorted range)
+            order = np.lexsort((salt, codes))
+            cs = codes[order]
+            out = _encode_sorted_rows(
+                u_bucket[cs],
+                cs,
+                salt[order],
+                d_rep[order],
+                np.ones(len(order), dtype=np.int64),
+                q_rep[order],
+                avgdl,
+                block_size,
+                term_codes=cs,
+            )
+            out["term"] = uniq[out["term"].to_numpy().astype(np.int64)]
+            yield out
+
+    return flush
+
+
+def make_merge_kernel(avgdl: float, block_size: int = BLOCK_SIZE):
+    """mapInPandas kernel over partial-block partitions PRE-SORTED by
+    (bucket, term, salt, first_doc): batch-decode the blocks, and re-encode
+    each (term, salt) group's concatenated postings into final BLOCK_SIZE
+    blocks. Disjoint source docID ranges make this a concat, never a k-way
+    interleave (cf. native index merge, ``CuVS2510GPUVectorsWriter.java:372-409``).
+    """
+    from cuvs_lucene_spark.codec import unpack_u64_blocks
+
+    def encode_group_blocks(pdf: pd.DataFrame, tc: np.ndarray) -> pd.DataFrame:
+        """Decode block rows (term-factorized to int codes tc) and re-encode;
+        per-posting arrays carry CODES, strings reappear only per out-block."""
+        uniq_terms = pdf["term"].to_numpy()  # aligned with codes via first use
+        gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
+        tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
+        dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        anchor = np.repeat(cs[starts[:-1]], counts)
+        first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
+        # map each block row to ONE representative row index so the final
+        # term strings can be recovered from codes without a per-posting
+        # object array: rep[code] = a row index holding that code
+        rep = np.zeros(int(tc.max()) + 1 if len(tc) else 1, dtype=np.int64)
+        rep[tc] = np.arange(len(tc))
+        out = _encode_sorted_rows(
+            np.repeat(pdf["bucket"].to_numpy(), counts),
+            np.repeat(tc, counts),
+            np.repeat(pdf["salt"].to_numpy(), counts),
+            (cs - anchor + first).astype(np.int64),
+            tfs.astype(np.int64),
+            dlqs.astype(np.int64),
+            avgdl,
+            block_size,
+            term_codes=np.repeat(tc, counts),
+        )
+        out["term"] = uniq_terms[rep[out["term"].to_numpy().astype(np.int64)]]
+        return out
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            b = pdf["bucket"].to_numpy()
+            tc = pd.factorize(pdf["term"].to_numpy())[0]
+            s = pdf["salt"].to_numpy()
+            change = np.ones(len(pdf), dtype=bool)
+            change[1:] = (b[1:] != b[:-1]) | (tc[1:] != tc[:-1]) | (s[1:] != s[:-1])
+            last_start = int(np.flatnonzero(change)[-1])
+            if last_start == 0:
+                pending = pdf
+                continue
+            head = pdf.iloc[:last_start]
+            pending = pdf.iloc[last_start:].reset_index(drop=True)
+            yield encode_group_blocks(head, tc[:last_start])
+        if pending is not None and len(pending):
+            yield encode_group_blocks(
+                pending, pd.factorize(pending["term"].to_numpy())[0]
+            )
+
+    return merge
+
+
+def merge_partials(
+    spark: SparkSession,
+    partials: DataFrame,
+    avgdl: float,
+    buckets: int,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Partial block rows → final postings: THE (only) wide shuffle of the
+    build, carrying compressed blocks instead of raw token rows."""
+    enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return (
+        partials.repartition(enc_parts, "bucket", "salt")
+        .sortWithinPartitions("bucket", "term", "salt", "first_doc")
+        .mapInPandas(make_merge_kernel(avgdl, block_size), POSTINGS_SCHEMA)
     )
 
 
@@ -231,8 +476,14 @@ def prepare_docs(
     docs, cached = res if return_cached else (res, None)
     if doc_base:
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    # dl = number of maximal [a-z0-9]+ runs — identical to
+    # array_size(tokenize_col(text)) but a single regex scan with no array
+    # materialization and no interpreted higher-order filter.
     docs = docs.withColumn(
-        "dl", F.coalesce(F.array_size(tokenize_col("text")), F.lit(0)).cast("long")
+        "dl",
+        F.coalesce(
+            F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")), F.lit(0)
+        ).cast("long"),
     )
     docs = with_quantized_dl(docs, "dl")
     if return_cached:
@@ -324,27 +575,17 @@ def build_segment(
     hot = detect_hot_terms(docs, n_docs, hot_df_ratio, hot_sample_fraction)
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # THE wide shuffle — the ONLY full-corpus exchange in the build: the raw
-    # token stream keyed by (bucket, salt). tf aggregation happens inside the
-    # encoder by run-length over the partition sort (sort-based aggregation),
-    # NOT a separate groupBy(term, doc) hash exchange — one shuffle of
-    # ~token-count rows replaces two exchanges plus their hash-agg buffers.
-    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
-    tokens = (
+    # flush (narrow, tokens never leave Python) → ONE wide shuffle of
+    # compressed partial blocks keyed (bucket, salt) → merge (narrow)
+    partials = (
         docs.where(F.col("dl") > 0)
-        .select("doc_id", "dl_q", F.explode(tokenize_col("text")).alias("term"))
-        .withColumn("tf", F.lit(1).cast("long"))
-        .withColumn(
-            "salt",
-            F.when(
-                F.array_contains(hot_lit, F.col("term")),
-                F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
-            ).otherwise(F.lit(0)),
+        .select("doc_id", "dl_q", "text")
+        .mapInPandas(
+            make_flush_kernel(avgdl, buckets, salt_buckets, hot, block_size),
+            POSTINGS_SCHEMA,
         )
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
     )
-
-    blocks = encode_postings(spark, tokens, avgdl, buckets, block_size)
+    blocks = merge_partials(spark, partials, avgdl, buckets, block_size)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(segment_id)
     )

@@ -2,21 +2,86 @@
 
 Reference semantics: segment-local dense docIDs plus a per-segment docBase
 accumulated across readers (``CuVS2510GPUVectorsWriter.java:376-386``); index
-sorting fixes the order before ids are assigned (``:316-329``). Spark
-re-expression (SURVEY.md §1.2): range-partition + sort by (conv_id, turn_idx)
-— Spark's sort IS the Sorter.DocMap — then doc_id = partition_base +
-local_offset, with bases computed from per-partition counts. No global
-single-partition window: the only cross-partition step is a tiny
-per-partition-count aggregation broadcast back, so this scales to 10^12 rows.
+sorting fixes the order before ids are assigned (``:316-329``).
+
+Two paths (SURVEY.md §1.2):
+
+* **Sorted fast path** — the realistic 100 TB layout is an Iceberg table
+  already sorted by (conv_id, turn_idx) (the input_hint's "stable turn
+  ordering"). A keys-only narrow probe summarizes each scan partition
+  (count, min/max key, sorted?); if partitions are internally sorted and
+  their key ranges don't overlap, doc_id = base[partition] + local_offset
+  with bases accumulated in KEY order — no shuffle, no cache, nothing moves.
+  This is exactly Lucene's docBase bookkeeping over already-sorted segments.
+* **Fallback** — range-partition + sort (Spark's sort IS the Sorter.DocMap),
+  then the same per-partition-count base scheme. Needs a persist because
+  repartitionByRange samples non-deterministically.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # monotonically_increasing_id packs (partition_id << 33) | local_offset.
 _MID_PART_SHIFT = 33
+
+
+def _partition_key_summaries(df: DataFrame) -> list[dict]:
+    """One row per non-empty partition: (pid, cnt, min/max key, sorted flag).
+
+    Narrow keys-only pass (conv_id, turn_idx): ~16 bytes/row scanned, no
+    exchange — scales linearly with executors at any corpus size.
+    """
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = None
+        cnt = 0
+        mn = mx = None
+        ok = True
+        last = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+            if last is not None and keys and keys[0] < last:
+                ok = False
+            if ok and any(b < a for a, b in zip(keys, keys[1:])):
+                ok = False
+            if mn is None or (keys and keys[0] < mn):
+                mn = keys[0] if keys else mn
+            if mx is None or (keys and keys[-1] > mx):
+                mx = keys[-1] if keys else mx
+            last = keys[-1] if keys else last
+            cnt += len(pdf)
+        if pid is not None:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "cnt": [cnt],
+                    "min_conv": [mn[0]],
+                    "min_turn": [mn[1]],
+                    "max_conv": [mx[0]],
+                    "max_turn": [mx[1]],
+                    "sorted": [ok],
+                }
+            )
+
+    rows = (
+        df.select("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(
+            probe,
+            "pid int, cnt long, min_conv string, min_turn long, "
+            "max_conv string, max_turn long, sorted boolean",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in rows]
 
 
 def assign_doc_ids(
@@ -26,13 +91,44 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Return df + doc_id (long), densely numbered in (conv_id, turn_idx) order.
 
-    The input is persisted mid-flight: monotonically_increasing_id is only
-    deterministic for a FIXED partitioning (repartitionByRange samples
-    non-deterministically), and the ids are read twice (bases, then final).
-    With return_cached=True, returns (out, cached_df) so the caller can
-    unpersist the cache once every downstream consumer has run — the result
-    stays correct only while the cache lives, so unpersist LAST.
+    With return_cached=True, returns (out, handle) where handle.unpersist()
+    releases any cache the chosen path created (the fast path creates none —
+    its ids derive deterministically from the stable scan partitioning, so
+    re-executions reproduce them without materialization).
     """
+    sums = _partition_key_summaries(df)
+    ordered = sorted(sums, key=lambda r: (r["min_conv"], r["min_turn"]))
+    non_overlapping = all(
+        (a["max_conv"], a["max_turn"]) < (b["min_conv"], b["min_turn"])
+        for a, b in zip(ordered, ordered[1:])
+    )
+    if sums and non_overlapping and all(r["sorted"] for r in sums):
+        base = 0
+        bases = []
+        for r in ordered:
+            bases.append((r["pid"], base))
+            base += r["cnt"]
+        bases_df = F.broadcast(
+            df.sparkSession.createDataFrame(bases, "`_pid` long, `_base` long")
+        )
+        out = (
+            df.withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.shiftrightunsigned("_mid", _MID_PART_SHIFT))
+            .join(bases_df, "_pid")
+            .withColumn(
+                "doc_id",
+                (
+                    F.col("_base")
+                    + F.col("_mid").bitwiseAND(F.lit((1 << _MID_PART_SHIFT) - 1))
+                ).cast("long"),
+            )
+            .drop("_pid", "_mid", "_base")
+        )
+        if return_cached:
+            return out, out  # nothing persisted; unpersist() is a no-op
+        return out
+
+    # ---- fallback: global sort via range partition (the Sorter.DocMap) ----
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     sorted_df = (
         df.repartitionByRange(int(n), "conv_id", "turn_idx")

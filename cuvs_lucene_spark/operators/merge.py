@@ -32,8 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuvs_lucene_spark.codec import BLOCK_SIZE, decode_gaps, decode_u32
-from cuvs_lucene_spark.operators.build import encode_postings
+from cuvs_lucene_spark.codec import BLOCK_SIZE, unpack_u64_blocks
+from cuvs_lucene_spark.operators.build import bucket_col, encode_postings
 from cuvs_lucene_spark.operators.deletes import (
     clear_deletes,
     deleted_doc_ids,
@@ -45,27 +45,27 @@ DECODED_SCHEMA = "term string, doc_id long, tf long, dl_q int"
 
 
 def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Posting block rows → flat (term, doc_id, tf, dl_q) rows (Arrow-batched)."""
+    """Posting block rows → flat (term, doc_id, tf, dl_q) rows (Arrow-batched,
+    one unpackbits per width class via unpack_u64_blocks — no per-row loop)."""
     for pdf in batches:
-        terms: list[np.ndarray] = []
-        dids: list[np.ndarray] = []
-        tfs: list[np.ndarray] = []
-        dlqs: list[np.ndarray] = []
-        for row in pdf.itertuples(index=False):
-            d = decode_gaps(row.doc_gaps, row.first_doc).astype(np.int64)
-            terms.append(np.full(len(d), row.term, dtype=object))
-            dids.append(d)
-            tfs.append(decode_u32(row.tfs))
-            dlqs.append(decode_u32(row.dls))
-        if dids:
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(dids),
-                    "tf": np.concatenate(tfs),
-                    "dl_q": np.concatenate(dlqs).astype(np.int32),
-                }
-            )
+        if not len(pdf):
+            continue
+        gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
+        tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
+        dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        anchor = np.repeat(cs[starts[:-1]], counts)
+        first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": (cs - anchor + first).astype(np.int64),
+                "tf": tfs.astype(np.int64),
+                "dl_q": dlqs.astype(np.int32),
+            }
+        )
 
 
 def decode_postings(postings: DataFrame) -> DataFrame:
@@ -136,14 +136,19 @@ def compact(
         .collect()
     )
     hot = sorted(r["term"] for r in hot_rows)
-    hot_lit = F.array(*[F.lit(t) for t in hot]) if hot else F.array().cast("array<string>")
-    salted = tf.withColumn(
-        "salt",
+    salt_expr = (
         F.when(
-            F.array_contains(hot_lit, F.col("term")),
+            F.col("term").isin(hot),
             F.pmod(F.col("doc_id"), F.lit(salt_buckets)).cast("int"),
-        ).otherwise(F.lit(0)),
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"))
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0).cast("int")
+    )
+    # crc32 bucket — identical to the flush kernel's zlib.crc32 so segments
+    # built pre- and post-compaction agree on the term→bucket map
+    salted = tf.withColumn("salt", salt_expr).withColumn(
+        "bucket", bucket_col(F.col("term"), buckets)
+    )
 
     blocks = encode_postings(spark, salted, avgdl, buckets, block_size)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(

@@ -109,7 +109,10 @@ def oracle_search(
 
     acc = np.zeros(len(idx.doc_ids), dtype=np.float64)
     matched = np.zeros(len(idx.doc_ids), dtype=np.int32)
-    for term in distinct:
+    # sorted-term accumulation order — the engine's _finish sums per-doc
+    # scores in sorted(present) order, and float64 addition order must match
+    # exactly or last-ULP noise splits exact ties at the k boundary
+    for term in sorted(distinct):
         if term not in idx.postings:
             continue
         d, tf = idx.postings[term]

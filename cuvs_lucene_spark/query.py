@@ -38,7 +38,7 @@ from pyspark.sql.types import (
 )
 
 from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, tokenize_py
-from cuvs_lucene_spark.codec import decode_gaps, decode_u32
+from cuvs_lucene_spark.codec import unpack_u64_blocks
 from cuvs_lucene_spark.oracle import dequantize_dl_np
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
@@ -53,6 +53,7 @@ RESULT_SCHEMA = StructType(
 SCORE_ROWS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("tidx", IntegerType()),  # index into the sorted term list
         StructField("score", DoubleType()),  # float32 value widened for exact sum
     ]
 )
@@ -89,40 +90,67 @@ class IndexReader:
 def make_score_kernel(
     term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True
 ):
-    """mapInPandas kernel: posting blocks → (doc_id, per-term score).
+    """mapInPandas kernel: posting blocks → (doc_id, tidx, per-term score).
 
     term_meta: term -> (idf, query_weight). float32=True replicates Lucene's
     per-term float arithmetic exactly, matching oracle.oracle_search (per-term
     float32; callers sum in float64 and cast back — DisjunctionSumScorer
     shape, SURVEY §4.3.4). float32=False computes in float64 throughout (the
-    DuckDB-oracle-parity mode used by __spark_entry__).
+    DuckDB-oracle-parity mode used by __spark_entry__). tidx is the term's
+    rank in sorted(term_meta): _finish sums per-doc scores in that FIXED
+    order, so the float64 total is deterministic run-to-run and equals the
+    oracle's identically-ordered sum (exact ties at the k-boundary would
+    otherwise split on last-ULP summation-order noise — observed live with 4
+    docs tied at rank 9-12).
     """
+    tidx_of = {t: i for i, t in enumerate(sorted(term_meta))}
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs_d: list[np.ndarray] = []
-            outs_s: list[np.ndarray] = []
-            for row in pdf.itertuples(index=False):
-                idf, w = term_meta[row.term]
-                doc_ids = decode_gaps(row.doc_gaps, row.first_doc).astype(np.int64)
-                tfs = decode_u32(row.tfs)
-                dl_d = dequantize_dl_np(decode_u32(row.dls))
-                ftype = np.float32 if float32 else np.float64
-                tff = tfs.astype(ftype)
-                dlf = dl_d.astype(ftype)
-                kf = ftype(BM25_K1) * (
-                    ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
-                )
-                s = (ftype(idf) * tff / (tff + kf)).astype(ftype)
-                outs_d.append(doc_ids)
-                outs_s.append(s.astype(np.float64) * w)
-            if outs_d:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(outs_d),
-                        "score": np.concatenate(outs_s),
-                    }
-                )
+            if not len(pdf):
+                continue
+            # batched decode of every block in the Arrow batch (one
+            # unpackbits per width class, no per-row Python)
+            gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
+            tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
+            dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            # within-block cumsum of gaps (gap[0] == 0, anchor = first_doc)
+            cs = np.cumsum(gaps, dtype=np.uint64)
+            anchor = np.repeat(
+                cs[starts[:-1]], counts
+            )  # first gap is 0, so cs[start] is the pre-block carry
+            first = np.repeat(
+                pdf["first_doc"].to_numpy().astype(np.uint64), counts
+            )
+            doc_ids = (cs - anchor + first).astype(np.int64)
+
+            meta = np.array(
+                [term_meta[t] for t in pdf["term"]], dtype=np.float64
+            )  # (nb, 2): idf, weight
+            idf_v = np.repeat(meta[:, 0], counts)
+            w_v = np.repeat(meta[:, 1], counts)
+            ti = np.repeat(
+                np.array([tidx_of[t] for t in pdf["term"]], dtype=np.int32),
+                counts,
+            )
+
+            dl_d = dequantize_dl_np(dlqs.astype(np.int64))
+            ftype = np.float32 if float32 else np.float64
+            tff = tfs.astype(ftype)
+            dlf = dl_d.astype(ftype)
+            kf = ftype(BM25_K1) * (
+                ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
+            )
+            s = (idf_v.astype(ftype) * tff / (tff + kf)).astype(ftype)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "tidx": ti,
+                    "score": s.astype(np.float64) * w_v,
+                }
+            )
 
     return score
 
@@ -188,7 +216,8 @@ def search(
         make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
     )
     return _finish(
-        spark, rd, score_rows, len(weights), k, mode, filter_cond, float32, del_ids
+        spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
+        del_ids, n_present_terms=len(present),
     )
 
 
@@ -208,6 +237,7 @@ def _finish(
     filter_cond,
     float32: bool = True,
     del_ids: DataFrame | None = None,
+    n_present_terms: int = 1,
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -215,9 +245,23 @@ def _finish(
         score_rows = score_rows.join(
             _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
         )
+    # Deterministic float64 total: pivot each term's single score row into
+    # its own aggregate (≤1 row per (doc, term) — a (doc, term) lives in
+    # exactly one salt and one block), then add left-to-right in sorted-term
+    # order. Plain SUM would add in shuffle arrival order, whose last-ULP
+    # noise splits exact ties at the k boundary differently run-to-run (and
+    # differently from the oracle). The oracle SQL pivots identically.
+    per_term = [
+        F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
+        for i in range(n_present_terms)
+    ]
     agg = score_rows.groupBy("doc_id").agg(
-        F.sum("score").alias("score_d"), F.count(F.lit(1)).alias("nt")
+        *per_term, F.count(F.lit(1)).alias("nt")
     )
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, n_present_terms):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    agg = agg.withColumn("score_d", total)
     if mode == "and":
         agg = agg.where(F.col("nt") == F.lit(n_query_terms))
     out_t = "float" if float32 else "double"

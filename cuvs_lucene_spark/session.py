@@ -55,9 +55,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Large Arrow batches: the partition-level encoder kernel is ~3x
+        # faster at 128k-row batches than 10k (per-batch Python/pandas
+        # overhead amortizes); memory per batch stays < 10 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # 16m split size: the sandbox corpora are single few-hundred-MB
+        # parquet files; 128m splits would cap scan/flush parallelism at 2-3
+        # tasks regardless of cores. On a real multi-file 100 TB table set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=128m (or rely on file count).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # The sandbox box has 125 GiB RAM for one JVM: a small heap makes
+        # high core counts GC-bound (cache + N concurrent sort/Arrow buffers
+        # in 8g flattens the 4→16 scaling curve); on a real cluster this is
+        # per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
