@@ -38,7 +38,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 # synthetic-transcripts tier for the build benchmark, by sf dir
-_BUILD_TIER = {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "small"}
+_BUILD_TIER = {"sf0.001": "tiny", "sf0.01": "small", "sf0.1": "bench"}
 
 
 def _sf_of(sf_dir: str) -> float:

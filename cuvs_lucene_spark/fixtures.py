@@ -47,7 +47,7 @@ TOOLS = [
     "retrieval", "sql", "email", "calendar", "maps", "weather",
 ]
 
-TIERS = {"tiny": 200, "small": 5_000, "bench": 50_000}
+TIERS = {"tiny": 200, "small": 5_000, "bench": 50_000, "bench4": 200_000}
 
 EPOCH_2026 = np.datetime64("2026-01-01T00:00:00")
 

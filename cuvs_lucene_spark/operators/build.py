@@ -445,15 +445,27 @@ def merge_partials(
     avgdl: float,
     buckets: int,
     block_size: int = BLOCK_SIZE,
+    reblock: bool = False,
 ) -> DataFrame:
     """Partial block rows → final postings: THE (only) wide shuffle of the
-    build, carrying compressed blocks instead of raw token rows."""
+    build, carrying compressed blocks instead of raw token rows.
+
+    reblock=False (default, the build path) keeps the partial blocks as-is —
+    they are fully self-contained (global docIDs, own impacts), so co-locating
+    and ordering them by (term, first_doc) IS a valid index; no byte touches
+    Python. This is Lucene's own economy: flush writes many small segments
+    fast, and the merge policy re-blocks later — our compaction
+    (operators/merge.py) is that later, re-encoding to uniform BLOCK_SIZE
+    runs. reblock=True performs the re-block inline (decode→concat→encode in
+    the merge kernel) for callers that want final-form blocks immediately.
+    """
     enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    return (
-        partials.repartition(enc_parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "term", "salt", "first_doc")
-        .mapInPandas(make_merge_kernel(avgdl, block_size), POSTINGS_SCHEMA)
+    co = partials.repartition(enc_parts, "bucket", "salt").sortWithinPartitions(
+        "bucket", "term", "salt", "first_doc"
     )
+    if not reblock:
+        return co
+    return co.mapInPandas(make_merge_kernel(avgdl, block_size), POSTINGS_SCHEMA)
 
 
 def prepare_docs(
@@ -575,17 +587,24 @@ def build_segment(
     hot = detect_hot_terms(docs, n_docs, hot_df_ratio, hot_sample_fraction)
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
+    # Warm executor Python workers (imports + package zipimport + first
+    # Arrow roundtrip) with a tiny flush before the full pass: measured on
+    # a cold 16-core session this turns a one-time ~60 s stall into ~3 s.
+    # On a real cluster the same pre-pass warms every executor's workers.
+    src = docs.where(F.col("dl") > 0).select("doc_id", "dl_q", "text")
+    flush_kernel = make_flush_kernel(avgdl, buckets, salt_buckets, hot, block_size)
+    (
+        src.limit(2048)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(flush_kernel, POSTINGS_SCHEMA)
+        .count()
+    )
+    timings["worker_warmup"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+
     # flush (narrow, tokens never leave Python) → ONE wide shuffle of
     # compressed partial blocks keyed (bucket, salt) → merge (narrow)
-    partials = (
-        docs.where(F.col("dl") > 0)
-        .select("doc_id", "dl_q", "text")
-        .mapInPandas(
-            make_flush_kernel(avgdl, buckets, salt_buckets, hot, block_size),
-            POSTINGS_SCHEMA,
-        )
-    )
-    blocks = merge_partials(spark, partials, avgdl, buckets, block_size)
+    partials = src.mapInPandas(flush_kernel, POSTINGS_SCHEMA)
+    blocks = merge_partials(spark, partials, avgdl, buckets, block_size, reblock=True)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(segment_id)
     )

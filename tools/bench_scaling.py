@@ -85,9 +85,16 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3])
         return
-    tier = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    tier = sys.argv[1] if len(sys.argv) > 1 else "bench4"
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hi = int(sys.argv[3]) if len(sys.argv) > 3 else n_lo * 4
+    # prewarm the OS page cache for the corpus file: the first scan otherwise
+    # pays a cold-disk read that lands on whichever leg runs first
+    from cuvs_lucene_spark.fixtures import ensure_corpus
+
+    with open(ensure_corpus(tier), "rb") as f:
+        while f.read(1 << 24):
+            pass
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for rep in range(REPS):
         for cpus in (n_lo, n_hi):  # interleaved to spread host-load noise
