@@ -58,7 +58,11 @@ def bench_build(spark) -> dict:
     transcripts = spark.read.parquet(corpus)
     n_turns = transcripts.count()  # warm the file-listing/scan path
 
-    idx_dir = f"/tmp/cuvs_lucene_spark_bench_{uuid.uuid4().hex[:8]}"
+    # RAM-backed index dir (same rationale as tools/bench_scaling.py): the
+    # sandbox's single shared disk would otherwise dominate the write phase;
+    # a real cluster writes through per-executor local NVMe.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    idx_dir = f"{base}/cuvs_lucene_spark_bench_{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
     build_index(
         spark, transcripts, idx_dir,
