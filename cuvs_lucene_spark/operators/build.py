@@ -52,6 +52,7 @@ from cuvs_lucene_spark.analysis import (
     BM25_K1,
     TOKEN_PATTERN,
     dequantize_dl_np,
+    quantize_dl_np,
     tokenize_col,
     with_quantized_dl,
 )
@@ -315,7 +316,6 @@ def make_flush_kernel(
             if not len(pdf):
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
-            dl_qs = pdf["dl_q"].to_numpy()
             # tokenize entirely in Arrow C++: lower → regex split → flatten →
             # dictionary-encode. No per-token Python string objects exist at
             # any point; Python touches only the ~|vocab∩partition| uniques.
@@ -332,14 +332,26 @@ def make_flush_kernel(
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             uniq = np.asarray(enc.dictionary.to_pandas(), dtype=object)
             d_rep = np.repeat(doc_ids, lens)
-            q_rep = np.repeat(dl_qs, lens)
-            # drop empty tokens ("" occurs only at string boundaries)
+            # drop empty tokens ("" occurs only at string boundaries), then
+            # dl = per-doc surviving token count — identical to the JVM
+            # regexp_count dl (count of maximal [a-z0-9]+ runs) — quantized
+            # in-kernel, so the flush lineage ships only (doc_id, text)
             empty_code = np.flatnonzero(uniq == "")
             if len(empty_code):
                 keep = codes != empty_code[0]
-                codes, d_rep, q_rep = codes[keep], d_rep[keep], q_rep[keep]
+                doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=doc_off[1:])
+                # reduceat quirk: an empty segment (lens==0) aliases the next
+                # element and an index == len crashes — clip and mask instead
+                idx = np.minimum(doc_off[:-1], max(len(codes) - 1, 0))
+                dl = np.add.reduceat(keep.astype(np.int64), idx) * (lens > 0)
+                codes, d_rep = codes[keep], d_rep[keep]
+            else:
+                dl = lens
             if not len(codes):
                 continue
+            q_per_doc = quantize_dl_np(np.maximum(dl, 0))
+            q_rep = np.repeat(q_per_doc, dl)
             u_bucket = bucket_of_terms(uniq, buckets)
             if hot:
                 u_hot = np.fromiter(
@@ -568,21 +580,26 @@ def build_segment(
     _t = _time.perf_counter()
 
     docs, _cached = prepare_docs(transcripts, doc_base, return_cached=True)
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ).collect()[0]
-    total_rows, n_docs, sum_dl = stats["total_rows"], int(stats["n_docs"]), int(stats["sum_dl"])
-    avgdl = sum_dl / n_docs if n_docs else 1.0
-    timings["docs_stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # doc_dim: ord↔docID map + norms (reference ordToDoc,
-    # CuVS2510GPUVectorsReader.java:385; Lucene norms, SmallFloat-quantized)
+    # CuVS2510GPUVectorsReader.java:385; Lucene norms, SmallFloat-quantized).
+    # This is full-text pass #1 (dl via one regexp_count scan); global stats
+    # are then aggregated from the WRITTEN doc_dim (a column-pruned dl scan,
+    # metadata-cheap) instead of a second full-corpus pass — at 10^12 turns
+    # every avoided pass is a full table scan.
     docs.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "dl_q", "dl_d"
     ).write.mode("overwrite").parquet(cat.doc_dim_path(segment_id))
     timings["doc_dim_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+
+    stats = spark.read.parquet(cat.doc_dim_path(segment_id)).agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    total_rows, n_docs, sum_dl = stats["total_rows"], int(stats["n_docs"]), int(stats["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+    timings["docs_stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     hot = detect_hot_terms(docs, n_docs, hot_df_ratio, hot_sample_fraction)
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
@@ -591,7 +608,9 @@ def build_segment(
     # Arrow roundtrip) with a tiny flush before the full pass: measured on
     # a cold 16-core session this turns a one-time ~60 s stall into ~3 s.
     # On a real cluster the same pre-pass warms every executor's workers.
-    src = docs.where(F.col("dl") > 0).select("doc_id", "dl_q", "text")
+    # Full-text pass #2: ship only (doc_id, text) — dl/dl_q are derived
+    # in-kernel from the token counts the flush computes anyway.
+    src = docs.select("doc_id", "text")
     flush_kernel = make_flush_kernel(avgdl, buckets, salt_buckets, hot, block_size)
     (
         src.limit(2048)
