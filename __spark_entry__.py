@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v005"
+_IDX_VERSION = "v006"
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 _SHIPPED: set[str] = set()
@@ -122,8 +122,11 @@ def _oracle_topk_sql(terms: list[str], k: int, mode: str, filter_sql: str | None
         f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
         f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
     )
+    # each pivot column is weighted by the term's multiplicity in the query —
+    # the engine (query.py Counter weights) scores a repeated term once per
+    # occurrence; a bare COALESCE(max(...)) would collapse duplicates to 1.
     pivot = " + ".join(
-        f"COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
         for t in sorted(set(terms))
     )
     return f"""{_ORACLE_PREFIX},
@@ -417,7 +420,7 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
 
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
-SELECT term, count(*) AS df, sum(tf) AS cf
+SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
 """
     o["fts_doc_norms"] = f"""{_ORACLE_PREFIX}

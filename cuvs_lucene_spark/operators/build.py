@@ -341,10 +341,14 @@ def make_flush_kernel(
                 keep = codes != empty_code[0]
                 doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
                 np.cumsum(lens, out=doc_off[1:])
-                # reduceat quirk: an empty segment (lens==0) aliases the next
-                # element and an index == len crashes — clip and mask instead
-                idx = np.minimum(doc_off[:-1], max(len(codes) - 1, 0))
-                dl = np.add.reduceat(keep.astype(np.int64), idx) * (lens > 0)
+                # exact per-doc kept-token count via prefix-sum difference:
+                # immune to reduceat's empty-segment aliasing AND to trailing
+                # zero-length docs (NULL texts at the batch tail), where a
+                # clipped reduceat undercounts the last non-empty doc by one
+                # token and desyncs q_rep from the kept rows.
+                kcum = np.zeros(len(codes) + 1, dtype=np.int64)
+                np.cumsum(keep, out=kcum[1:])
+                dl = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
                 codes, d_rep = codes[keep], d_rep[keep]
             else:
                 dl = lens

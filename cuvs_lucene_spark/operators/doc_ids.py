@@ -48,9 +48,12 @@ def _partition_key_summaries(df: DataFrame) -> list[dict]:
                 continue
             pid = int(pdf["_pid"].iloc[0])
             keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
-            if last is not None and keys and keys[0] < last:
+            # STRICTLY increasing: duplicate (conv_id, turn_idx) keys make the
+            # within-partition order ambiguous across re-executions, so they
+            # disqualify the no-materialization fast path.
+            if last is not None and keys and keys[0] <= last:
                 ok = False
-            if ok and any(b < a for a, b in zip(keys, keys[1:])):
+            if ok and any(b <= a for a, b in zip(keys, keys[1:])):
                 ok = False
             if mn is None or (keys and keys[0] < mn):
                 mn = keys[0] if keys else mn
@@ -84,6 +87,32 @@ def _partition_key_summaries(df: DataFrame) -> list[dict]:
     return [r.asDict() for r in rows]
 
 
+# Logical-plan node names whose output partitioning AND within-partition row
+# order are deterministic across re-executions: plain scans plus row-preserving
+# projections/filters. Anything else (Exchange/Repartition/Sample/Join/...)
+# can reorder rows between the probe job and later consumer jobs, so the
+# uncached fast path must not trust it.
+_STABLE_PLAN_NODES = (
+    "Relation", "Project", "Filter", "SubqueryAlias", "View",
+    "LogicalRDD", "InMemoryRelation", "Scan",
+)
+
+
+def _plan_is_stable_scan(df: DataFrame) -> bool:
+    """True iff every node of the optimized logical plan is a deterministic
+    scan/project/filter — the precondition for deriving docIDs from the scan
+    partitioning without materializing them."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        head = line.strip().lstrip("+-: ").split(" ", 1)[0].split("(", 1)[0]
+        if head and not any(head.startswith(n) for n in _STABLE_PLAN_NODES):
+            return False
+    return True
+
+
 def assign_doc_ids(
     df: DataFrame,
     num_partitions: int | None = None,
@@ -96,13 +125,14 @@ def assign_doc_ids(
     its ids derive deterministically from the stable scan partitioning, so
     re-executions reproduce them without materialization).
     """
-    sums = _partition_key_summaries(df)
+    stable = _plan_is_stable_scan(df)
+    sums = _partition_key_summaries(df) if stable else []
     ordered = sorted(sums, key=lambda r: (r["min_conv"], r["min_turn"]))
     non_overlapping = all(
         (a["max_conv"], a["max_turn"]) < (b["min_conv"], b["min_turn"])
         for a, b in zip(ordered, ordered[1:])
     )
-    if sums and non_overlapping and all(r["sorted"] for r in sums):
+    if stable and sums and non_overlapping and all(r["sorted"] for r in sums):
         base = 0
         bases = []
         for r in ordered:

@@ -16,10 +16,12 @@ Five families, each with a DuckDB-SQL twin for the oracle gate:
   * embedding cosine — see pipeline/similarity.py
 
 Portability contract: every hash used in a correctness-gated path is defined
-arithmetically ((a·x + b) mod p over dense shingle ranks) so the DuckDB
-oracle can reproduce it bit-for-bit. At 100 TB the dense-rank dictionary
-join is swapped for xxhash64 (hash_mode='xxhash'), which changes no
-semantics — only the (already content-blind) bucketing of shingles.
+arithmetically ((a·x + b) mod p over CONTENT-hashed shingle ids — the md5
+hex-prefix, computable bit-identically in Spark and DuckDB) so the oracle
+reproduces it with no shared dictionary. Nothing in the gated path performs
+a global sort or builds global state: feature extraction is one codegen'd
+scan at any corpus size. hash_mode='xxhash' swaps in the cheaper JVM hash
+for production runs where oracle parity is not needed.
 """
 
 from __future__ import annotations
@@ -193,34 +195,67 @@ WHERE round(cast(inter AS double) / (sa.sz + sb.sz - inter), 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
-# dense shingle ranks (the portable feature id)
+# shingle feature ids (portable content hash — no global state)
 # ---------------------------------------------------------------------------
 
-def shingle_ids(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sid) rows; sid = 1-based rank of the shingle in global lexicographic
-    order — reproducible in ANSI SQL (dense_rank), unlike any native hash.
+def shingle_ids(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(id, sid) rows; sid ∈ [0, 2^31-1) is a pure function of the shingle's
+    CONTENT — no dictionary, no join, no global state, so the whole feature
+    extraction is one codegen'd scan that partitions trivially at 100 TB.
 
-    The rank dictionary is a global sort of the distinct-shingle set — fine
-    for oracle-gated runs; at 100 TB use hash_mode='xxhash' in the callers,
-    which replaces this join with one codegen'd hash expression.
+    hash_mode:
+      * 'md5'    (default) — sid = int(first 15 hex chars of md5) mod p.
+        Reproducible bit-for-bit in ANSI SQL (the DuckDB oracle computes the
+        identical value), so every downstream sketch stays hash-gated.
+      * 'xxhash' — sid = xxhash64(shingle) mod p: the cheapest JVM hash for
+        production runs where oracle parity is not required.
+      * 'rank'   — legacy 1-based dense rank of the shingle in global
+        lexicographic order. Kept for the historical oracle mode only: the
+        rank dictionary is a single-partition global sort of the entire
+        distinct-shingle set — NEVER use at scale.
+
+    Hash collisions merge two shingles into one feature (p ≈ 2^31 ⇒ ~250
+    expected collisions per 10^6 distinct shingles) — standard and harmless
+    for MinHash/SimHash sketching, which is already an estimator.
     """
     sh = _shingle_rows(docs, id_col, text_col, n)
-    dictionary = (
-        sh.select("sh").distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("sh")).cast("long"))
-    )
-    return sh.join(dictionary, "sh").select("id", "sid")
+    if hash_mode == "md5":
+        sid = (
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+            % F.lit(MERSENNE_P)
+        )
+        return sh.select("id", sid.alias("sid"))
+    if hash_mode == "xxhash":
+        return sh.select(
+            "id", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P)).alias("sid")
+        )
+    if hash_mode == "rank":
+        dictionary = (
+            sh.select("sh").distinct()
+            .withColumn("sid", F.row_number().over(Window.orderBy("sh")).cast("long"))
+        )
+        return sh.join(dictionary, "sh").select("id", "sid")
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
 
 
 def _shingle_ids_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB twin of shingle_ids(hash_mode='md5'): hex-prefix of md5 → bigint
+    (verified byte-identical to Spark's conv(substring(md5(..),1,15),16,10))."""
     return f"""
 sh AS (
   SELECT {id_col} AS id, unnest({shingles_sql(text_col, n)}) AS sh FROM {table}
 ),
-dict AS (
-  SELECT sh, dense_rank() OVER (ORDER BY sh) AS sid FROM (SELECT DISTINCT sh FROM sh)
-),
-sids AS (SELECT id, sid FROM sh JOIN dict USING (sh))
+sids AS (
+  SELECT id,
+         cast(concat('0x', substr(md5(sh), 1, 15)) AS bigint) % {MERSENNE_P} AS sid
+  FROM sh
+)
 """
 
 
@@ -235,10 +270,12 @@ def minhash_signatures(
     n: int = 3,
     n_hashes: int = 32,
     seed: int = 42,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, sig array<long>[n_hashes]); sig_i = min over shingles of
-    (a_i·sid + b_i) mod p — the classic permutation-sketch estimator."""
-    sids = shingle_ids(docs, id_col, text_col, n)
+    (a_i·sid + b_i) mod p — the classic permutation-sketch estimator.
+    One scan + one groupBy(id): no dictionary join, no global sort."""
+    sids = shingle_ids(docs, id_col, text_col, n, hash_mode)
     params = hash_params(n_hashes, seed)
     sig = F.array(*[
         F.min((F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
@@ -274,13 +311,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash bucketing, VERIFIED with exact
-    Jaccard (so emitted pairs are never false positives; LSH only bounds
-    which pairs are examined). Output schema matches ngram_jaccard_pairs."""
+    Jaccard (so emitted pairs are never false positives; LSH bounds which
+    pairs are examined). Output schema matches ngram_jaccard_pairs.
+
+    Verification cost is proportional to the CANDIDATE set, not the corpus:
+    exact intersections are computed by fanning each candidate pair out to
+    id_a's shingles and probing id_b's shingle rows — Σ_pairs |shingles(a)|
+    joined rows, never the all-co-shingled-docs self-join. This is what makes
+    LSH cheaper than the exact operator instead of strictly more expensive.
+    """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, n_hashes, seed)
+    sigs = minhash_signatures(docs, id_col, text_col, n, n_hashes, seed, hash_mode)
     banded = sigs.select(
         "id",
         F.explode(
@@ -302,10 +347,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold=0.0)
+    # exact verification restricted to candidates: cand ⨝ shingles(a) ⨝
+    # shingles(b) counts the true intersection per candidate pair only.
+    sh = _shingle_rows(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        exact.join(cand, ["id_a", "id_b"], "left_semi")
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn("union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.round(F.col("inter").cast("double") / F.col("union"), 6)
+        )
         .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union", "jaccard")
     )
 
 
@@ -319,6 +379,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     n: int = 3,
     seed: int = 42,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(id, fp long): 32-bit SimHash over shingle features.
 
@@ -327,7 +388,7 @@ def simhash_fingerprints(
     +1/−1 vote, expressed as 2·ones > total so it stays in integer SQL).
     Ties (exactly half) vote 0.
     """
-    sids = shingle_ids(docs, id_col, text_col, n)
+    sids = shingle_ids(docs, id_col, text_col, n, hash_mode)
     (a, b) = hash_params(1, seed)[0]
     h = (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MERSENNE_P)
     d = sids.select("id", h.alias("h"))
@@ -374,6 +435,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     bands: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """EXACT pairs with hamming(fp_a, fp_b) ≤ max_hamming.
 
@@ -385,7 +447,7 @@ def simhash_pairs(
     assert max_hamming < bands and SIMHASH_BITS % bands == 0
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    fps = simhash_fingerprints(docs, id_col, text_col, n, seed)
+    fps = simhash_fingerprints(docs, id_col, text_col, n, seed, hash_mode)
     banded = fps.select(
         "id", "fp",
         F.explode(

@@ -347,6 +347,11 @@ def _prune_blocks(
 
     # phase 2: relaxed bound — block survives if its own bound plus the other
     # terms' global bounds can beat θ. (float64 slack: subtract an epsilon.)
+    # The returned plan recomputes _ub from `postings` (a cheap pruned scan)
+    # instead of referencing `bounded`, so the phase-1 cache can be released
+    # here — previously every successful pruned query leaked one persisted
+    # DataFrame for the session lifetime.
+    bounded.unpersist()
     slack_map = F.create_map(
         *[
             x
@@ -354,8 +359,10 @@ def _prune_blocks(
             for x in (F.lit(t), F.lit(sum_ub - term_ub[t]))
         ]
     )
-    kept = bounded.where(
-        F.col("_ub") + slack_map[F.col("term")] >= F.lit(theta - 1e-9)
-    ).drop("_ub")
-    return kept
+    ub = (
+        idf_map[F.col("term")]
+        * F.col("max_tf").cast("double")
+        / (F.col("max_tf").cast("double") + kf)
+    )
+    return postings.where(ub + slack_map[F.col("term")] >= F.lit(theta - 1e-9))
 

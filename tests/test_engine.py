@@ -88,3 +88,91 @@ def test_per_row_invariant(spark, tiny_index, tiny_pdf):
     # dense, gapless
     ids = np.array([r["doc_id"] for r in dd])
     np.testing.assert_array_equal(ids, np.arange(len(dd)))
+
+
+def test_flush_kernel_null_tail_batch():
+    """Regression: an Arrow batch ending in NULL-text rows, whose last
+    non-null doc ends alphanumeric, used to desync dl from the kept token
+    rows (clipped reduceat) and crash the flush with IndexError."""
+    import pandas as pd
+
+    from cuvs_lucene_spark.codec import unpack_u64_blocks
+    from cuvs_lucene_spark.operators.build import make_flush_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            # doc0 starts with punctuation → forces the ""-token path;
+            # doc1 ends alphanumeric; docs 2-4 are the NULL tail.
+            "text": [" punct leads", "tail ends alnum", None, "", None],
+        }
+    )
+    kern = make_flush_kernel(avgdl=2.5, buckets=8, salt_buckets=4, hot_terms=[])
+    out = pd.concat(list(kern(iter([pdf]))), ignore_index=True)
+    # 2 distinct terms in doc0 + 3 in doc1 = 5 postings total
+    assert int(out["doc_count"].sum()) == 5
+    dls, _ = unpack_u64_blocks(list(out["dls"]))
+    # every posting carries its doc's exact (quantized) dl: doc0→2, doc1→3
+    from collections import Counter
+
+    assert Counter(dls.tolist()) == {2: 2, 3: 3}
+    docs_seen = set()
+    gaps, counts = unpack_u64_blocks(list(out["doc_gaps"]))
+    off = 0
+    for i, c in enumerate(counts):
+        first = int(out["first_doc"].iloc[i])
+        docs_seen.update((first + np.cumsum(gaps[off:off + c])).tolist())
+        off += c
+    assert docs_seen == {0, 1}
+
+
+def test_flush_kernel_all_null_batch():
+    import pandas as pd
+
+    from cuvs_lucene_spark.operators.build import make_flush_kernel
+
+    pdf = pd.DataFrame({"doc_id": [7, 8], "text": [None, " ,;"]})
+    kern = make_flush_kernel(avgdl=2.0, buckets=8, salt_buckets=4, hot_terms=[])
+    outs = list(kern(iter([pdf])))
+    assert sum(int(o["doc_count"].sum()) for o in outs) == 0
+
+
+def test_assign_doc_ids_fallback_on_nondeterministic_plan(spark):
+    """A plan containing an exchange (repartition) must take the persisted
+    fallback even when a probe would observe sorted partitions."""
+    from cuvs_lucene_spark.operators.doc_ids import (
+        _plan_is_stable_scan,
+        assign_doc_ids,
+    )
+
+    rows = [(f"c{i:03d}", j, f"text {i} {j}") for i in range(6) for j in range(4)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    assert not _plan_is_stable_scan(df.repartition(3))
+    out, handle = assign_doc_ids(df.repartition(3), return_cached=True)
+    got = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in out.collect()}
+    expect = {
+        (c, t): i for i, (c, t) in enumerate(sorted((c, t) for c, t, _ in rows))
+    }
+    assert got == expect
+    handle.unpersist()
+
+
+def test_assign_doc_ids_duplicate_keys_fallback(spark, tmp_path):
+    """Duplicate (conv_id, turn_idx) keys disqualify the uncached fast path
+    (within-partition order would be ambiguous across re-executions)."""
+    import pandas as pd
+
+    from cuvs_lucene_spark.operators.doc_ids import assign_doc_ids
+
+    p = str(tmp_path / "dup.parquet")
+    pd.DataFrame(
+        {"conv_id": ["a", "a", "b"], "turn_idx": [1, 1, 2],
+         "text": ["x", "y", "z"]}
+    ).to_parquet(p)
+    df = spark.read.parquet(p)
+    out, handle = assign_doc_ids(df, return_cached=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 1, 2]
+    # fallback persisted something → the handle is a real cache
+    assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
+    handle.unpersist()
