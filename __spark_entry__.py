@@ -384,6 +384,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_exact"] = sim_ivf_exact
 
+    def sim_ivf_probe(s, d):
+        """Persisted-IVF serving path: partition-pruned probe (nprobe=2 of 16
+        lists → ~1/8 of the stored bytes read per query). Approximate by
+        design → no SQL oracle (rows-only gate); recall and equality with the
+        in-memory IVF path are pinned by pytest."""
+        from cuvs_lucene_spark.pipeline.similarity import (
+            ivf_build,
+            ivf_probe_search,
+        )
+
+        ivf_dir = _index_dir(d) + "_ivf"
+        if not os.path.exists(os.path.join(ivf_dir, "vectors", "_SUCCESS")):
+            ivf_build(_emb(s, d), ivf_dir, n_centroids=16, iters=2)
+        return ivf_probe_search(s, ivf_dir, _SIM_QUERY_VEC, k=10, nprobe=2)
+
+    q["sim_ivf_probe"] = sim_ivf_probe
+
     def multimodal_features(s, d):
         from cuvs_lucene_spark.pipeline.multimodal import (
             derive_assets,

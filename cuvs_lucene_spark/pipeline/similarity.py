@@ -19,6 +19,7 @@ cid. Cosine-normalizing at build time turns cosine into dot product.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,7 +138,11 @@ def ivf_train(
 def assign_to_centroids(
     vectors: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "v"
 ) -> DataFrame:
-    """(id, cid): nearest centroid by L2 (broadcast cross join + argmin)."""
+    """(id, cid): nearest centroid by L2 (broadcast cross join + argmin).
+
+    The argmin is a map-side-combinable min_by aggregate with a (d2, cid)
+    struct tie-break — NOT a row_number window, which would shuffle and sort
+    all N×C scored rows through a single exchange per partition key."""
     dist = _dot(
         F.zip_with(F.col(vec_col), F.col("centroid"), lambda a, b: a - b),
         F.zip_with(F.col(vec_col), F.col("centroid"), lambda a, b: a - b),
@@ -146,11 +151,8 @@ def assign_to_centroids(
         vectors.crossJoin(F.broadcast(centroids))
         .select(F.col(id_col).alias("id"), "cid", dist.alias("d2"))
     )
-    w = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cid"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("id", "cid")
+    return scored.groupBy("id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
     )
 
 
@@ -165,17 +167,34 @@ def ivf_search(
 ) -> DataFrame:
     """Probe the nprobe centroids nearest the query; exact cosine within.
 
-    nprobe == n_centroids degrades to exact search (the correctness gate the
-    driver checks); small nprobe is the latency/recall trade (pytest pins
-    recall vs the exact oracle). At scale the assignment table is
-    pre-computed and partitioned by cid, so the probe is partition pruning,
-    not a join.
+    nprobe ≥ n_centroids degrades to exact search (the correctness gate the
+    driver checks) — detected up front so the degenerate case costs exactly
+    one scan, no assignment at all. Small nprobe is the latency/recall trade
+    (pytest pins recall vs the exact oracle). This in-memory path still
+    re-assigns the scanned vectors; the serving path is ivf_build +
+    ivf_probe_search, where the assignment is PRE-MATERIALIZED partitioned by
+    cid and the probe becomes parquet partition pruning.
     """
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    probe_ids = nearest_centroid_ids(centroids, query, nprobe)
+    if len(probe_ids) >= centroids.count():
+        return cosine_topk(emb, query, k, id_col="id", vec_col="v")
+    assigned = assign_to_centroids(emb, centroids)
+    cand = emb.join(
+        assigned.where(F.col("cid").isin(probe_ids)).select("id"), "id", "left_semi"
+    )
+    return cosine_topk(cand, query, k, id_col="id", vec_col="v")
+
+
+def nearest_centroid_ids(
+    centroids: DataFrame, query: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids closest to the query (tiny driver-side job —
+    the IVF analog of the term-dictionary seek)."""
     q = _qlit(query)
-    probe_ids = [
+    return [
         r["cid"]
         for r in centroids.select(
             "cid",
@@ -188,8 +207,78 @@ def ivf_search(
         .limit(nprobe)
         .collect()
     ]
-    assigned = assign_to_centroids(emb, centroids)
-    cand = emb.join(
-        assigned.where(F.col("cid").isin(probe_ids)).select("id"), "id", "left_semi"
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: probe = parquet partition pruning
+# ---------------------------------------------------------------------------
+
+def ivf_build(
+    embeddings: DataFrame,
+    ivf_dir: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train + materialize the IVF index:
+
+        <ivf_dir>/centroids/           (cid, centroid)            — tiny
+        <ivf_dir>/vectors/cid=<c>/     (id, v) hive-partitioned   — corpus
+
+    Writing the corpus partitioned by cid turns every later probe into a
+    partition-pruned scan of nprobe/C of the data (the scale path the
+    in-memory ivf_search cannot offer: at 10^9+ vectors re-assignment per
+    query costs more than brute force). One assignment job at build time,
+    amortized over every query — the same economics as the FTS index build.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return cosine_topk(cand, query, k, id_col="id", vec_col="v")
+    cents = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{ivf_dir}/centroids")
+    assigned = assign_to_centroids(emb, cents)
+    (
+        emb.join(assigned, "id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{ivf_dir}/vectors")
+    )
+
+
+# per-index-dir centroid cache: centroids are immutable once written, tiny
+# (C ~ sqrt(N): even 10^9 vectors → ~3·10^4 rows), and probed on EVERY query —
+# the IVF analog of Lucene holding the term dictionary open in the reader.
+_CENTROIDS_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _load_centroids(spark, ivf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    if ivf_dir not in _CENTROIDS_CACHE:
+        rows = spark.read.parquet(f"{ivf_dir}/centroids").collect()
+        cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+        mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        _CENTROIDS_CACHE[ivf_dir] = (cids, mat)
+    return _CENTROIDS_CACHE[ivf_dir]
+
+
+def ivf_probe_search(
+    spark,
+    ivf_dir: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k cosine over the nprobe nearest inverted lists of a persisted
+    IVF index — ONE Spark job: centroid selection is driver-side numpy over
+    the cached centroid table, and the cid predicate is a partition filter on
+    the hive layout, so only nprobe/C of the stored bytes are read (verify:
+    .explain() shows it under PartitionFilters, not PushedFilters)."""
+    cids, mat = _load_centroids(spark, ivf_dir)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((mat - q) ** 2).sum(axis=1)
+    order = np.lexsort((cids, d2))[:nprobe]
+    probe_ids = [int(c) for c in cids[order]]
+    vecs = spark.read.parquet(f"{ivf_dir}/vectors").where(
+        F.col("cid").isin(probe_ids)
+    )
+    return cosine_topk(vecs, query, k, id_col="id", vec_col="v")

@@ -133,6 +133,24 @@ class TestSimilarity:
         # deterministic corpus+algorithm → fixed recall; floor it loosely
         assert len(got & exact_ids) >= 5
 
+    def test_ivf_persisted_probe_matches_inmemory(self, spark, emb, tmp_path):
+        """ivf_build + ivf_probe_search == the in-memory ivf_search for the
+        same (centroids, nprobe), and the probe's scan is partition-pruned."""
+        d = str(tmp_path / "ivf")
+        S.ivf_build(emb, d, n_centroids=8, iters=2)
+        cents = S.ivf_train(emb, n_centroids=8, iters=2)
+        mem = [(r["id"], r["score"])
+               for r in S.ivf_search(emb, cents, self.QV, 10, nprobe=3).collect()]
+        per = [(r["id"], r["score"])
+               for r in S.ivf_probe_search(spark, d, self.QV, 10, nprobe=3).collect()]
+        assert per == mem
+        # the cid predicate must land in PartitionFilters (pruned read),
+        # never as a post-scan Filter over all partitions
+        import pyspark.sql.functions as F
+        probe = spark.read.parquet(f"{d}/vectors").where(F.col("cid").isin([0, 1]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cid" in plan.split("PartitionFilters")[1][:80]
+
     def test_tie_break_ascending_id(self, spark):
         e = spark.createDataFrame(
             [(3, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [1.0, 1.0])],
