@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v006"
+_IDX_VERSION = "v007"
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 _SHIPPED: set[str] = set()
@@ -415,6 +415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    def multimodal_frames(s, d):
+        from cuvs_lucene_spark.pipeline.multimodal import derive_assets, frame_sample
+
+        return frame_sample(derive_assets(_docs(s, d)), every_n_bytes=64).select(
+            F.col("asset_id").cast("long"),
+            F.col("frame_idx").cast("long"),
+            F.col("byte_offset").cast("long"),
+        )
+
+    q["multimodal_frames"] = multimodal_frames
+
     return q
 
 
@@ -503,4 +514,5 @@ SELECT asset_id, kind, features[1] AS f0, features[2] AS f1,
        features[3] AS f2, features[4] AS f3
 FROM feats
 """
+    o["multimodal_frames"] = _mm.frames_sql("documents", every_n_bytes=64)
     return o

@@ -549,6 +549,42 @@ def detect_hot_terms(
     return sorted(r["term"] for r in rows)
 
 
+def _committed_buckets(
+    spark: SparkSession, cat: IndexCatalog, segment_id: int, buckets: int
+) -> set[int]:
+    """Buckets of this (uncommitted) segment already marked 'committed' in
+    lineage by a previous attempt — the resume set. Stale lineage from a
+    different bucket layout (any id outside range(buckets)) is ignored
+    wholesale; buckets with postings are additionally required to have their
+    partition dir on disk."""
+    import os
+
+    if not os.path.isdir(cat.lineage_path()):
+        return set()
+    try:
+        rows = (
+            cat.read_lineage(spark)
+            .where(
+                (F.col("segment_id") == segment_id)
+                & (F.col("status") == "committed")
+            )
+            .groupBy("bucket")
+            .agg(F.max("postings_written").alias("postings"))
+            .collect()
+        )
+    except Exception:
+        return set()
+    done = {int(r["bucket"]): int(r["postings"]) for r in rows}
+    if any(b < 0 or b >= buckets for b in done):
+        return set()
+    pdir = cat.postings_path(segment_id)
+    return {
+        b
+        for b, n in done.items()
+        if n == 0 or os.path.isdir(os.path.join(pdir, f"bucket={b}"))
+    }
+
+
 def build_segment(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -561,12 +597,30 @@ def build_segment(
     hot_sample_fraction: float = 0.05,
     block_size: int = BLOCK_SIZE,
     run_id: str | None = None,
+    bucket_groups: int = 1,
+    _fail_after_groups: int | None = None,
 ) -> dict:
     """Build + commit one segment; returns its manifest entry.
 
-    Idempotent/resumable: if the manifest already lists segment_id, this is a
-    no-op (checkpoint-resume, north_rule; analog of the reference's finish()
-    idempotence guard ``CuVS2510GPUVectorsWriter.java:521-524``).
+    Idempotent/resumable at two granularities (checkpoint-resume, north_rule;
+    analog of the reference's finish() idempotence guard
+    ``CuVS2510GPUVectorsWriter.java:521-524``):
+
+    * **segment** — if the manifest already lists segment_id, no-op.
+    * **bucket group** (``bucket_groups > 1``) — the postings write is split
+      into that many separate jobs over disjoint bucket ranges, each followed
+      by a per-bucket 'committed' lineage append. On restart after a
+      mid-build kill, buckets whose lineage rows exist (and whose partition
+      dirs are on disk) are SKIPPED — only the remaining groups are written
+      (dynamic partition overwrite preserves the committed ones). Sound
+      because every input to a bucket's bytes is a deterministic function of
+      (input, params): docIDs (sorted probe / rank order), avgdl, the seeded
+      hot-term sample. The merged block set is persisted to executor disk for
+      the duration of the multi-write so the flush+shuffle runs once per
+      attempt, not once per group.
+
+    ``_fail_after_groups`` is a fault-injection seam for the kill-and-resume
+    test only: raise after N group commits, simulating a mid-build crash.
     """
     cat = IndexCatalog(index_dir)
     existing = cat.read_manifest()["segments"]
@@ -628,14 +682,78 @@ def build_segment(
     # compressed partial blocks keyed (bucket, salt) → merge (narrow)
     partials = src.mapInPandas(flush_kernel, POSTINGS_SCHEMA)
     blocks = merge_partials(spark, partials, avgdl, buckets, block_size, reblock=True)
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-        cat.postings_path(segment_id)
-    )
-    timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # Exact dictionary + per-bucket lineage metrics from the written blocks —
-    # a metadata-sized re-scan: only small stat columns are read (byte counts
-    # were recorded per block at encode time), never the binary payloads.
+    def _lineage_for(bucket_list: list[int]) -> None:
+        try:
+            per_bucket = (
+                spark.read.option("basePath", cat.postings_path(segment_id))
+                .parquet(cat.postings_path(segment_id))
+                .where(F.col("bucket").isin(bucket_list))
+                .groupBy("bucket")
+                .agg(
+                    F.sum("doc_count").alias("postings"),
+                    F.sum("n_bytes").alias("bytes"),
+                )
+                .collect()
+            )
+        except Exception:
+            # dir holds no parquet yet (every bucket in this group was empty)
+            per_bucket = []
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        found = {int(r["bucket"]) for r in per_bucket}
+        rows = [
+            (run_id, segment_id, int(r["bucket"]), "committed", n_docs,
+             int(r["postings"]), int(r["bytes"]), now)
+            for r in per_bucket
+        ] + [
+            # buckets that received no blocks at all still get a committed
+            # marker (resume must not re-attempt them forever)
+            (run_id, segment_id, b, "committed", n_docs, 0, 0, now)
+            for b in bucket_list
+            if b not in found
+        ]
+        cat.append_lineage(spark, rows)
+
+    if bucket_groups <= 1:
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            cat.postings_path(segment_id)
+        )
+        timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+        _lineage_for(list(range(buckets)))
+    else:
+        done = _committed_buckets(spark, cat, segment_id, buckets)
+        all_b = list(range(buckets))
+        size = -(-buckets // bucket_groups)
+        groups = [all_b[i:i + size] for i in range(0, buckets, size)]
+        todo = [g for g in groups if not set(g) <= done]
+        if done:
+            blocks = blocks.where(~F.col("bucket").isin(sorted(done)))
+        if len(todo) > 1:
+            from pyspark import StorageLevel
+
+            blocks = blocks.persist(StorageLevel.DISK_ONLY)
+        n_committed = 0
+        for g in todo:
+            (
+                blocks.where(F.col("bucket").isin(g))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(cat.postings_path(segment_id))
+            )
+            _lineage_for(g)
+            n_committed += 1
+            if _fail_after_groups is not None and n_committed >= _fail_after_groups:
+                blocks.unpersist()
+                raise RuntimeError(
+                    f"injected failure after {n_committed} bucket groups"
+                )
+        blocks.unpersist()
+        timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+
+    # Exact dictionary from the written blocks — a metadata-sized re-scan:
+    # only small stat columns are read (byte counts were recorded per block
+    # at encode time), never the binary payloads.
     written = spark.read.parquet(cat.postings_path(segment_id))
     written.groupBy("term").agg(
         F.min("bucket").alias("bucket"),
@@ -643,25 +761,7 @@ def build_segment(
         F.sum("cf").alias("cf"),
         F.count(F.lit(1)).alias("n_blocks"),
     ).write.mode("overwrite").parquet(cat.dictionary_path(segment_id))
-
-    per_bucket = (
-        written.groupBy("bucket")
-        .agg(
-            F.sum("doc_count").alias("postings"),
-            F.sum("n_bytes").alias("bytes"),
-        )
-        .collect()
-    )
     timings["dict_lineage"] = _time.perf_counter() - _t
-    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-    cat.append_lineage(
-        spark,
-        [
-            (run_id, segment_id, int(r["bucket"]), "committed", n_docs,
-             int(r["postings"]), int(r["bytes"]), now)
-            for r in per_bucket
-        ],
-    )
 
     seg_meta = {
         "id": segment_id,

@@ -64,10 +64,26 @@ def decode_asset(kind: str, payload: bytes):
     )
 
 
+# descending powers of 31 mod p for one chunk: _POW31[-c:] = 31^(c-1) .. 31^0
+_POLY_CHUNK = 4096
+_POW31 = np.empty(_POLY_CHUNK, dtype=np.int64)
+_POW31[-1] = 1
+for _j in range(_POLY_CHUNK - 2, -1, -1):
+    _POW31[_j] = (_POW31[_j + 1] * 31) % _FP_MOD
+
+
 def _poly_hash_bytes(b: bytes) -> int:
+    """h = Σ b_i·31^(n-1-i) mod p, vectorized: per 4 KiB chunk one numpy
+    multiply-accumulate against precomputed powers (values stay < 2^51, no
+    overflow), with Horner only ACROSS chunks — O(n/4096) Python steps
+    instead of the previous per-byte pure-Python loop."""
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
     h = 0
-    for ch in b:
-        h = (h * 31 + ch) % _FP_MOD
+    for i in range(0, len(arr), _POLY_CHUNK):
+        chunk = arr[i:i + _POLY_CHUNK]
+        c = len(chunk)
+        part = int((chunk * _POW31[_POLY_CHUNK - c:] % _FP_MOD).sum() % _FP_MOD)
+        h = (h * pow(31, c, _FP_MOD) + part) % _FP_MOD
     return h
 
 
@@ -149,4 +165,25 @@ SELECT {id_col} AS asset_id,
         CASE WHEN length({txt}) > 0 THEN cast(ascii(substr({txt}, length({txt}), 1)) AS double) ELSE 0.0 END,
         cast({poly} % 1000 AS double)] AS features
 FROM {table}
+"""
+
+
+def frames_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every_n_bytes: int = 64,
+) -> str:
+    """DuckDB twin of derive_assets + frame_sample (ASCII-safe corpus ⇒
+    n_bytes == length(text); // matches Spark's truncating double→int cast
+    for non-negative values)."""
+    txt = f"coalesce({text_col}, '')"
+    return f"""
+WITH fr AS (
+  SELECT {id_col} AS asset_id,
+         unnest(range(0, greatest(length({txt}) // {every_n_bytes}, 1))) AS frame_idx
+  FROM {table}
+  WHERE cast({id_col} % 3 AS int) = 2
+)
+SELECT asset_id, frame_idx, frame_idx * {every_n_bytes} AS byte_offset FROM fr
 """

@@ -65,7 +65,10 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        self.manifest = self.cat.read_manifest()
+        # open-time validation: format version, codec tag, per-segment table
+        # dirs, bucket layout (CorruptIndexException analog — raises
+        # catalog.CorruptIndexError instead of trusting the manifest blindly)
+        self.manifest = self.cat.validate_for_read()
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:

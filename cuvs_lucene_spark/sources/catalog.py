@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
 
+# On-disk format version + codec tag, embedded in the manifest at commit and
+# asserted at read-open — the analog of the reference's versioned headers /
+# CorruptIndexException checks (``CuVS2510GPUVectorsReader.java:143-166``,
+# ``CuVS2510GPUVectorsFormat.java:39-42``). Bump INDEX_FORMAT_VERSION whenever
+# manifest/table layout changes; CODEC_NAME names the postings wire format
+# (cuvs_lucene_spark.codec pack_u64: 13-byte header + MSB FOR bit-packing).
+INDEX_FORMAT_VERSION = 1
+CODEC_NAME = "for128-msb-v1"
+
+
+class CorruptIndexError(RuntimeError):
+    """The index on disk fails a structural/version invariant."""
+
 LINEAGE_SCHEMA = (
     "run_id string, segment_id int, bucket int, status string, "
     "docs_indexed long, postings_written long, bytes_compressed long, "
@@ -66,31 +79,76 @@ class IndexCatalog:
         with open(p) as f:
             return json.load(f)
 
+    def _write_manifest(self, m: dict) -> None:
+        m["segments"].sort(key=lambda s: s["id"])
+        m["version"] = m.get("version", 0) + 1
+        m["committed_at"] = time.time()
+        m["format_version"] = INDEX_FORMAT_VERSION
+        m["codec"] = CODEC_NAME
+        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+
     def commit_segment(self, seg_meta: dict) -> None:
         """Atomically add a segment to the manifest (idempotent by id)."""
         m = self.read_manifest()
         m["segments"] = [s for s in m["segments"] if s["id"] != seg_meta["id"]]
         m["segments"].append(seg_meta)
-        m["segments"].sort(key=lambda s: s["id"])
-        m["version"] = m.get("version", 0) + 1
-        m["committed_at"] = time.time()
-        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+        self._write_manifest(m)
 
     def replace_segments(self, drop_ids: list[int], seg_meta: dict) -> None:
         """Compaction commit: swap merged-away segments for the new one."""
         m = self.read_manifest()
         m["segments"] = [s for s in m["segments"] if s["id"] not in drop_ids]
         m["segments"].append(seg_meta)
-        m["segments"].sort(key=lambda s: s["id"])
-        m["version"] = m.get("version", 0) + 1
-        m["committed_at"] = time.time()
-        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+        self._write_manifest(m)
+
+    def validate_for_read(self) -> dict:
+        """Open-time structural validation (CorruptIndexException analog).
+
+        Asserts: manifest format version + codec tag are the ones this code
+        reads; every live segment's postings/doc_dim/dictionary directories
+        exist; each segment's bucket partition dirs are a subset of
+        range(buckets) (a stray/renamed bucket dir means the term→bucket map
+        no longer addresses the data). Raises CorruptIndexError. Cheap —
+        directory metadata only, no data files are opened."""
+        m = self.read_manifest()
+        if not m["segments"]:
+            return m
+        fv = m.get("format_version")
+        if fv != INDEX_FORMAT_VERSION:
+            raise CorruptIndexError(
+                f"index format version {fv!r} != supported {INDEX_FORMAT_VERSION}"
+            )
+        codec = m.get("codec")
+        if codec != CODEC_NAME:
+            raise CorruptIndexError(f"codec {codec!r} != supported {CODEC_NAME!r}")
+        for s in m["segments"]:
+            sid = s["id"]
+            pdir = self.postings_path(sid)
+            for d, what in [
+                (pdir, "postings"),
+                (self.doc_dim_path(sid), "doc_dim"),
+                (self.dictionary_path(sid), "dictionary"),
+            ]:
+                if not os.path.isdir(d):
+                    raise CorruptIndexError(f"segment {sid}: missing {what} at {d}")
+            seen = set()
+            for e in os.listdir(pdir):
+                if e.startswith("bucket="):
+                    try:
+                        seen.add(int(e.split("=", 1)[1]))
+                    except ValueError as ex:
+                        raise CorruptIndexError(
+                            f"segment {sid}: unparsable partition dir {e!r}"
+                        ) from ex
+            if not seen <= set(range(s["buckets"])):
+                raise CorruptIndexError(
+                    f"segment {sid}: bucket dirs {sorted(seen - set(range(s['buckets'])))} "
+                    f"outside range({s['buckets']})"
+                )
+        return m
 
     def committed_segment_ids(self) -> set[int]:
         return {s["id"] for s in self.read_manifest()["segments"]}

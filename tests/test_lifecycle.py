@@ -146,3 +146,127 @@ class TestDeletes:
             assert to_keys(del_index, _topk(spark, del_index, q)) == to_keys(
                 ref, _topk(spark, ref, q)
             ), q
+
+
+class TestBucketResume:
+    """SURVEY §5.2.4: kill after bucket group j → resume → identical index."""
+
+    def _dict_snapshot(self, spark, idx):
+        cat = IndexCatalog(idx)
+        return sorted(
+            (r["term"], int(r["df"]), int(r["cf"]), int(r["n_blocks"]))
+            for r in cat.read_dictionary(spark).collect()
+        )
+
+    def test_kill_after_group_then_resume_identical(
+        self, spark, tiny_df, tiny_index, tmp_path_factory
+    ):
+        d = str(tmp_path_factory.mktemp("idx") / "resume")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_segment(
+                spark, tiny_df, d, 0, buckets=8, salt_buckets=4,
+                hot_df_ratio=0.10, bucket_groups=4, _fail_after_groups=2,
+            )
+        cat = IndexCatalog(d)
+        assert cat.committed_segment_ids() == set()  # no manifest yet
+        done_before = {
+            int(r["bucket"])
+            for r in cat.read_lineage(spark)
+            .where(F.col("status") == "committed")
+            .collect()
+        }
+        assert 0 < len(done_before) < 8  # partial progress persisted
+
+        # resume: must skip committed buckets and finish the segment
+        build_segment(
+            spark, tiny_df, d, 0, buckets=8, salt_buckets=4,
+            hot_df_ratio=0.10, bucket_groups=4,
+        )
+        assert IndexCatalog(d).committed_segment_ids() == {0}
+        # committed buckets were not rewritten: lineage has exactly one
+        # 'committed' row per non-skipped bucket and one per skipped bucket
+        rows = (
+            IndexCatalog(d).read_lineage(spark)
+            .where(F.col("status") == "committed")
+            .groupBy("bucket").count().collect()
+        )
+        assert all(int(r["count"]) == 1 for r in rows)
+        assert {int(r["bucket"]) for r in rows} == set(range(8))
+
+        # identical to an uninterrupted build: dictionary + query results
+        assert self._dict_snapshot(spark, d) == self._dict_snapshot(spark, tiny_index)
+        for q in QUERIES:
+            assert _topk(spark, d, q) == _topk(spark, tiny_index, q)
+
+    def test_grouped_uninterrupted_equals_single_write(
+        self, spark, tiny_df, tiny_index, tmp_path_factory
+    ):
+        d = str(tmp_path_factory.mktemp("idx") / "grouped")
+        build_segment(
+            spark, tiny_df, d, 0, buckets=8, salt_buckets=4,
+            hot_df_ratio=0.10, bucket_groups=3,
+        )
+        assert self._dict_snapshot(spark, d) == self._dict_snapshot(spark, tiny_index)
+        for q in QUERIES:
+            assert _topk(spark, d, q) == _topk(spark, tiny_index, q)
+
+
+class TestReadValidation:
+    """Open-time CorruptIndexException analog (reference
+    ``CuVS2510GPUVectorsReader.java:143-166,195-208``)."""
+
+    def _fresh(self, spark, tiny_df, tmp_path_factory) -> str:
+        d = str(tmp_path_factory.mktemp("idx") / "val")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        return d
+
+    def test_clean_index_opens(self, spark, tiny_index):
+        IndexReader(spark, tiny_index)  # no raise
+
+    def test_format_version_mismatch_raises(self, spark, tiny_df, tmp_path_factory):
+        import json
+        import os
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = self._fresh(spark, tiny_df, tmp_path_factory)
+        p = os.path.join(d, "manifest.json")
+        m = json.load(open(p))
+        m["format_version"] = 999
+        json.dump(m, open(p, "w"))
+        with pytest.raises(CorruptIndexError, match="format version"):
+            IndexReader(spark, d)
+
+    def test_codec_mismatch_raises(self, spark, tiny_df, tmp_path_factory):
+        import json
+        import os
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = self._fresh(spark, tiny_df, tmp_path_factory)
+        p = os.path.join(d, "manifest.json")
+        m = json.load(open(p))
+        m["codec"] = "vbyte-v0"
+        json.dump(m, open(p, "w"))
+        with pytest.raises(CorruptIndexError, match="codec"):
+            IndexReader(spark, d)
+
+    def test_missing_table_raises(self, spark, tiny_df, tmp_path_factory):
+        import shutil
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = self._fresh(spark, tiny_df, tmp_path_factory)
+        shutil.rmtree(IndexCatalog(d).dictionary_path(0))
+        with pytest.raises(CorruptIndexError, match="missing dictionary"):
+            IndexReader(spark, d)
+
+    def test_stray_bucket_dir_raises(self, spark, tiny_df, tmp_path_factory):
+        import os
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = self._fresh(spark, tiny_df, tmp_path_factory)
+        os.makedirs(os.path.join(IndexCatalog(d).postings_path(0), "bucket=99"))
+        with pytest.raises(CorruptIndexError, match="outside range"):
+            IndexReader(spark, d)
