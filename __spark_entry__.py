@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v007"
+_IDX_VERSION = "v008"
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 _SHIPPED: set[str] = set()
@@ -106,6 +106,54 @@ tf AS (
 """
 
 
+def _oracle_phrase_sql(slots: list[str], k: int) -> str:
+    """Exact-phrase (slop=0) BM25 top-k in DuckDB SQL — the oracle twin of
+    query.search_phrase: pf = count of anchors where every phrase slot i has
+    its term at position anchor+i; idf = sum of slot-term idfs (slot order);
+    norm = the doc's usual dl.
+    """
+    n = len(slots)
+    occ_union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS slot, pos - {i} AS adj "
+        f"FROM tokpos WHERE term = '{t}' AND pos >= {i}"
+        for i, t in enumerate(slots)
+    )
+    idf_sum = " + ".join(
+        f"(SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)"
+        f"/(count(*) + 0.5)) FROM tf WHERE term = '{t}')"
+        for t in slots
+    )
+    return f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+occ AS (
+{occ_union}
+),
+anchors AS (
+  SELECT doc_id, adj FROM occ GROUP BY doc_id, adj HAVING count(*) = {n}
+),
+pfv AS (SELECT doc_id, count(*) AS pf FROM anchors GROUP BY doc_id),
+scores AS (
+  SELECT p.doc_id,
+         ({idf_sum}) * cast(p.pf AS double)
+           / (cast(p.pf AS double) + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM pfv p JOIN dlq d ON p.doc_id = d.doc_id CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_topk_sql(terms: list[str], k: int, mode: str, filter_sql: str | None) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
 
@@ -173,7 +221,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     d = _index_dir(sf_dir)
     build_index(
         spark, derive_transcripts(spark, sf_dir), d,
-        buckets=8, salt_buckets=4, hot_df_ratio=0.20,
+        buckets=8, salt_buckets=4, hot_df_ratio=0.20, positions=True,
     )  # idempotent: committed manifest → no-op
     return d
 
@@ -234,6 +282,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ["query", "data", "batch"], filter_cond=F.col("role") == "user"
     )
     q["fts_topk_hot"] = lambda s, d: _fts_topk(s, d, ["batch"], k=20)
+
+    def phrase(s: SparkSession, d: str) -> DataFrame:
+        from cuvs_lucene_spark.query import search_phrase
+
+        res = search_phrase(
+            s, _index_for(s, d), "merge sort", k=10, float32=False
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_topk_phrase"] = phrase
 
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
@@ -446,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         ["query", "data", "batch"], 10, "or", "role = 'user'"
     )
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
+    o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf

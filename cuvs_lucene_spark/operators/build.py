@@ -7,14 +7,19 @@ flush then segment-merge shape), one job with exactly ONE wide data shuffle
 that carries COMPRESSED PARTIAL BLOCKS, never raw token rows:
 
   read transcripts
-    → repartitionByRange(conv_id, turn_idx) + docID assignment   (narrow-ish)
+    → docID assignment from the sort keys only (sorted-scan probe) (no text)
     → per-partition FLUSH (mapInPandas): tokenize + build partial
-      posting blocks for the partition's disjoint docID range     (narrow)
+      posting blocks for the partition's disjoint docID range AND
+      side-write the partition's doc_dim slice (meta + dl + norms) (narrow)
     → repartition(bucket, salt [hot terms salted])                (THE shuffle)
     → per-partition MERGE (mapInPandas): concat each term's partials
       in first_doc order, re-block to 128                         (narrow)
-    → write postings partitioned by bucket; dictionary + lineage from
-      a cheap metadata re-scan of the written blocks.
+    → write postings partitioned by bucket; global stats from the written
+      doc_dim (column-pruned); dictionary + lineage from a cheap metadata
+      re-scan of the written blocks.
+  The corpus TEXT is read exactly ONCE (possible because block impacts are
+  the avgdl-free pair (max_tf, min_dl_d)); every later aggregate reads only
+  small derived columns.
 
 Why flush+merge and not explode→shuffle→encode: the token stream is ~100x
 the row count of the corpus; shuffling/sorting it in the JVM and shipping it
@@ -63,9 +68,14 @@ from cuvs_lucene_spark.sources.catalog import IndexCatalog
 POSTINGS_SCHEMA = (
     "bucket int, term string, salt int, block_id int, "
     "first_doc long, last_doc long, doc_count int, cf long, "
-    "doc_gaps binary, tfs binary, dls binary, "
-    "max_tf int, min_dl_d long, max_tf_norm float, n_bytes int"
+    "doc_gaps binary, tfs binary, dls binary, pos binary, "
+    "max_tf int, min_dl_d long, n_bytes int"
 )
+
+# `pos`: FOR-packed within-doc token positions of every occurrence in the
+# block, concatenated in (doc, occurrence) order — per-posting slice lengths
+# are the block's tfs, so no extra offsets are stored (Lucene's .prx analog).
+# b"" (zero bytes) when the index was built without positions.
 
 
 def _encode_sorted_rows(
@@ -75,9 +85,10 @@ def _encode_sorted_rows(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dl_qs: np.ndarray,
-    avgdl: float,
     block_size: int,
     term_codes: np.ndarray | None = None,
+    positions: np.ndarray | None = None,
+    occ_counts: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode rows already sorted by (bucket, term, salt, doc_id) into block
     rows. Group boundaries found vectorized (np boundary scan), so Python-level
@@ -88,6 +99,16 @@ def _encode_sorted_rows(
     per-block impacts: (max_tf, min_dl_d) is a bound-safe input to Block-Max
     WAND (score increasing in tf, decreasing in dl ⇒
     score(tf,dl) ≤ score(max_tf, min_dl) for every posting in the block).
+    The pair is avgdl-free, so encoding needs NO global statistic — the
+    property that lets the build make a single pass over the corpus text.
+
+    ``positions`` (optional): within-doc token positions of ALL occurrences,
+    concatenated in input-row order (ascending within each (term, doc) by the
+    stable upstream sort). ``occ_counts`` gives occurrences per input row —
+    None means every row is a single occurrence (the flush path); the
+    merge/compaction paths pass their per-row tf. RLE aggregation of
+    duplicate (term, doc) rows leaves the occurrence stream untouched
+    (consecutive rows' occurrence slices concatenate in position order).
     """
     # Run-length aggregate duplicate (term, salt, doc_id) rows into tf counts
     # FIRST (the token stream arrives un-aggregated — sort-based aggregation
@@ -113,6 +134,13 @@ def _encode_sorted_rows(
         )
     rstarts = np.flatnonzero(rchange)
     tf_sums = np.add.reduceat(tfs.astype(np.int64), rstarts)
+    if positions is not None:
+        occ_in = (
+            occ_counts.astype(np.int64)
+            if occ_counts is not None
+            else np.ones(n0, dtype=np.int64)
+        )
+        occ_sums = np.add.reduceat(occ_in, rstarts)
     bucket, term, salt = bucket[rstarts], term[rstarts], salt[rstarts]
     tcodes = tcodes[rstarts]
     doc_ids, tfs, dl_qs = doc_ids[rstarts], tf_sums, dl_qs[rstarts]
@@ -129,8 +157,6 @@ def _encode_sorted_rows(
     ends = np.append(starts[1:], n)
 
     dl_d_all = dequantize_dl_np(dl_qs)
-    k_all = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d_all.astype(np.float64) / avgdl)
-    tf_norm_all = tfs.astype(np.float64) / (tfs.astype(np.float64) + k_all)
 
     # --- block segmentation, fully vectorized: group g splits into
     # ceil(size_g / block_size) blocks of consecutive rows -------------------
@@ -149,7 +175,6 @@ def _encode_sorted_rows(
     cf = np.add.reduceat(tfs.astype(np.int64), bs)
     max_tf = np.maximum.reduceat(tfs, bs)
     min_dl_d = np.minimum.reduceat(dl_d_all, bs)
-    max_tf_norm = np.maximum.reduceat(tf_norm_all, bs)
 
     # --- payload streams: delta gaps (reset per block), tfs, quantized dls --
     ids64 = doc_ids.astype(np.uint64)
@@ -160,8 +185,22 @@ def _encode_sorted_rows(
     gaps_col = pack_u64_blocks(gaps, bs, block_ends)
     tfs_col = pack_u64_blocks(tfs.astype(np.uint64), bs, block_ends)
     dls_col = pack_u64_blocks(dl_qs.astype(np.uint64), bs, block_ends)
+    if positions is not None:
+        # occurrence-stream offsets per block: posting rows tile blocks
+        # contiguously, so occurrences do too
+        oprefix = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(occ_sums, out=oprefix[1:])
+        pos_col = pack_u64_blocks(
+            positions.astype(np.uint64), oprefix[bs], oprefix[block_ends]
+        )
+    else:
+        pos_col = np.empty(len(gaps_col), dtype=object)
+        pos_col[:] = b""
     n_bytes = np.fromiter(
-        (len(a) + len(b) + len(c) for a, b, c in zip(gaps_col, tfs_col, dls_col)),
+        (
+            len(a) + len(b) + len(c) + len(p)
+            for a, b, c, p in zip(gaps_col, tfs_col, dls_col, pos_col)
+        ),
         dtype=np.int64, count=len(gaps_col),
     )
 
@@ -177,14 +216,14 @@ def _encode_sorted_rows(
         "doc_gaps": gaps_col,
         "tfs": tfs_col,
         "dls": dls_col,
+        "pos": pos_col,
         "max_tf": max_tf.astype(np.int32),
         "min_dl_d": min_dl_d.astype(np.int64),
-        "max_tf_norm": max_tf_norm.astype(np.float32),
         "n_bytes": n_bytes,
     })
 
 
-def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
+def make_partition_encoder(block_size: int = BLOCK_SIZE):
     """mapInPandas kernel over a partition PRE-SORTED by
     (bucket, term, salt, doc_id): stream Arrow batches, carry the trailing
     (possibly incomplete) group across batch boundaries, emit block rows.
@@ -195,6 +234,19 @@ def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
     overhead is O(#partitions), not O(#terms) — the difference between 10^2
     and 10^7 Python crossings at 10^12-turn scale.
     """
+
+    def _row_positions(head: pd.DataFrame):
+        """(flat positions, occ_counts) from a decoded `pos` array column —
+        row order IS occurrence order (positions ascend within each posting)."""
+        if "pos" not in head.columns:
+            return None, None
+        lists = head["pos"].to_numpy()
+        flat = (
+            np.concatenate(lists)
+            if len(lists)
+            else np.empty(0, dtype=np.int64)
+        )
+        return flat.astype(np.int64), head["tf"].to_numpy().astype(np.int64)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
@@ -216,17 +268,21 @@ def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
                 continue
             head = pdf.iloc[:last_start]
             pending = pdf.iloc[last_start:].reset_index(drop=True)
+            ppos, pocc = _row_positions(head)
             yield _encode_sorted_rows(
                 b[:last_start], t[:last_start], s[:last_start],
                 head["doc_id"].to_numpy(), head["tf"].to_numpy(),
-                head["dl_q"].to_numpy(), avgdl, block_size,
+                head["dl_q"].to_numpy(), block_size,
+                positions=ppos, occ_counts=pocc,
             )
         if pending is not None and len(pending):
+            ppos, pocc = _row_positions(pending)
             yield _encode_sorted_rows(
                 pending["bucket"].to_numpy(), pending["term"].to_numpy(),
                 pending["salt"].to_numpy(), pending["doc_id"].to_numpy(),
                 pending["tf"].to_numpy(), pending["dl_q"].to_numpy(),
-                avgdl, block_size,
+                block_size,
+                positions=ppos, occ_counts=pocc,
             )
 
     return encode
@@ -235,7 +291,6 @@ def make_partition_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
 def encode_postings(
     spark: SparkSession,
     salted: DataFrame,
-    avgdl: float,
     buckets: int,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
@@ -252,7 +307,7 @@ def encode_postings(
     return (
         salted.repartition(enc_parts, "bucket", "salt")
         .sortWithinPartitions("bucket", "term", "salt", "doc_id")
-        .mapInPandas(make_partition_encoder(avgdl, block_size), POSTINGS_SCHEMA)
+        .mapInPandas(make_partition_encoder(block_size), POSTINGS_SCHEMA)
     )
 
 
@@ -292,19 +347,52 @@ def bucket_col(term_col, buckets: int):
     return F.pmod(F.crc32(F.encode(term_col, "UTF-8")), F.lit(buckets)).cast("int")
 
 
+DOC_DIM_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts"]
+
+
+def _doc_dim_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("doc_id", pa.int64()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+        ("dl", pa.int64()),
+        ("dl_q", pa.int32()),
+        ("dl_d", pa.float64()),
+    ])
+
+
 def make_flush_kernel(
-    avgdl: float,
     buckets: int,
     salt_buckets: int,
     hot_terms: list[str],
     block_size: int = BLOCK_SIZE,
+    positions: bool = False,
+    doc_dim_dir: str | None = None,
 ):
-    """mapInPandas kernel over (doc_id, dl_q, text) partitions → partial
-    posting block rows for that partition's docID range.
+    """mapInPandas kernel over doc partitions → partial posting block rows
+    for that partition's docID range.
 
     Tokenization here is the pinned analyzer contract (analysis.tokenize_py):
     lowercase + [a-z0-9]+ runs. Salting of hot terms happens at flush so the
     downstream shuffle key (bucket, salt) splits them S ways.
+
+    positions=True additionally records each occurrence's within-doc token
+    ordinal (0-based over the analyzer's token list) into the block `pos`
+    payload — the input to phrase queries (Lucene .prx analog).
+
+    doc_dim_dir (the ONE-pass build): the kernel side-writes this partition's
+    doc_dim slice (meta cols + exact dl + quantized norms, computed from the
+    token counts the flush derives anyway) as a deterministic
+    ``part-{pid:05d}.parquet`` (written via temp + atomic rename, so task
+    retries simply recompute identical bytes). With the block impacts now
+    avgdl-free, this makes the whole build read the corpus text exactly ONCE
+    — at 10^12 turns, each avoided pass is a full 100 TB scan. On an object
+    store, route this through a task-commit protocol instead of rename.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -312,6 +400,7 @@ def make_flush_kernel(
     hot = set(hot_terms)
 
     def flush(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dd_parts: list = []
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -337,10 +426,10 @@ def make_flush_kernel(
             # regexp_count dl (count of maximal [a-z0-9]+ runs) — quantized
             # in-kernel, so the flush lineage ships only (doc_id, text)
             empty_code = np.flatnonzero(uniq == "")
+            doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=doc_off[1:])
             if len(empty_code):
                 keep = codes != empty_code[0]
-                doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
-                np.cumsum(lens, out=doc_off[1:])
                 # exact per-doc kept-token count via prefix-sum difference:
                 # immune to reduceat's empty-segment aliasing AND to trailing
                 # zero-length docs (NULL texts at the batch tail), where a
@@ -349,12 +438,37 @@ def make_flush_kernel(
                 kcum = np.zeros(len(codes) + 1, dtype=np.int64)
                 np.cumsum(keep, out=kcum[1:])
                 dl = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
+                if positions:
+                    # ordinal among KEPT tokens within the doc ("" split
+                    # artifacts are separators, not tokens — they consume no
+                    # position, matching tokenize_py's token list)
+                    pos = (
+                        kcum[:-1] - np.repeat(kcum[doc_off[:-1]], lens)
+                    )[keep]
                 codes, d_rep = codes[keep], d_rep[keep]
             else:
                 dl = lens
+                if positions:
+                    pos = np.arange(len(codes), dtype=np.int64) - np.repeat(
+                        doc_off[:-1], lens
+                    )
+            q_per_doc = quantize_dl_np(np.maximum(dl, 0))
+            if doc_dim_dir is not None:
+                dd_parts.append(
+                    pa.table(
+                        {
+                            **{
+                                c: pa.array(pdf[c], from_pandas=True)
+                                for c in DOC_DIM_COLS
+                            },
+                            "dl": pa.array(dl),
+                            "dl_q": pa.array(q_per_doc.astype(np.int32)),
+                            "dl_d": pa.array(dequantize_dl_np(q_per_doc)),
+                        }
+                    ).cast(_doc_dim_schema())
+                )
             if not len(codes):
                 continue
-            q_per_doc = quantize_dl_np(np.maximum(dl, 0))
             q_rep = np.repeat(q_per_doc, dl)
             u_bucket = bucket_of_terms(uniq, buckets)
             if hot:
@@ -377,17 +491,32 @@ def make_flush_kernel(
                 d_rep[order],
                 np.ones(len(order), dtype=np.int64),
                 q_rep[order],
-                avgdl,
                 block_size,
                 term_codes=cs,
+                # lexsort is stable and input rows arrive (doc asc, pos asc),
+                # so each (term, doc) run's occurrence positions stay ascending
+                positions=pos[order] if positions else None,
             )
             out["term"] = uniq[out["term"].to_numpy().astype(np.int64)]
             yield out
+        if doc_dim_dir is not None and dd_parts:
+            import os
+            import uuid as _uuid
+
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(doc_dim_dir, exist_ok=True)
+            final = os.path.join(doc_dim_dir, f"part-{pid:05d}.parquet")
+            tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
+            pq.write_table(pa.concat_tables(dd_parts), tmp, compression="snappy")
+            os.replace(tmp, final)
 
     return flush
 
 
-def make_merge_kernel(avgdl: float, block_size: int = BLOCK_SIZE):
+def make_merge_kernel(block_size: int = BLOCK_SIZE):
     """mapInPandas kernel over partial-block partitions PRE-SORTED by
     (bucket, term, salt, first_doc): batch-decode the blocks, and re-encode
     each (term, salt) group's concatenated postings into final BLOCK_SIZE
@@ -403,6 +532,9 @@ def make_merge_kernel(avgdl: float, block_size: int = BLOCK_SIZE):
         gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
         tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
         dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+        pos_bufs = list(pdf["pos"]) if "pos" in pdf.columns else []
+        positional = any(len(b) for b in pos_bufs)
+        pos_vals = unpack_u64_blocks(pos_bufs)[0] if positional else None
         starts = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
         cs = np.cumsum(gaps, dtype=np.uint64)
@@ -420,9 +552,12 @@ def make_merge_kernel(avgdl: float, block_size: int = BLOCK_SIZE):
             (cs - anchor + first).astype(np.int64),
             tfs.astype(np.int64),
             dlqs.astype(np.int64),
-            avgdl,
             block_size,
             term_codes=np.repeat(tc, counts),
+            # partial blocks concat in first_doc order, so the occurrence
+            # streams concat in (doc, position) order too
+            positions=pos_vals,
+            occ_counts=tfs.astype(np.int64) if positional else None,
         )
         out["term"] = uniq_terms[rep[out["term"].to_numpy().astype(np.int64)]]
         return out
@@ -458,7 +593,6 @@ def make_merge_kernel(avgdl: float, block_size: int = BLOCK_SIZE):
 def merge_partials(
     spark: SparkSession,
     partials: DataFrame,
-    avgdl: float,
     buckets: int,
     block_size: int = BLOCK_SIZE,
     reblock: bool = False,
@@ -481,7 +615,7 @@ def merge_partials(
     )
     if not reblock:
         return co
-    return co.mapInPandas(make_merge_kernel(avgdl, block_size), POSTINGS_SCHEMA)
+    return co.mapInPandas(make_merge_kernel(block_size), POSTINGS_SCHEMA)
 
 
 def prepare_docs(
@@ -598,6 +732,7 @@ def build_segment(
     block_size: int = BLOCK_SIZE,
     run_id: str | None = None,
     bucket_groups: int = 1,
+    positions: bool = False,
     _fail_after_groups: int | None = None,
 ) -> dict:
     """Build + commit one segment; returns its manifest entry.
@@ -614,7 +749,7 @@ def build_segment(
       dirs are on disk) are SKIPPED — only the remaining groups are written
       (dynamic partition overwrite preserves the committed ones). Sound
       because every input to a bucket's bytes is a deterministic function of
-      (input, params): docIDs (sorted probe / rank order), avgdl, the seeded
+      (input, params): docIDs (sorted probe / rank order) and the seeded
       hot-term sample. The merged block set is persisted to executor disk for
       the duration of the multi-write so the flush+shuffle runs once per
       attempt, not once per group.
@@ -628,8 +763,10 @@ def build_segment(
         return next(s for s in existing if s["id"] == segment_id)
     if existing:
         # bucket layout must agree across segments: the query planner prunes
-        # partitions with one term→bucket map for the whole index
+        # partitions with one term→bucket map for the whole index; the
+        # positional flag likewise (phrase queries need EVERY segment's pos)
         buckets = existing[0]["buckets"]
+        positions = bool(existing[0].get("positions", False))
     run_id = run_id or uuid.uuid4().hex[:12]
     doc_base = cat.next_doc_base()
     import time as _time
@@ -637,53 +774,84 @@ def build_segment(
     timings: dict[str, float] = {}
     _t = _time.perf_counter()
 
-    docs, _cached = prepare_docs(transcripts, doc_base, return_cached=True)
+    # docID assignment needs only the sort keys (sorted-scan probe or cached
+    # rank fallback) — no text is read here.
+    docs, _cached = assign_doc_ids(transcripts, return_cached=True)
+    if doc_base:
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    # row count for the hot-term threshold: parquet-footer-cheap, no text
+    # scan. (Using total rows instead of dl>0 docs only *lowers* the salting
+    # threshold slightly — salting a near-hot term is harmless.)
+    n_rows = transcripts.count()
+    timings["doc_ids_count"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # doc_dim: ord↔docID map + norms (reference ordToDoc,
-    # CuVS2510GPUVectorsReader.java:385; Lucene norms, SmallFloat-quantized).
-    # This is full-text pass #1 (dl via one regexp_count scan); global stats
-    # are then aggregated from the WRITTEN doc_dim (a column-pruned dl scan,
-    # metadata-cheap) instead of a second full-corpus pass — at 10^12 turns
-    # every avoided pass is a full table scan.
-    docs.select(
-        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "dl_q", "dl_d"
-    ).write.mode("overwrite").parquet(cat.doc_dim_path(segment_id))
-    timings["doc_dim_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-
-    stats = spark.read.parquet(cat.doc_dim_path(segment_id)).agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ).collect()[0]
-    total_rows, n_docs, sum_dl = stats["total_rows"], int(stats["n_docs"]), int(stats["sum_dl"] or 0)
-    avgdl = sum_dl / n_docs if n_docs else 1.0
-    timings["docs_stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-
-    hot = detect_hot_terms(docs, n_docs, hot_df_ratio, hot_sample_fraction)
+    hot = detect_hot_terms(docs, n_rows, hot_df_ratio, hot_sample_fraction)
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # Warm executor Python workers (imports + package zipimport + first
     # Arrow roundtrip) with a tiny flush before the full pass: measured on
     # a cold 16-core session this turns a one-time ~60 s stall into ~3 s.
     # On a real cluster the same pre-pass warms every executor's workers.
-    # Full-text pass #2: ship only (doc_id, text) — dl/dl_q are derived
-    # in-kernel from the token counts the flush computes anyway.
-    src = docs.select("doc_id", "text")
-    flush_kernel = make_flush_kernel(avgdl, buckets, salt_buckets, hot, block_size)
+    # (No doc_dim_dir here — the warmup slice must not leave part files.)
+    src = docs.select(*DOC_DIM_COLS, "text")
+    warm_kernel = make_flush_kernel(
+        buckets, salt_buckets, hot, block_size, positions=positions
+    )
     (
         src.limit(2048)
         .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(flush_kernel, POSTINGS_SCHEMA)
+        .mapInPandas(warm_kernel, POSTINGS_SCHEMA)
         .count()
     )
     timings["worker_warmup"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # flush (narrow, tokens never leave Python) → ONE wide shuffle of
-    # compressed partial blocks keyed (bucket, salt) → merge (narrow)
+    # THE one text pass: flush (narrow; tokens never leave Python; doc_dim
+    # side-written per partition) → ONE wide shuffle of compressed partial
+    # blocks keyed (bucket, salt) → merge (narrow). Avgdl-free impacts make
+    # the no-prior-stats pass possible; global stats come afterwards from the
+    # written doc_dim (a column-pruned scan of two int columns).
+    done = (
+        _committed_buckets(spark, cat, segment_id, buckets)
+        if bucket_groups > 1
+        else set()
+    )
+    if not done:
+        # fresh attempt (not a bucket-level resume): clear any stale doc_dim
+        # parts from a differently-partitioned dead attempt
+        import shutil as _shutil
+
+        _shutil.rmtree(cat.doc_dim_path(segment_id), ignore_errors=True)
+    flush_kernel = make_flush_kernel(
+        buckets, salt_buckets, hot, block_size, positions=positions,
+        doc_dim_dir=cat.doc_dim_path(segment_id),
+    )
     partials = src.mapInPandas(flush_kernel, POSTINGS_SCHEMA)
-    blocks = merge_partials(spark, partials, avgdl, buckets, block_size, reblock=True)
+    blocks = merge_partials(spark, partials, buckets, block_size, reblock=True)
+
+    _stat_box: dict = {}
+
+    def _stats() -> dict:
+        """Global stats from the flush-written doc_dim (column-pruned scan of
+        one int column + footer counts) — available after the FIRST postings
+        write action, which materializes the flush stage."""
+        if not _stat_box:
+            row = spark.read.parquet(cat.doc_dim_path(segment_id)).agg(
+                F.count(F.lit(1)).alias("total_rows"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            ).collect()[0]
+            n_docs = int(row["n_docs"] or 0)
+            sum_dl = int(row["sum_dl"] or 0)
+            _stat_box.update(
+                total_rows=int(row["total_rows"]),
+                n_docs=n_docs,
+                sum_dl=sum_dl,
+                avgdl=sum_dl / n_docs if n_docs else 1.0,
+            )
+        return _stat_box
 
     def _lineage_for(bucket_list: list[int]) -> None:
+        n_docs = _stats()["n_docs"]
         try:
             per_bucket = (
                 spark.read.option("basePath", cat.postings_path(segment_id))
@@ -721,7 +889,6 @@ def build_segment(
         timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
         _lineage_for(list(range(buckets)))
     else:
-        done = _committed_buckets(spark, cat, segment_id, buckets)
         all_b = list(range(buckets))
         size = -(-buckets // bucket_groups)
         groups = [all_b[i:i + size] for i in range(0, buckets, size)]
@@ -761,17 +928,20 @@ def build_segment(
         F.sum("cf").alias("cf"),
         F.count(F.lit(1)).alias("n_blocks"),
     ).write.mode("overwrite").parquet(cat.dictionary_path(segment_id))
-    timings["dict_lineage"] = _time.perf_counter() - _t
+    timings["dict_lineage"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
+    st = _stats()
+    timings["stats"] = _time.perf_counter() - _t
     seg_meta = {
         "id": segment_id,
         "doc_base": doc_base,
-        "total_rows": int(total_rows),
-        "n_docs": n_docs,
-        "sum_dl": sum_dl,
-        "avgdl_local": avgdl,
+        "total_rows": st["total_rows"],
+        "n_docs": st["n_docs"],
+        "sum_dl": st["sum_dl"],
+        "avgdl_local": st["avgdl"],
         "buckets": buckets,
         "hot_terms": len(hot),
+        "positions": positions,
         "run_id": run_id,
         "timings": {k: round(v, 2) for k, v in timings.items()},
     }

@@ -42,37 +42,50 @@ from cuvs_lucene_spark.operators.deletes import (
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, dl_q int"
+DECODED_SCHEMA_POS = DECODED_SCHEMA + ", pos array<long>"
 
 
-def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Posting block rows → flat (term, doc_id, tf, dl_q) rows (Arrow-batched,
-    one unpackbits per width class via unpack_u64_blocks — no per-row loop)."""
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
-        tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
-        dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
-        starts = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        cs = np.cumsum(gaps, dtype=np.uint64)
-        anchor = np.repeat(cs[starts[:-1]], counts)
-        first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
-        yield pd.DataFrame(
-            {
+def _make_decode_kernel(positional: bool):
+    def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Posting block rows → flat (term, doc_id, tf, dl_q[, pos]) rows
+        (Arrow-batched, one unpackbits per width class via unpack_u64_blocks —
+        no per-row loop; the per-posting position slices are numpy views)."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
+            tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
+            dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            cs = np.cumsum(gaps, dtype=np.uint64)
+            anchor = np.repeat(cs[starts[:-1]], counts)
+            first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
+            out = {
                 "term": np.repeat(pdf["term"].to_numpy(), counts),
                 "doc_id": (cs - anchor + first).astype(np.int64),
                 "tf": tfs.astype(np.int64),
                 "dl_q": dlqs.astype(np.int32),
             }
-        )
+            if positional:
+                pos_vals = unpack_u64_blocks(list(pdf["pos"]))[0].astype(np.int64)
+                out["pos"] = np.split(pos_vals, np.cumsum(tfs)[:-1].astype(np.int64))
+            yield pd.DataFrame(out)
+
+    return _decode_kernel
 
 
-def decode_postings(postings: DataFrame) -> DataFrame:
-    """Decode block rows back to per-posting rows (the M3 'raw values' source)."""
-    return postings.select(
-        "term", "first_doc", "doc_gaps", "tfs", "dls"
-    ).mapInPandas(_decode_kernel, DECODED_SCHEMA)
+def decode_postings(postings: DataFrame, positional: bool = False) -> DataFrame:
+    """Decode block rows back to per-posting rows (the M3 'raw values' source).
+    positional=True carries each posting's within-doc positions as an array
+    column so compaction preserves the phrase payload."""
+    cols = ["term", "first_doc", "doc_gaps", "tfs", "dls"] + (
+        ["pos"] if positional else []
+    )
+    return postings.select(*cols).mapInPandas(
+        _make_decode_kernel(positional),
+        DECODED_SCHEMA_POS if positional else DECODED_SCHEMA,
+    )
 
 
 def compact(
@@ -104,6 +117,7 @@ def compact(
     old_ids = [s["id"] for s in segs]
     new_id = max(old_ids) + 1
     buckets = segs[0]["buckets"]
+    positional = bool(segs[0].get("positions", False))
 
     del_ids = deleted_doc_ids(spark, index_dir) if deletes else None
 
@@ -123,7 +137,7 @@ def compact(
     dd.write.mode("overwrite").parquet(cat.doc_dim_path(new_id))
 
     # live postings, decoded (blocks are self-contained: no source table read)
-    tf = decode_postings(cat.read_postings(spark))
+    tf = decode_postings(cat.read_postings(spark), positional=positional)
     if del_ids is not None:
         tf = tf.join(F.broadcast(del_ids), "doc_id", "left_anti")
 
@@ -150,7 +164,7 @@ def compact(
         "bucket", bucket_col(F.col("term"), buckets)
     )
 
-    blocks = encode_postings(spark, salted, avgdl, buckets, block_size)
+    blocks = encode_postings(spark, salted, buckets, block_size)
     blocks.write.mode("overwrite").partitionBy("bucket").parquet(
         cat.postings_path(new_id)
     )
@@ -189,6 +203,7 @@ def compact(
         "avgdl_local": avgdl,
         "buckets": buckets,
         "hot_terms": len(hot),
+        "positions": positional,
         "run_id": run_id,
         "compacted_from": old_ids,
     }

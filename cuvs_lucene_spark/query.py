@@ -277,6 +277,169 @@ def _finish(
     return F.broadcast(topk).join(dd, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+PHRASE_OCC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("slot", IntegerType()),  # index into the phrase's token list
+        StructField("adj", LongType()),      # position - slot (phrase anchor)
+        StructField("dl_d", DoubleType()),   # dequantized norm (same for a doc)
+    ]
+)
+
+
+def make_phrase_occ_kernel(slot_of_term: dict[str, list[int]]):
+    """mapInPandas kernel: positional posting blocks → anchor-adjusted
+    occurrence rows. An occurrence of the term filling phrase slot i at
+    position p contributes (doc, slot=i, adj=p-i): a phrase match at anchor a
+    is exactly a (doc, a) group containing every slot 0..n-1 (Lucene
+    ExactPhraseMatcher's advance-to-alignment, re-expressed as one groupBy).
+    Occurrences are expanded once per slot their term fills (repeated-term
+    phrases like "a b a" fan out ≤ phrase-length ways)."""
+
+    def occ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
+            tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
+            dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
+            pos, _ = unpack_u64_blocks(list(pdf["pos"]))
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            cs = np.cumsum(gaps, dtype=np.uint64)
+            anchor = np.repeat(cs[starts[:-1]], counts)
+            first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
+            doc_ids = (cs - anchor + first).astype(np.int64)
+            dl_d = dequantize_dl_np(dlqs.astype(np.int64))
+            # occurrence-level expansion of the per-posting arrays
+            tfs64 = tfs.astype(np.int64)
+            o_doc = np.repeat(doc_ids, tfs64)
+            o_dl = np.repeat(dl_d, tfs64)
+            # occurrence → block (for the term), via posting → block
+            blk_of_post = np.repeat(np.arange(len(counts)), counts)
+            o_blk = np.repeat(blk_of_post, tfs64)
+            terms = pdf["term"].to_numpy()
+            outs = []
+            for term, slots in slot_of_term.items():
+                tmask = (terms == term)[o_blk]
+                if not tmask.any():
+                    continue
+                p = pos[tmask].astype(np.int64)
+                d = o_doc[tmask]
+                dl = o_dl[tmask]
+                for s in slots:
+                    adj = p - s
+                    keep = adj >= 0  # slot s needs s tokens before it
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": d[keep],
+                                "slot": np.full(int(keep.sum()), s, dtype=np.int32),
+                                "adj": adj[keep],
+                                "dl_d": dl[keep],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return occ
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+) -> DataFrame:
+    """Top-k exact-phrase BM25 search (Lucene PhraseQuery, slop=0).
+
+    Requires an index built with positions=True (build_segment). Scoring
+    follows Lucene's PhraseWeight: tf = number of exact phrase occurrences
+    in the doc (pf), idf = SUM of the slot terms' idfs (repeated terms count
+    once per slot), norm = the document's usual dl — i.e. the phrase scores
+    like a pseudo-term with frequency pf:
+        score = Σ_slots idf(t_slot) · pf / (pf + k1·(1-b+b·dl/avgdl))
+
+    Plan shape (one bucket+term-pruned scan, two shuffles on doc-keys):
+      postings(terms ∪, pruned) → occurrence kernel (adj = pos - slot)
+      → groupBy(doc, adj): anchor is a match iff all n slots present
+      → groupBy(doc): pf = #anchors → JVM score expr → top-k.
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    slots = tokenize_py(phrase)
+    if k <= 0 or not slots or rd.n_docs == 0 or not rd.manifest["segments"]:
+        return empty
+    if not all(s.get("positions", False) for s in rd.manifest["segments"]):
+        raise ValueError(
+            "phrase search requires an index built with positions=True"
+        )
+    k = min(k, rd.n_docs)
+    distinct = sorted(set(slots))
+    stats = rd.term_stats(distinct)
+    if any(stats.get(t, (0, 0))[0] == 0 for t in distinct):
+        return empty  # a phrase term absent from the corpus ⇒ no match
+    idf_sum = float(sum(rd.idf(stats[t][0]) for t in slots))
+
+    slot_of_term: dict[str, list[int]] = {}
+    for i, t in enumerate(slots):
+        slot_of_term.setdefault(t, []).append(i)
+
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
+        & F.col("term").isin(distinct)
+    )
+    occ = postings.mapInPandas(
+        make_phrase_occ_kernel(slot_of_term), PHRASE_OCC_SCHEMA
+    )
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        occ = occ.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+
+    n = len(slots)
+    # (doc, slot, adj) rows are unique (a slot's term occupies a position at
+    # most once), so count(*) == count(distinct slot)
+    anchors = (
+        occ.groupBy("doc_id", "adj")
+        .agg(F.count(F.lit(1)).alias("ns"), F.max("dl_d").alias("dl_d"))
+        .where(F.col("ns") == F.lit(n))
+    )
+    pf = anchors.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
+    )
+    kf = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(rd.avgdl)
+    )
+    scored = pf.select(
+        "doc_id",
+        (F.lit(idf_sum) * F.col("pf").cast("double")
+         / (F.col("pf").cast("double") + kf)).alias("score_d"),
+    )
+    topk = (
+        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def _prune_blocks(
     spark: SparkSession,
     rd: IndexReader,

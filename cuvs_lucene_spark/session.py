@@ -37,7 +37,14 @@ def get_spark(
     app: str = "cuvs-lucene-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
+    executor_mem: str | None = None,
 ) -> SparkSession:
+    """`master` overrides the default ``local[cpus]`` — pass
+    ``local-cluster[n,c,mem_mb]`` to run n SEPARATE executor JVMs of c cores
+    each (the faithful single-box surrogate for an n-executor cluster: per-
+    executor heaps, shuffle over netty between processes, isolated GC).
+    `cpus` should then be n·c so shuffle partitioning still matches."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
     # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present — the
@@ -47,18 +54,28 @@ def get_spark(
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if not local_dir and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
+    builder = SparkSession.builder.master(master or f"local[{cpus}]").appName(app)
+    if executor_mem:
+        builder = builder.config("spark.executor.memory", executor_mem)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Large Arrow batches: the partition-level encoder kernel is ~3x
-        # faster at 128k-row batches than 10k (per-batch Python/pandas
-        # overhead amortizes); memory per batch stays < 10 MB.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # Arrow batch sizing is a measured cache-residency tradeoff: the
+        # flush kernel's intermediates (token list array, dictionary, codes)
+        # are ~5-10x the text bytes, so at 128k rows they blow the L2/L3
+        # budget of every concurrent worker and the build goes DRAM-bound
+        # (measured: bench-tier build at 16 cores = 86 s / 1102 CPU-s at
+        # 131072 vs 40 s / 490 CPU-s at 8192 — the CPU inflation is
+        # busy-stalled cycles). 8k rows keeps per-batch state cache-resident
+        # while still amortizing the per-batch Python overhead.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"),
+        )
         # 16m split size: the sandbox corpora are single few-hundred-MB
         # parquet files; 128m splits would cap scan/flush parallelism at 2-3
         # tasks regardless of cores. On a real multi-file 100 TB table set

@@ -107,7 +107,7 @@ def test_flush_kernel_null_tail_batch():
             "text": [" punct leads", "tail ends alnum", None, "", None],
         }
     )
-    kern = make_flush_kernel(avgdl=2.5, buckets=8, salt_buckets=4, hot_terms=[])
+    kern = make_flush_kernel(buckets=8, salt_buckets=4, hot_terms=[])
     out = pd.concat(list(kern(iter([pdf]))), ignore_index=True)
     # 2 distinct terms in doc0 + 3 in doc1 = 5 postings total
     assert int(out["doc_count"].sum()) == 5
@@ -132,7 +132,7 @@ def test_flush_kernel_all_null_batch():
     from cuvs_lucene_spark.operators.build import make_flush_kernel
 
     pdf = pd.DataFrame({"doc_id": [7, 8], "text": [None, " ,;"]})
-    kern = make_flush_kernel(avgdl=2.0, buckets=8, salt_buckets=4, hot_terms=[])
+    kern = make_flush_kernel(buckets=8, salt_buckets=4, hot_terms=[])
     outs = list(kern(iter([pdf])))
     assert sum(int(o["doc_count"].sum()) for o in outs) == 0
 

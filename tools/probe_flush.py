@@ -41,9 +41,9 @@ def main() -> None:
     def partials():
         return (
             docs.where(F.col("dl") > 0)
-            .select("doc_id", "dl_q", "text")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text")
             .mapInPandas(
-                make_flush_kernel(avgdl, 64, 8, hot), POSTINGS_SCHEMA
+                make_flush_kernel(64, 8, hot), POSTINGS_SCHEMA
             )
         )
 
@@ -52,18 +52,18 @@ def main() -> None:
     t["flush_only"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    nb = merge_partials(spark, partials(), avgdl, 64).count()
+    nb = merge_partials(spark, partials(), 64).count()
     t["flush_merge"] = round(time.perf_counter() - t0, 2)
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out = f"{base}/cuvs_fp_{uuid.uuid4().hex[:6]}"
     t0 = time.perf_counter()
-    merge_partials(spark, partials(), avgdl, 64).write.mode("overwrite").parquet(out)
+    merge_partials(spark, partials(), 64).write.mode("overwrite").parquet(out)
     t["write_flat"] = round(time.perf_counter() - t0, 2)
     shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.perf_counter()
-    merge_partials(spark, partials(), avgdl, 64).write.mode("overwrite").partitionBy(
+    merge_partials(spark, partials(), 64).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(out)
     t["write_partitioned"] = round(time.perf_counter() - t0, 2)

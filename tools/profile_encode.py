@@ -78,14 +78,14 @@ def main() -> None:
     t["B_shuffle_sort_arrow"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    blocks = encode_postings(spark, tokens, avgdl, 64)
+    blocks = encode_postings(spark, tokens, 64)
     n_blocks = blocks.count()
     t["C_full_encode"] = round(time.perf_counter() - t0, 2)
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out = f"{base}/cuvs_encprof_{uuid.uuid4().hex[:8]}"
     t0 = time.perf_counter()
-    encode_postings(spark, tokens, avgdl, 64).write.mode("overwrite").partitionBy(
+    encode_postings(spark, tokens, 64).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(out)
     t["D_encode_write"] = round(time.perf_counter() - t0, 2)
