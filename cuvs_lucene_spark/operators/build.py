@@ -500,18 +500,19 @@ def make_flush_kernel(
             out["term"] = uniq[out["term"].to_numpy().astype(np.int64)]
             yield out
         if doc_dim_dir is not None and dd_parts:
-            import os
-            import uuid as _uuid
-
-            import pyarrow.parquet as pq
             from pyspark import TaskContext
 
+            from cuvs_lucene_spark.sources import fs
+
+            # deterministic part name keyed by partition id → retried or
+            # speculative tasks converge on identical content (kernel-side
+            # output-committer; works on any pyarrow.fs scheme)
             pid = TaskContext.get().partitionId()
-            os.makedirs(doc_dim_dir, exist_ok=True)
-            final = os.path.join(doc_dim_dir, f"part-{pid:05d}.parquet")
-            tmp = final + f".tmp-{_uuid.uuid4().hex[:8]}"
-            pq.write_table(pa.concat_tables(dd_parts), tmp, compression="snappy")
-            os.replace(tmp, final)
+            fs.mkdirs(doc_dim_dir)
+            fs.write_parquet_atomic(
+                pa.concat_tables(dd_parts),
+                fs.join(doc_dim_dir, f"part-{pid:05d}.parquet"),
+            )
 
     return flush
 
@@ -691,9 +692,9 @@ def _committed_buckets(
     different bucket layout (any id outside range(buckets)) is ignored
     wholesale; buckets with postings are additionally required to have their
     partition dir on disk."""
-    import os
+    from cuvs_lucene_spark.sources import fs
 
-    if not os.path.isdir(cat.lineage_path()):
+    if not fs.isdir(cat.lineage_path()):
         return set()
     try:
         rows = (
@@ -715,7 +716,7 @@ def _committed_buckets(
     return {
         b
         for b, n in done.items()
-        if n == 0 or os.path.isdir(os.path.join(pdir, f"bucket={b}"))
+        if n == 0 or fs.isdir(fs.join(pdir, f"bucket={b}"))
     }
 
 
@@ -818,9 +819,9 @@ def build_segment(
     if not done:
         # fresh attempt (not a bucket-level resume): clear any stale doc_dim
         # parts from a differently-partitioned dead attempt
-        import shutil as _shutil
+        from cuvs_lucene_spark.sources import fs as _fs
 
-        _shutil.rmtree(cat.doc_dim_path(segment_id), ignore_errors=True)
+        _fs.delete_dir(cat.doc_dim_path(segment_id))
     flush_kernel = make_flush_kernel(
         buckets, salt_buckets, hot, block_size, positions=positions,
         doc_dim_dir=cat.doc_dim_path(segment_id),

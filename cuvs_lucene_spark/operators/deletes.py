@@ -15,23 +15,21 @@ until the segments holding them are merged — we replicate exactly that:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuvs_lucene_spark.sources import fs
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 DELETES_SCHEMA = "conv_id string, turn_idx int, deleted_at timestamp"
 
 
 def deletes_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "deletes")
+    return fs.join(index_dir, "deletes")
 
 
 def has_deletes(index_dir: str) -> bool:
-    p = deletes_path(index_dir)
-    return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+    return any(f.endswith(".parquet") for f in fs.listdir(deletes_path(index_dir)))
 
 
 def delete_docs(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
@@ -78,6 +76,4 @@ def deleted_doc_ids(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 def clear_deletes(index_dir: str) -> None:
     """Drop the tombstone table (called after compaction purges them)."""
-    import shutil
-
-    shutil.rmtree(deletes_path(index_dir), ignore_errors=True)
+    fs.delete_dir(deletes_path(index_dir))

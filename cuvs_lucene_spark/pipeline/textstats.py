@@ -11,6 +11,7 @@ has an ANSI-SQL twin for the DuckDB oracle (same constants, same regexes).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,18 +140,86 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # polynomial rolling-hash fingerprint over normalized chars, mod 2^31-1
 # (Karp–Rabin; multiplier 31). 31·acc + code stays < 2^36 — no int64 overflow.
 _FP_MOD = 2_147_483_647
+_POW_SHIFT = 12  # pow tables split the exponent as (hi << 12) | lo
+
+# per-worker memoized power tables: lo[b] = 31^b mod p (b < 4096),
+# hi[a] = 31^(4096·a) mod p, extended on demand
+_POW_CACHE: dict[str, "np.ndarray"] = {}
 
 
-def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    chars = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "")
-    return docs.withColumn(
-        "fingerprint",
-        F.aggregate(
-            chars,
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 31 + F.ascii(ch)) % _FP_MOD,
-        ),
-    )
+def _pow31(exp: "np.ndarray") -> "np.ndarray":
+    """Vectorized 31^exp mod p via two memoized tables (both values < p, so
+    their int64 product < 2^62 — no overflow)."""
+    import numpy as np
+
+    if "lo" not in _POW_CACHE:
+        lo = np.empty(1 << _POW_SHIFT, dtype=np.int64)
+        v = 1
+        for i in range(len(lo)):
+            lo[i] = v
+            v = (v * 31) % _FP_MOD
+        _POW_CACHE["lo"] = lo
+        _POW_CACHE["hi"] = np.array([1], dtype=np.int64)
+    need = int(exp.max()) >> _POW_SHIFT
+    hi = _POW_CACHE["hi"]
+    if need >= len(hi):
+        step = pow(31, 1 << _POW_SHIFT, _FP_MOD)
+        ext = np.empty(need + 1, dtype=np.int64)
+        ext[: len(hi)] = hi
+        v = int(hi[-1])
+        for i in range(len(hi), need + 1):
+            v = (v * step) % _FP_MOD
+            ext[i] = v
+        hi = _POW_CACHE["hi"] = ext
+    return (hi[exp >> _POW_SHIFT] * _POW_CACHE["lo"][exp & ((1 << _POW_SHIFT) - 1)]) % _FP_MOD
+
+
+def with_fingerprint(
+    docs: DataFrame, text_col: str = "text", impl: str = "arrow"
+) -> DataFrame:
+    """h = Σ code_i·31^(n-1-i) mod p over lower(text) codepoints (≡ the
+    left fold (acc·31 + code) % p; empty/NULL → 0).
+
+    impl='arrow' (default): Arrow-batched numpy kernel — one utf-32 decode of
+    the whole batch, vectorized power/multiply/prefix-sum, no per-char work
+    in any interpreter. impl='expr': the Catalyst higher-order-aggregate
+    twin — same values, kept as the pure-JVM-plan reference.
+    """
+    if impl == "expr":
+        chars = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "")
+        return docs.withColumn(
+            "fingerprint",
+            F.aggregate(
+                chars,
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * 31 + F.ascii(ch)) % _FP_MOD,
+            ),
+        )
+
+    @F.pandas_udf("long")
+    def fp(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        lowered = [(x or "").lower() for x in col]
+        lens = np.fromiter(
+            (len(x) for x in lowered), dtype=np.int64, count=len(lowered)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(lowered), dtype=np.int64))
+        codes = np.frombuffer(
+            "".join(lowered).encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        # char's exponent = (its doc's end offset - 1) - its global position
+        exp = np.repeat(off[1:], lens) - 1 - np.arange(total, dtype=np.int64)
+        terms = (codes * _pow31(exp)) % _FP_MOD  # codes < 2^21, pow < 2^31
+        csum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(terms, out=csum[1:])  # < batch_chars·2^31 ≪ 2^63
+        return pd.Series((csum[off[1:]] - csum[off[:-1]]) % _FP_MOD)
+
+    return docs.withColumn("fingerprint", fp(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -4,11 +4,14 @@ Plays the role of the reference's two-file meta+payload layout with versioned
 headers and checksummed footers (``CuVS2510GPUVectorsFormat.java:39-42``,
 ``CuVS2510GPUVectorsWriter.java:154-165``): in our engine the "payload" is
 parquet posting blocks partitioned by term bucket, and the "meta" is a JSON
-manifest + small parquet side tables. In production these are Iceberg tables
-(snapshot = commit, ``writeTo(...).append()``); locally we use plain parquet
-directories with an atomically-renamed manifest as the snapshot pointer —
-the same commit protocol shape (write data → write meta → atomic pointer
-swap, cf. ``finish()`` end-marker at ``CuVS2510GPUVectorsWriter.java:521-537``).
+manifest + small parquet side tables, with an atomically-moved manifest as
+the snapshot pointer — the same commit protocol shape (write data → write
+meta → atomic pointer swap, cf. ``finish()`` end-marker at
+``CuVS2510GPUVectorsWriter.java:521-537``). ``index_dir`` may be a local
+path or any filesystem URI both Spark and pyarrow.fs resolve (``file://``,
+``hdfs://``, ``s3://``): tables go through Spark's Hadoop FS layer and the
+manifest/side-files through :mod:`cuvs_lucene_spark.sources.fs`, so the
+same index works on a laptop and against a 1000-executor object store.
 
 Layout:
     <index_dir>/manifest.json                      # snapshot pointer (atomic rename)
@@ -21,12 +24,12 @@ Layout:
 from __future__ import annotations
 
 import json
-import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.sources import fs
 
 MANIFEST = "manifest.json"
 
@@ -53,31 +56,30 @@ LINEAGE_SCHEMA = (
 class IndexCatalog:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        os.makedirs(index_dir, exist_ok=True)
+        fs.mkdirs(index_dir)
 
     # -- paths ---------------------------------------------------------
     def seg_dir(self, sid: int) -> str:
-        return os.path.join(self.index_dir, f"seg={sid}")
+        return fs.join(self.index_dir, f"seg={sid}")
 
     def doc_dim_path(self, sid: int) -> str:
-        return os.path.join(self.seg_dir(sid), "doc_dim")
+        return fs.join(self.seg_dir(sid), "doc_dim")
 
     def postings_path(self, sid: int) -> str:
-        return os.path.join(self.seg_dir(sid), "postings")
+        return fs.join(self.seg_dir(sid), "postings")
 
     def dictionary_path(self, sid: int) -> str:
-        return os.path.join(self.seg_dir(sid), "dictionary")
+        return fs.join(self.seg_dir(sid), "dictionary")
 
     def lineage_path(self) -> str:
-        return os.path.join(self.index_dir, "lineage")
+        return fs.join(self.index_dir, "lineage")
 
     # -- manifest (snapshot pointer) ------------------------------------
     def read_manifest(self) -> dict:
-        p = os.path.join(self.index_dir, MANIFEST)
-        if not os.path.exists(p):
+        p = fs.join(self.index_dir, MANIFEST)
+        if not fs.exists(p):
             return {"segments": [], "version": 0}
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(fs.read_bytes(p))
 
     def _write_manifest(self, m: dict) -> None:
         m["segments"].sort(key=lambda s: s["id"])
@@ -85,10 +87,10 @@ class IndexCatalog:
         m["committed_at"] = time.time()
         m["format_version"] = INDEX_FORMAT_VERSION
         m["codec"] = CODEC_NAME
-        tmp = os.path.join(self.index_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+        fs.write_bytes_atomic(
+            fs.join(self.index_dir, MANIFEST),
+            json.dumps(m, indent=1).encode(),
+        )
 
     def commit_segment(self, seg_meta: dict) -> None:
         """Atomically add a segment to the manifest (idempotent by id)."""
@@ -132,10 +134,10 @@ class IndexCatalog:
                 (self.doc_dim_path(sid), "doc_dim"),
                 (self.dictionary_path(sid), "dictionary"),
             ]:
-                if not os.path.isdir(d):
+                if not fs.isdir(d):
                     raise CorruptIndexError(f"segment {sid}: missing {what} at {d}")
             seen = set()
-            for e in os.listdir(pdir):
+            for e in fs.listdir(pdir):
                 if e.startswith("bucket="):
                     try:
                         seen.add(int(e.split("=", 1)[1]))

@@ -1,0 +1,105 @@
+"""Filesystem boundary for index metadata and kernel side-files.
+
+Every non-Spark-managed byte of the index (manifest JSON, tombstone checks,
+kernel side-written parquet parts, resume probes) goes through pyarrow.fs,
+so an ``index_dir`` may be a plain local path, a ``file://`` URI, or an
+object-store/HDFS URI (``s3://``, ``hdfs://``, ...) — resolved identically
+on the driver and inside executor kernels (no SparkSession/py4j needed).
+Parquet *tables* (postings, doc_dim, dictionary, lineage, deletes) are read
+and written by Spark itself, whose Hadoop FS layer accepts the same URIs;
+this module only covers the small metadata files Spark doesn't manage.
+
+Reference analog: the reference never touches ``java.io.File`` for index
+bytes — everything rides Lucene's Directory/IndexOutput abstraction
+(``CuVS2510GPUVectorsWriter.java:154-165``); this is the same portability
+boundary for our engine.
+
+Atomicity note: ``move`` is a true atomic rename on local/HDFS filesystems.
+On object stores it is copy+delete — not atomic, but safe here because (a)
+manifest swaps are tiny single files whose readers tolerate the old version
+until the copy lands, and (b) kernel part-files use deterministic final
+names, so a speculative/retried task converges on identical content.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+import pyarrow.fs as pafs
+
+
+def join(path: str, *parts: str) -> str:
+    """URI-safe path join (posix semantics work for every scheme we accept)."""
+    return posixpath.join(path, *parts)
+
+
+def resolve(path: str) -> tuple[pafs.FileSystem, str]:
+    """(FileSystem, fs-internal path) for a local path or URI."""
+    return pafs.FileSystem.from_uri(path)
+
+
+def mkdirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def _info(path: str) -> pafs.FileInfo:
+    fs, p = resolve(path)
+    return fs.get_file_info(p)
+
+
+def exists(path: str) -> bool:
+    return _info(path).type != pafs.FileType.NotFound
+
+
+def isdir(path: str) -> bool:
+    return _info(path).type == pafs.FileType.Directory
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of the direct children of ``path`` ([] if absent)."""
+    fs, p = resolve(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return [i.base_name for i in infos]
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    """Write via a same-directory temp file + move (see atomicity note)."""
+    fs, p = resolve(path)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:12]}"
+    with fs.open_output_stream(tmp) as f:
+        f.write(data)
+    fs.move(tmp, p)
+
+
+def delete_dir(path: str) -> None:
+    fs, p = resolve(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def write_parquet_atomic(table, path: str, compression: str = "snappy") -> None:
+    """Executor-safe parquet part write: temp name + move to the final name.
+
+    Deterministic final names (caller includes the partition id) make retried
+    tasks idempotent — the kernel-side analog of Spark's output committer.
+    """
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(path)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:12]}"
+    with fs.open_output_stream(tmp) as f:
+        pq.write_table(table, f, compression=compression)
+    fs.move(tmp, p)

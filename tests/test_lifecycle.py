@@ -270,3 +270,40 @@ class TestReadValidation:
         os.makedirs(os.path.join(IndexCatalog(d).postings_path(0), "bucket=99"))
         with pytest.raises(CorruptIndexError, match="outside range"):
             IndexReader(spark, d)
+
+
+class TestUriIndexDir:
+    """index_dir given as a file:// URI — every byte of the index (Spark
+    tables via the Hadoop FS layer, manifest/side-files via sources.fs) must
+    route through the scheme, and results must be identical to a plain-path
+    build. The local stand-in for hdfs://... and s3://... deployments."""
+
+    @pytest.fixture(scope="class")
+    def uri_index(self, spark, tiny_df, tmp_path_factory):
+        d = "file://" + str(tmp_path_factory.mktemp("idx") / "uri")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        return d
+
+    def test_results_match_plain_path(self, spark, uri_index, tiny_index):
+        for q in QUERIES:
+            assert _topk(spark, uri_index, q) == _topk(spark, tiny_index, q)
+
+    def test_validate_and_stats(self, spark, uri_index):
+        rd = IndexReader(spark, uri_index)  # validate_for_read through the URI
+        assert rd.n_docs > 0
+
+    def test_delete_and_compact_through_uri(self, spark, tiny_df, uri_index):
+        victims = tiny_df.select("conv_id", "turn_idx").orderBy(
+            "conv_id", "turn_idx"
+        ).limit(5)
+        assert delete_docs(spark, uri_index, victims) == 5
+        assert has_deletes(uri_index)
+        gone = {
+            (r["conv_id"], r["turn_idx"]) for r in victims.collect()
+        }
+        for r in search(spark, uri_index, "the", k=50).collect():
+            assert (r["conv_id"], r["turn_idx"]) not in gone
+        compact(spark, uri_index)
+        assert not has_deletes(uri_index)
+        for r in search(spark, uri_index, "the", k=50).collect():
+            assert (r["conv_id"], r["turn_idx"]) not in gone

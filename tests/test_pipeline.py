@@ -183,6 +183,26 @@ class TestTextStats:
         assert [r["fingerprint"] for r in again] == [r["fingerprint"] for r in rows]
 
 
+    def test_fingerprint_impls_identical(self, spark, docs):
+        """The Arrow-batched numpy kernel and the Catalyst fold are pinned
+        equal on real docs plus NULL/empty/unicode/long edge rows."""
+        edge = spark.createDataFrame(
+            [
+                (100000, None),
+                (100001, ""),
+                (100002, "A"),
+                (100003, "\u00fcn\u00efcode \u03a9 text \u0130stanbul"),
+                (100004, "y" * 9001),
+            ],
+            "doc_id long, text string",
+        )
+        d = docs.select("doc_id", "text").unionByName(edge)
+        a = {r["doc_id"]: r["fingerprint"]
+             for r in T.with_fingerprint(d, impl="arrow").collect()}
+        e = {r["doc_id"]: r["fingerprint"]
+             for r in T.with_fingerprint(d, impl="expr").collect()}
+        assert a == e
+
 class TestMultimodal:
     def test_feature_plumbing_matches_local_stub(self, spark, docs):
         assets = M.derive_assets(docs)
