@@ -117,10 +117,46 @@ def shingles_sql(text_col: str, n: int) -> str:
 
 
 def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, n)).alias("sh"),
-    )
+    """(id, sh) rows — one per DISTINCT word n-gram per doc (ids cast long).
+
+    Arrow-batched kernel, not the `shingles_col` Catalyst expression: the
+    higher-order transform/slice tree is interpreted per token position
+    (~1 ms/doc) and gets re-evaluated under every self-join branch, which
+    made shingle extraction the dominant cost of the whole dedup family.
+    Tokenization here is the same Arrow C++ lower→regex-split the index
+    flush kernel uses, byte-identical to `tokenize_col`/`tokenize_sql`.
+    """
+    from cuvs_lucene_spark.analysis import TOKEN_PATTERN
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            texts = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
+            tok_list = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_PATTERN)
+            out_i: list = []
+            out_s: list = []
+            for did, lst in zip(ids, tok_list.to_pylist()):
+                if not lst:
+                    continue  # NULL text
+                toks = [t for t in lst if t]
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                seen = {" ".join(toks[i : i + n]) for i in range(m)}
+                out_i.extend([did] * len(seen))
+                out_s.extend(seen)
+            yield pd.DataFrame(
+                {"id": np.asarray(out_i, dtype=np.int64), "sh": out_s}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, "id long, sh string")
 
 
 # ---------------------------------------------------------------------------
