@@ -20,6 +20,7 @@ cid. Cosine-normalizing at build time turns cosine into dot product.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -98,6 +99,38 @@ FROM topk ORDER BY rank
 # IVF (inverted-file) coarse quantizer
 # ---------------------------------------------------------------------------
 
+def _nearest_cid_expr(cents: dict[int, list[float]], vec_col: str) -> Column:
+    """Nearest-centroid column against DRIVER-held centroids: an Arrow-
+    batched numpy kernel (one (batch × C × dim) distance matrix per Arrow
+    batch, argmin row-wise). First-minimum argmin over ascending-cid order =
+    the (d2, cid) struct tie-break. A literal Catalyst expression would need
+    C·dim unrolled nodes (512 at C=8, dim=64) and pays seconds of analysis/
+    codegen per job; the UDF's plan is one node at any dimension.
+    """
+    cids = np.array(sorted(cents), dtype=np.int64)
+    mat = np.array([cents[int(c)] for c in cids], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series(np.empty(0, dtype=np.int32))
+        x = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        d2 = ((x[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cids[np.argmin(d2, axis=1)].astype(np.int32))
+
+    return nearest(F.col(vec_col))
+
+
+def _collect_centroids(centroids: DataFrame) -> dict[int, list[float]]:
+    """Centroids are tiny by contract (C ~ sqrt(N); ~3·10^4 rows even at
+    10^9 vectors) — the driver-side copy is the IVF analog of Lucene holding
+    the term dictionary in the reader."""
+    return {
+        int(r["cid"]): [float(x) for x in r["centroid"]]
+        for r in centroids.collect()
+    }
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -106,53 +139,77 @@ def ivf_train(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd k-means: init = the n_centroids lowest-id vectors
-    (reproducible without RNG), then `iters` assign/mean rounds as DataFrame
-    jobs. Returns (cid int, centroid array<double>). Centroid count is tiny
-    (~sqrt(N)) so each round broadcasts centroids — no shuffle of the corpus
-    except the final mean agg."""
+    (reproducible without RNG), then `iters` assign/mean rounds — each round
+    ONE corpus scan (codegen'd literal-centroid assignment + per-dim sums)
+    whose tiny (C-row) aggregate is collected to the driver, truncating the
+    plan lineage between rounds. Returns (cid int, centroid array<double>);
+    clusters that end a round empty are dropped (Lloyd's natural behavior).
+    """
+    spark = embeddings.sparkSession
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = (
-        emb.orderBy("id").limit(n_centroids)
-        .select(F.col("id").alias("init_id"), F.col("v").alias("centroid"))
-        .withColumn(
-            "cid", F.row_number().over(Window.orderBy("init_id")).cast("int") - 1
-        )
-        .select("cid", "centroid")
-    )
+    init = emb.orderBy("id").limit(n_centroids).collect()
+    cents = {i: [float(x) for x in r["v"]] for i, r in enumerate(init)}
     for _ in range(iters):
-        assigned = assign_to_centroids(emb, cents, "id", "v")
-        dim = len(cents.first()["centroid"])
-        sums = assigned.join(emb, "id").groupBy("cid").agg(
-            F.array(*[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        cents = sums.select(
-            "cid",
-            F.transform(F.col("s"), lambda x: x / F.col("n")).alias("centroid"),
-        )
-    return cents
+        # one NARROW pass: per-partition (assign → partial sums) kernel; the
+        # driver merges #partitions × C tiny partials. No wide shuffle, and
+        # no dim-wide aggregate expression to re-codegen every round.
+        cids = np.array(sorted(cents), dtype=np.int64)
+        mat = np.array([cents[int(c)] for c in cids], dtype=np.float64)
+
+        def partial_sums(batches):
+            sums: dict[int, np.ndarray] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+                a = np.argmin(
+                    ((x[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2), axis=1
+                )
+                for j, c in enumerate(cids):
+                    m = a == j
+                    if m.any():
+                        c = int(c)
+                        counts[c] = counts.get(c, 0) + int(m.sum())
+                        sums[c] = sums.get(c, 0) + x[m].sum(axis=0)
+            if counts:
+                ks = sorted(counts)
+                yield pd.DataFrame(
+                    {
+                        "cid": ks,
+                        "s": [sums[c].tolist() for c in ks],
+                        "n": [counts[c] for c in ks],
+                    }
+                )
+
+        acc_s: dict[int, np.ndarray] = {}
+        acc_n: dict[int, int] = {}
+        for r in emb.mapInPandas(
+            partial_sums, "cid int, s array<double>, n long"
+        ).collect():
+            c = int(r["cid"])
+            acc_n[c] = acc_n.get(c, 0) + int(r["n"])
+            acc_s[c] = acc_s.get(c, 0) + np.asarray(r["s"], dtype=np.float64)
+        cents = {c: (acc_s[c] / acc_n[c]).tolist() for c in acc_n}
+    return spark.createDataFrame(
+        [(c, v) for c, v in sorted(cents.items())], "cid int, centroid array<double>"
+    )
 
 
 def assign_to_centroids(
     vectors: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "v"
 ) -> DataFrame:
-    """(id, cid): nearest centroid by L2 (broadcast cross join + argmin).
+    """(id, cid): nearest centroid by L2, ascending-cid tie-break.
 
-    The argmin is a map-side-combinable min_by aggregate with a (d2, cid)
-    struct tie-break — NOT a row_number window, which would shuffle and sort
-    all N×C scored rows through a single exchange per partition key."""
-    dist = _dot(
-        F.zip_with(F.col(vec_col), F.col("centroid"), lambda a, b: a - b),
-        F.zip_with(F.col(vec_col), F.col("centroid"), lambda a, b: a - b),
-    )
-    scored = (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(F.col(id_col).alias("id"), "cid", dist.alias("d2"))
-    )
-    return scored.groupBy("id").agg(
-        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
+    Centroids are collected (tiny by contract) and inlined as literals, so
+    assignment is a codegen'd projection on the corpus scan — no crossJoin
+    N×C row explosion, no shuffle, no per-row interpreter."""
+    cents = _collect_centroids(centroids)
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        _nearest_cid_expr(cents, vec_col).alias("cid"),
     )
 
 
@@ -178,35 +235,31 @@ def ivf_search(
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    probe_ids = nearest_centroid_ids(centroids, query, nprobe)
-    if len(probe_ids) >= centroids.count():
+    cents = _collect_centroids(centroids)
+    probe_ids = _nearest_centroid_ids(cents, query, nprobe)
+    if len(probe_ids) >= len(cents):
         return cosine_topk(emb, query, k, id_col="id", vec_col="v")
-    assigned = assign_to_centroids(emb, centroids)
-    cand = emb.join(
-        assigned.where(F.col("cid").isin(probe_ids)).select("id"), "id", "left_semi"
+    cand = emb.where(
+        _nearest_cid_expr(cents, "v").isin([int(c) for c in probe_ids])
     )
     return cosine_topk(cand, query, k, id_col="id", vec_col="v")
+
+
+def _nearest_centroid_ids(
+    cents: dict[int, list[float]], query: list[float], nprobe: int
+) -> list[int]:
+    cids = np.array(sorted(cents), dtype=np.int64)
+    mat = np.array([cents[int(c)] for c in cids], dtype=np.float64)
+    d2 = ((mat - np.asarray(query, dtype=np.float64)) ** 2).sum(axis=1)
+    return [int(c) for c in cids[np.lexsort((cids, d2))[:nprobe]]]
 
 
 def nearest_centroid_ids(
     centroids: DataFrame, query: list[float], nprobe: int
 ) -> list[int]:
-    """The nprobe centroid ids closest to the query (tiny driver-side job —
-    the IVF analog of the term-dictionary seek)."""
-    q = _qlit(query)
-    return [
-        r["cid"]
-        for r in centroids.select(
-            "cid",
-            _dot(
-                F.zip_with(F.col("centroid"), q, lambda a, b: a - b),
-                F.zip_with(F.col("centroid"), q, lambda a, b: a - b),
-            ).alias("d2"),
-        )
-        .orderBy(F.asc("d2"), F.asc("cid"))
-        .limit(nprobe)
-        .collect()
-    ]
+    """The nprobe centroid ids closest to the query (driver-side numpy over
+    the tiny centroid table — the IVF analog of the term-dictionary seek)."""
+    return _nearest_centroid_ids(_collect_centroids(centroids), query, nprobe)
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +290,8 @@ def ivf_build(
     )
     cents = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{ivf_dir}/centroids")
-    assigned = assign_to_centroids(emb, cents)
     (
-        emb.join(assigned, "id")
+        emb.withColumn("cid", _nearest_cid_expr(_collect_centroids(cents), "v"))
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{ivf_dir}/vectors")
