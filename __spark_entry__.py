@@ -406,6 +406,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_emb_cosine(s, d):
+        from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
+
+        return embedding_neardup_pairs(_emb(s, d), threshold=0.4)
+
+    q["dedup_emb_cosine"] = dedup_emb_cosine
+
+    def dedup_emb_lsh(s, d):
+        from cuvs_lucene_spark.pipeline.similarity import embedding_lsh_pairs
+
+        return embedding_lsh_pairs(_emb(s, d), threshold=0.4, bits=16, bands=4, dim=64)
+
+    q["dedup_emb_lsh"] = dedup_emb_lsh
+
     def textstats_quality(s, d):
         from cuvs_lucene_spark.pipeline.textstats import with_quality
 
@@ -554,6 +568,18 @@ FROM sigs
         "documents", n=3, threshold=0.5
     )
     o["dedup_simhash"] = _dd.simhash_pairs_sql("documents", n=3, max_hamming=3)
+
+    from cuvs_lucene_spark.pipeline import similarity as _sim
+
+    o["dedup_emb_cosine"] = _sim.embedding_neardup_pairs_sql(
+        "embeddings", threshold=0.4
+    )
+    # LSH oracle replays the SAME crc32-derived hyperplanes (deterministic by
+    # construction), so recall < 1 vs the exact operator is fine — both sides
+    # examine identical candidate buckets and verify with exact cosine.
+    o["dedup_emb_lsh"] = _sim.embedding_lsh_pairs_sql(
+        "embeddings", threshold=0.4, bits=16, bands=4, dim=64
+    )
 
     tq = _ts.quality_sql("text")
     o["textstats_quality"] = f"""

@@ -334,3 +334,210 @@ def ivf_probe_search(
         F.col("cid").isin(probe_ids)
     )
     return cosine_topk(vecs, query, k, id_col="id", vec_col="v")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the vector-modality member of the
+# dedup family in pipeline/dedup.py; same (id_a < id_b, score) pair shape)
+# ---------------------------------------------------------------------------
+
+def rademacher_hyperplanes(bits: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes for sign-random-projection
+    LSH, derived from crc32 of (bit, dim) — no RNG state, so the SAME matrix
+    is reproducible anywhere (Spark kernel, oracle SQL literals, tests).
+    Sign projections with ±1 entries are a valid cosine LSH family (the
+    SimHash of Charikar'02, which `dedup.simhash_fingerprints` applies to
+    text token sets)."""
+    from zlib import crc32
+
+    return np.array(
+        [
+            [1.0 if crc32(b"rhp:%d:%d" % (b, d)) & 1 else -1.0 for d in range(dim)]
+            for b in range(bits)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _cos_expr(a: Column, b: Column) -> Column:
+    """round(cos(a,b), 6) from raw (unnormalized) double arrays — the same
+    formula, term order, and rounding as the DuckDB oracle expression."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding near-dup: all (id_a < id_b, cos) with round(cos,6) ≥
+    threshold. All-pairs by definition (upper-triangle nested-loop join) —
+    this is the small-N verification oracle; `embedding_lsh_pairs` is the
+    100 TB path, which examines only hyperplane-bucket candidates."""
+    n = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = _cos_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = _cos_sql("a.v", "b.v")
+    return f"""
+WITH n AS (SELECT {id_col} AS id, cast({vec_col} AS double[]) AS v FROM {table})
+SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos
+FROM n a JOIN n b ON a.id < b.id
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _band_rows(
+    embeddings: DataFrame, H: np.ndarray, bands: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, band, val) rows: val = the big-endian integer of this band's
+    sign bits. One Arrow-batched matmul per batch ((batch × dim) @ (dim ×
+    bits)); emits bands per vector — a constant ×bands row fanout, shuffled
+    only by the candidate join that consumes it."""
+    bits = H.shape[0]
+    r = bits // bands
+    w = (1 << np.arange(r - 1, -1, -1, dtype=np.int64))  # big-endian weights
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            sgn = (x @ H.T) >= 0.0  # (batch, bits) bool
+            vals = sgn.reshape(len(ids), bands, r) @ w  # (batch, bands)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                    "val": vals.astype(np.int64).ravel(),
+                }
+            )
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return src.mapInPandas(kernel, "id long, band int, val long")
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via sign-random-projection LSH, VERIFIED with exact
+    cosine — emitted pairs are never false positives; the hyperplane buckets
+    only bound which pairs are examined (candidates = pairs agreeing on ≥ 1
+    of `bands` bit-bands). Same output schema as embedding_neardup_pairs;
+    recall < 1 is possible by design (Charikar bound: P[bit agree] =
+    1 − θ/π), so the oracle replays the SAME deterministic hyperplanes.
+
+    Scale shape: signature pass is one narrow scan; the candidate join
+    shuffles (band, val)-keyed rows (constant ×bands fanout of N, not N²);
+    exact cosine is computed ONLY for candidate pairs (two id-keyed joins) —
+    the same verified-candidates discipline as `dedup.minhash_lsh_pairs`.
+    """
+    assert bits % bands == 0
+    if dim is None:
+        dim = int(embeddings.select(F.array_size(vec_col)).first()[0])
+    H = rademacher_hyperplanes(bits, dim)
+    banded = _band_rows(embeddings, H, bands, id_col, vec_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    n = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return (
+        cand.join(n.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(n.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select(
+            "id_a", "id_b", _cos_expr(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_lsh_pairs_sql(
+    table: str,
+    threshold: float = 0.4,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of embedding_lsh_pairs: the SAME crc32-derived hyperplanes
+    inlined as list literals, band values via 1-indexed bit slices, exact
+    cosine on candidates only."""
+    assert bits % bands == 0
+    r = bits // bands
+    H = rademacher_hyperplanes(bits, dim)
+    planes = ", ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in H[bi])
+        + "]) >= 0 THEN 1 ELSE 0 END"
+        for bi in range(bits)
+    )
+    band_legs = "\nUNION ALL\n".join(
+        f"SELECT id, {bi} AS band, "
+        + " + ".join(
+            f"bit[{bi * r + j + 1}] * {1 << (r - 1 - j)}" for j in range(r)
+        )
+        + " AS val FROM sig"
+        for bi in range(bands)
+    )
+    cos = _cos_sql("na.v", "nb.v")
+    return f"""
+WITH n AS (SELECT {id_col} AS id, cast({vec_col} AS double[]) AS v FROM {table}),
+sig AS (SELECT id, [{planes}] AS bit FROM n),
+bands AS ({band_legs}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, {cos} AS cos
+FROM cand c JOIN n na ON na.id = c.id_a JOIN n nb ON nb.id = c.id_b
+WHERE {cos} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+

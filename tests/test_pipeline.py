@@ -229,3 +229,42 @@ class TestMultimodal:
             assert r["count"] == max(meta[r["asset_id"]] // 64, 1)
         kinds = {r["asset_id"] % 3 for r in per}
         assert kinds == {2}  # only 'video' assets produce frames
+
+
+class TestEmbeddingNearDup:
+    def test_lsh_subset_of_exact(self, spark, emb):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_lsh_pairs(emb, threshold=0.4, bits=16, bands=4).collect()
+        }
+        assert lsh and lsh <= exact  # verified candidates: no false positives
+
+    def test_planted_neardups_recovered(self, spark):
+        """Planted near-dups (base + 2% noise → cos ≈ 0.999) must be found by
+        the LSH path at a production threshold; unrelated random vectors must
+        not pair. Deterministic data (seeded numpy) + deterministic
+        hyperplanes → a fixed, reproducible result."""
+        rng = np.random.RandomState(7)
+        base = rng.randn(20, 32)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1, [float(x) for x in v + 0.02 * rng.randn(32)]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_lsh_pairs(
+                e, threshold=0.9, bits=32, bands=8, dim=32
+            ).collect()
+        }
+        planted = {(2 * i, 2 * i + 1) for i in range(20)}
+        assert got == planted  # full recall on planted pairs, zero strays
+
+    def test_hyperplanes_deterministic_rademacher(self):
+        H1 = S.rademacher_hyperplanes(16, 64)
+        H2 = S.rademacher_hyperplanes(16, 64)
+        assert (H1 == H2).all() and set(np.unique(H1)) == {-1.0, 1.0}
