@@ -359,17 +359,28 @@ def rademacher_hyperplanes(bits: int, dim: int) -> np.ndarray:
     )
 
 
-def _cos_expr(a: Column, b: Column) -> Column:
-    """round(cos(a,b), 6) from raw (unnormalized) double arrays — the same
-    formula, term order, and rounding as the DuckDB oracle expression."""
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
-
-
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"round(list_inner_product({a}, {b}) / "
         f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
     )
+
+
+def _pair_cos_udf():
+    """Arrow-batched rowwise cosine of two array<double> columns, rounded to
+    6 (the oracle's convention) — one einsum per batch, no per-row Python."""
+
+    @F.pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    return pair_cos
 
 
 def embedding_neardup_pairs(
@@ -379,24 +390,42 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """EXACT embedding near-dup: all (id_a < id_b, cos) with round(cos,6) ≥
-    threshold. All-pairs by definition (upper-triangle nested-loop join) —
-    this is the small-N verification oracle; `embedding_lsh_pairs` is the
-    100 TB path, which examines only hyperplane-bucket candidates."""
-    n = embeddings.select(
+    threshold — the small-N verification oracle (`embedding_lsh_pairs` is
+    the 100 TB path, which examines only hyperplane-bucket candidates).
+
+    Shape: blocked brute force. The (cosine-normalized) corpus matrix is a
+    Spark broadcast; ONE narrow scan gives each partition a (block × N) BLAS
+    matmul and emits only above-threshold upper-triangle entries. All-pairs
+    compute is inherent to exactness; what the broadcast bounds is memory —
+    N·dim float64 per executor (≈0.5 GB at 10^6×64), the documented ceiling
+    of the exact verifier."""
+    spark = embeddings.sparkSession
+    src = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    a, b = n.alias("a"), n.alias("b")
-    cos = _cos_expr(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-    )
+    pdf = src.toPandas()
+    ids_all = pdf["id"].to_numpy(dtype=np.int64)
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, Xn))
+
+    def kernel(batches):
+        ids_r, Xn_r = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            bids = b["id"].to_numpy(dtype=np.int64)
+            Bm = np.stack(b["v"].to_numpy()).astype(np.float64, copy=False)
+            Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+            C = np.round(Bn @ Xn_r.T, 6)  # (block, N)
+            mask = (C >= threshold) & (bids[:, None] < ids_r[None, :])
+            bi, aj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": bids[bi], "id_b": ids_r[aj], "cos": C[bi, aj]}
+            )
+
+    return src.mapInPandas(kernel, "id_a long, id_b long, cos double")
 
 
 def embedding_neardup_pairs_sql(
@@ -486,12 +515,11 @@ def embedding_lsh_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    pair_cos = _pair_cos_udf()
     return (
         cand.join(n.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
         .join(n.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
-        .select(
-            "id_a", "id_b", _cos_expr(F.col("va"), F.col("vb")).alias("cos")
-        )
+        .select("id_a", "id_b", pair_cos(F.col("va"), F.col("vb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 

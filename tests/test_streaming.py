@@ -59,3 +59,121 @@ def test_stream_equals_batch_build(spark, streamed_index, tiny_index):
 
     for q in ["world school", "student country help"]:
         assert keyed(streamed_index, q) == keyed(tiny_index, q)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked windowed rollup + stateful conversation accumulator
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rollup_env(spark, tiny_df, tmp_path_factory):
+    """Drain the tiny corpus through the append-mode windowed rollup once;
+    returns (src, out, ckpt, schema) for follow-up late-data runs."""
+    from cuvs_lucene_spark.streaming.rollup import rollup_to_parquet
+
+    root = tmp_path_factory.mktemp("rollup")
+    src, out, ckpt = (str(root / p) for p in ("src", "out", "ckpt"))
+    tiny_df.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    stream = spark.readStream.schema(tiny_df.schema).parquet(os.path.join(src, "*"))
+    q = rollup_to_parquet(stream, out, ckpt, window="1 hour", watermark="2 hours")
+    q.awaitTermination(300)
+    return src, out, ckpt
+
+
+def test_windowed_rollup_matches_batch(spark, tiny_df, rollup_env):
+    """Append-mode windows must (a) carry exactly the batch-computed counts,
+    (b) include every window that is safely below the final watermark, and
+    (c) never include a window the watermark has not passed."""
+    from cuvs_lucene_spark.analysis import tokenize_col
+
+    _, out, _ = rollup_env
+    got = {
+        (r["window_start"], r["term"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got
+    batch = {
+        (r["w"]["start"], r["term"]): r["cnt"]
+        for r in tiny_df.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.explode(tokenize_col(F.col("text"))).alias("term"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert all(batch[k] == v for k, v in got.items())  # (a) exact counts
+    max_ts = tiny_df.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    import datetime
+
+    safe_cut = max_ts - datetime.timedelta(hours=3, minutes=1)  # watermark+window
+    missing = [
+        k for k in batch
+        if k[0] < safe_cut and k not in got
+    ]
+    assert not missing  # (b) completeness below the watermark
+    emitted_past_wm = [
+        s for (s, _t) in got if s > max_ts - datetime.timedelta(hours=2)
+    ]
+    assert not emitted_past_wm  # (c) nothing the watermark hasn't passed
+
+
+def test_late_rows_beyond_watermark_dropped(spark, tiny_df, rollup_env):
+    """A second drain whose new file contains ONLY rows older than the
+    recovered watermark must emit nothing: those windows are finalized and
+    the rows are dropped — state stays bounded, results stay exactly-once."""
+    from cuvs_lucene_spark.streaming.rollup import rollup_to_parquet
+
+    src, out, ckpt = rollup_env
+    before = spark.read.parquet(out).count()
+    late = tiny_df.orderBy("conv_id", "turn_idx").limit(50)  # oldest rows
+    late.coalesce(1).write.parquet(os.path.join(src, "f1_late"))
+    stream = spark.readStream.schema(tiny_df.schema).parquet(os.path.join(src, "*"))
+    q = rollup_to_parquet(stream, out, ckpt, window="1 hour", watermark="2 hours")
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == before
+
+
+def test_conversation_state_matches_batch(spark, tiny_df, tmp_path):
+    """Final applyInPandasWithState emission per conv == the batch aggregate
+    (turns, analyzer-token count, max turn_idx, last ts) over the same data,
+    with the stream split into two micro-batches to exercise state carry."""
+    from cuvs_lucene_spark.analysis import tokenize_col
+    from cuvs_lucene_spark.streaming.rollup import conversation_state
+
+    src = str(tmp_path / "src")
+    sub = tiny_df.where(F.col("conv_id") < "conv-00000020")
+    sub.where(F.col("turn_idx") < 5).coalesce(1).write.parquet(os.path.join(src, "a"))
+    sub.where(F.col("turn_idx") >= 5).coalesce(1).write.parquet(os.path.join(src, "b"))
+    stream = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        conversation_state(stream)
+        .writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    upd = spark.sql("SELECT * FROM conv_state").toPandas()
+    # keep the LAST update per conv (updates arrive in batch order; the
+    # final values are the max-n_turns row per conv)
+    final = {
+        r.conv_id: (r.n_turns, r.n_tokens, r.max_turn_idx)
+        for _, r in upd.sort_values(["conv_id", "n_turns"]).iterrows()
+    }
+    batch = {
+        r["conv_id"]: (r["n"], r["tok"], r["mt"])
+        for r in sub.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.array_size(tokenize_col(F.col("text"))), F.lit(0))).alias("tok"),
+            F.max("turn_idx").alias("mt"),
+        )
+        .collect()
+    }
+    assert final == batch
