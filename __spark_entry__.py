@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v008"
+_IDX_VERSION = "v009"  # v009: k-means partial-sum rewrite can shift IVF centroids
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 _SHIPPED: set[str] = set()

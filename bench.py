@@ -69,12 +69,26 @@ def bench_build(spark) -> dict:
         buckets=32, salt_buckets=8, hot_df_ratio=0.05,
     )
     dt = time.perf_counter() - t0
+
+    def _du(path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    idx_bytes, src_bytes = _du(idx_dir), _du(corpus)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return {
         "tier": tier,
         "turns": int(n_turns),
         "sec": round(dt, 3),
         "turns_per_sec": round(n_turns / dt, 1),
+        "index_mb": round(idx_bytes / 1e6, 1),
+        "corpus_mb": round(src_bytes / 1e6, 1),
+        "index_to_corpus_ratio": round(idx_bytes / max(src_bytes, 1), 3),
     }
 
 
