@@ -169,6 +169,7 @@ def search(
     prune_blocks_per_term: int = 8,
     reader: IndexReader | None = None,
     float32: bool = True,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -178,7 +179,15 @@ def search(
         applied as an exact PRE-filter semi-join (replaces the reference's
         k×10 over-sampling post-filter, ``CuVS2510GPUVectorsReader.java:313``).
     prune=True — block-max pruned path (verified == exhaustive by pytest).
+    after=(score, doc_id) — pagination cursor (IndexSearcher.searchAfter
+        analog): pass the LAST hit of the previous page exactly as this
+        function returned it; the result is the next k hits in
+        (score desc, doc_id asc) order. Exhaustive path only: the block-max
+        θ bound is a page-1 bound, so prune=True with `after` would prune
+        blocks that still hold page-2 docs — rejected loudly instead.
     """
+    if after is not None and prune:
+        raise ValueError("after= (searchAfter) requires prune=False")
     rd = reader or IndexReader(spark, index_dir)
     empty = spark.createDataFrame(
         [],
@@ -220,7 +229,7 @@ def search(
     )
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
-        del_ids, n_present_terms=len(present),
+        del_ids, n_present_terms=len(present), after=after,
     )
 
 
@@ -241,6 +250,7 @@ def _finish(
     float32: bool = True,
     del_ids: DataFrame | None = None,
     n_present_terms: int = 1,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -268,11 +278,18 @@ def _finish(
     if mode == "and":
         agg = agg.where(F.col("nt") == F.lit(n_query_terms))
     out_t = "float" if float32 else "double"
-    topk = (
-        agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    ranked = agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
+    if after is not None:
+        # strictly after the cursor in (score desc, doc_id asc) order; the
+        # comparison runs on the OUTPUT-typed score so a cursor taken from a
+        # previous page's rows matches exactly (float32-safe)
+        a_s = F.lit(float(after[0])).cast(out_t)
+        a_d = int(after[1])
+        ranked = ranked.where(
+            (F.col("score") < a_s)
+            | ((F.col("score") == a_s) & (F.col("doc_id") > a_d))
+        )
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
     return F.broadcast(topk).join(dd, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
 

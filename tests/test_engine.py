@@ -176,3 +176,26 @@ def test_assign_doc_ids_duplicate_keys_fallback(spark, tmp_path):
     # fallback persisted something → the handle is a real cache
     assert handle.storageLevel.useMemory or handle.storageLevel.useDisk
     handle.unpersist()
+
+
+def test_search_after_pagination(spark, tiny_index):
+    """searchAfter analog: page-2 via the last hit of page-1 must equal rows
+    k..2k of a single top-2k search (same ranking, same tie-breaks), pages
+    are disjoint, and prune=True with a cursor is rejected."""
+    import pytest as _pytest
+
+    from cuvs_lucene_spark.query import search
+
+    q = "world school student"
+    top20 = search(spark, tiny_index, q, k=20).collect()
+    page1 = search(spark, tiny_index, q, k=10).collect()
+    last = page1[-1]
+    page2 = search(
+        spark, tiny_index, q, k=10, after=(float(last["score"]), int(last["doc_id"]))
+    ).collect()
+    key = lambda r: (r["doc_id"], round(float(r["score"]), 5))
+    assert [key(r) for r in page1 + page2] == [key(r) for r in top20]
+    assert {r["doc_id"] for r in page1}.isdisjoint({r["doc_id"] for r in page2})
+
+    with _pytest.raises(ValueError):
+        search(spark, tiny_index, q, k=10, prune=True, after=(1.0, 0))
