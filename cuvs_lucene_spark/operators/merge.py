@@ -97,8 +97,15 @@ def compact(
     block_size: int = BLOCK_SIZE,
     run_id: str | None = None,
     force: bool = False,
+    segment_ids: list[int] | None = None,
 ) -> dict | None:
-    """Merge all live segments (and purge tombstones) into one new segment.
+    """Merge live segments (and purge their tombstones) into one new segment.
+
+    segment_ids=None merges EVERYTHING (forceMerge(1) analog) and clears the
+    tombstone table; a subset merges only those segments (the primitive
+    `tiered_compact` drives) — the global deletes table is kept, because
+    tombstones may reference docs in unmerged segments (stale ids pointing
+    into the merged-away segments are harmless: the anti-join just misses).
 
     Returns the new segment's manifest entry, or None if compaction was a
     no-op (single segment, no deletes, not forced) — the analog of the merge
@@ -109,20 +116,26 @@ def compact(
     segs = m["segments"]
     if not segs:
         return None
+    if segment_ids is not None:
+        segs = [s for s in segs if s["id"] in set(segment_ids)]
+        if len(segs) < 2:
+            return None
     deletes = has_deletes(index_dir)
     if len(segs) == 1 and not deletes and not force:
         return None
 
     run_id = run_id or uuid.uuid4().hex[:12]
     old_ids = [s["id"] for s in segs]
-    new_id = max(old_ids) + 1
+    all_ids = [s["id"] for s in m["segments"]]
+    subset = set(old_ids) != set(all_ids)
+    new_id = max(all_ids) + 1
     buckets = segs[0]["buckets"]
     positional = bool(segs[0].get("positions", False))
 
     del_ids = deleted_doc_ids(spark, index_dir) if deletes else None
 
-    # new doc_dim = union of segment doc_dims minus tombstoned rows
-    dd = cat.read_doc_dim(spark)
+    # new doc_dim = union of the merged segments' doc_dims minus tombstones
+    dd = cat.read_doc_dim(spark, seg_ids=old_ids)
     if del_ids is not None:
         dd = dd.join(F.broadcast(del_ids), "doc_id", "left_anti")
     dd = dd.persist()
@@ -137,7 +150,9 @@ def compact(
     dd.write.mode("overwrite").parquet(cat.doc_dim_path(new_id))
 
     # live postings, decoded (blocks are self-contained: no source table read)
-    tf = decode_postings(cat.read_postings(spark), positional=positional)
+    tf = decode_postings(
+        cat.read_postings(spark, seg_ids=old_ids), positional=positional
+    )
     if del_ids is not None:
         tf = tf.join(F.broadcast(del_ids), "doc_id", "left_anti")
 
@@ -196,8 +211,9 @@ def compact(
         "id": new_id,
         "doc_base": 0,
         # preserve the docID high-water mark so future appended segments never
-        # collide with retained (stable) doc_ids
-        "total_rows": cat.next_doc_base(),
+        # collide with retained (stable) doc_ids: the new segment carries the
+        # merged segments' total_rows sum, keeping Σ total_rows invariant
+        "total_rows": sum(s["total_rows"] for s in segs),
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl_local": avgdl,
@@ -208,6 +224,29 @@ def compact(
         "compacted_from": old_ids,
     }
     cat.replace_segments(old_ids, seg_meta)
-    clear_deletes(index_dir)
+    if not subset:
+        # tombstones may still reference docs in unmerged segments, so only a
+        # full compaction may clear the table
+        clear_deletes(index_dir)
     dd.unpersist()
     return seg_meta
+
+
+def tiered_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_segments: int = 10,
+    **compact_kwargs,
+) -> dict | None:
+    """Merge policy (TieredMergePolicy analog, size-tiered flavor): when the
+    index holds more than `max_segments` live segments, merge the SMALLEST
+    (count − max_segments + 1) of them (by total_rows, id tie-break) into one
+    — cost is proportional to the small tail, not the whole index, unlike
+    `compact` which rewrites everything each trigger. Deterministic victim
+    selection; returns the new segment's manifest entry or None (no-op)."""
+    segs = IndexCatalog(index_dir).read_manifest()["segments"]
+    if len(segs) <= max_segments:
+        return None
+    victims = sorted(segs, key=lambda s: (s["total_rows"], s["id"]))
+    victim_ids = [s["id"] for s in victims[: len(segs) - max_segments + 1]]
+    return compact(spark, index_dir, segment_ids=victim_ids, **compact_kwargs)

@@ -168,14 +168,25 @@ class IndexCatalog:
         return sum(s["total_rows"] for s in m["segments"])
 
     # -- table readers ---------------------------------------------------
-    def read_doc_dim(self, spark: SparkSession) -> DataFrame:
-        segs = self.read_manifest()["segments"]
-        paths = [self.doc_dim_path(s["id"]) for s in segs]
+    def _live_ids(self, seg_ids: list[int] | None) -> list[int]:
+        live = [s["id"] for s in self.read_manifest()["segments"]]
+        if seg_ids is None:
+            return live
+        missing = set(seg_ids) - set(live)
+        if missing:
+            raise ValueError(f"not live segments: {sorted(missing)}")
+        return list(seg_ids)
+
+    def read_doc_dim(
+        self, spark: SparkSession, seg_ids: list[int] | None = None
+    ) -> DataFrame:
+        paths = [self.doc_dim_path(i) for i in self._live_ids(seg_ids)]
         return spark.read.parquet(*paths)
 
-    def read_postings(self, spark: SparkSession) -> DataFrame:
-        segs = self.read_manifest()["segments"]
-        paths = [self.postings_path(s["id"]) for s in segs]
+    def read_postings(
+        self, spark: SparkSession, seg_ids: list[int] | None = None
+    ) -> DataFrame:
+        paths = [self.postings_path(i) for i in self._live_ids(seg_ids)]
         # each segment is its own hive-partitioned (bucket=N) tree; reading
         # them in one call trips partition-discovery root conflicts — union
         # per-segment scans instead (bucket pruning still applies per scan)

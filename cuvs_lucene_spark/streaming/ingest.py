@@ -22,25 +22,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from cuvs_lucene_spark.operators.build import build_segment
-from cuvs_lucene_spark.operators.merge import compact
+from cuvs_lucene_spark.operators.merge import compact, tiered_compact
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 
 def make_batch_sink(
     index_dir: str,
     compact_every: int | None = None,
+    tiered_max_segments: int | None = None,
     **build_kwargs,
 ):
     """Returns a foreachBatch(batch_df, batch_id) callable that builds one
-    segment per non-empty micro-batch and optionally compacts every N
-    committed segments."""
+    segment per non-empty micro-batch, then applies the merge policy:
+
+    - tiered_max_segments=N — size-tiered policy (the long-running-stream
+      default you want: each trigger merges only the small tail, cost
+      proportional to the tail, segment count bounded at N)
+    - compact_every=N — full forceMerge(1) once N segments accumulate
+      (rewrites the whole index each time; fine for short backfills)
+    """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         build_segment(spark, batch_df, index_dir, segment_id=int(batch_id), **build_kwargs)
-        if compact_every:
+        if tiered_max_segments:
+            tiered_compact(spark, index_dir, max_segments=tiered_max_segments)
+        elif compact_every:
             n_segs = len(IndexCatalog(index_dir).read_manifest()["segments"])
             if n_segs >= compact_every:
                 compact(spark, index_dir)
@@ -53,6 +62,7 @@ def stream_build(
     index_dir: str,
     checkpoint_dir: str,
     compact_every: int | None = None,
+    tiered_max_segments: int | None = None,
     trigger_available_now: bool = True,
     **build_kwargs,
 ):
@@ -62,7 +72,7 @@ def stream_build(
     without it, it runs continuously on the default micro-batch trigger."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            make_batch_sink(index_dir, compact_every, **build_kwargs)
+            make_batch_sink(index_dir, compact_every, tiered_max_segments, **build_kwargs)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

