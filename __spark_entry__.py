@@ -406,6 +406,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def fts_count_or(s, d):
+        from cuvs_lucene_spark.query import count_matches
+
+        n = count_matches(s, _index_for(s, d), "merge sort join", mode="or")
+        return s.createDataFrame([(n,)], "n long")
+
+    q["fts_count_or"] = fts_count_or
+
+    def fts_count_and(s, d):
+        from cuvs_lucene_spark.query import count_matches
+
+        n = count_matches(s, _index_for(s, d), "merge sort", mode="and")
+        return s.createDataFrame([(n,)], "n long")
+
+    q["fts_count_and"] = fts_count_and
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -532,6 +548,16 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 
+    o["fts_count_or"] = f"""{_ORACLE_PREFIX}
+SELECT cast(count(DISTINCT doc_id) AS bigint) AS n
+FROM tf WHERE term IN ('merge', 'sort', 'join')
+"""
+    o["fts_count_and"] = f"""{_ORACLE_PREFIX}
+SELECT cast(count(*) AS bigint) AS n FROM (
+  SELECT doc_id FROM tf WHERE term IN ('merge', 'sort')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+"""
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20

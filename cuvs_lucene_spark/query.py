@@ -233,6 +233,54 @@ def search(
     )
 
 
+def count_matches(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+) -> int:
+    """Number of live docs matching the query (IndexSearcher.count analog):
+    mode='or' counts docs containing ≥1 query term, mode='and' docs
+    containing every distinct query term; tombstoned docs and filter_cond
+    rejects never count.
+
+    Plan shape: the same bucket+term-pruned postings scan as search, decoded
+    to (term, doc_id) and reduced by a map-side-combinable distinct — no
+    scoring, no norms, no top-k machinery."""
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    rd = reader or IndexReader(spark, index_dir)
+    q_terms = tokenize_py(query)
+    if not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+        return 0
+    distinct_terms = sorted(set(q_terms))
+    stats = rd.term_stats(distinct_terms)
+    present = [t for t in distinct_terms if stats.get(t, (0, 0))[0] > 0]
+    if not present or (mode == "and" and len(present) < len(distinct_terms)):
+        return 0
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & F.col("term").isin(present)
+    )
+    rows = decode_postings(postings).select("term", "doc_id")
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        rows = rows.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+    if mode == "and":
+        return int(
+            rows.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .where(F.col("nt") == len(present))
+            .count()
+        )
+    return int(rows.select("doc_id").distinct().count())
+
+
 def _accepted_doc_ids(rd: IndexReader, filter_cond: Column | str) -> DataFrame:
     dd = rd.cat.read_doc_dim(rd.spark)
     cond = F.expr(filter_cond) if isinstance(filter_cond, str) else filter_cond

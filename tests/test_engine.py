@@ -199,3 +199,19 @@ def test_search_after_pagination(spark, tiny_index):
 
     with _pytest.raises(ValueError):
         search(spark, tiny_index, q, k=10, prune=True, after=(1.0, 0))
+
+
+def test_count_matches_equals_exhaustive(spark, tiny_index):
+    """count == number of rows an exhaustive search returns at k=N, for both
+    boolean modes and under a filter; absent terms count 0."""
+    from cuvs_lucene_spark.query import count_matches, search
+
+    for q, mode in [("world school student", "or"), ("world the", "and")]:
+        n = count_matches(spark, tiny_index, q, mode=mode)
+        full = search(spark, tiny_index, q, k=10**9, mode=mode).count()
+        assert n == full > 0
+    f = F.col("role") == "user"
+    nf = count_matches(spark, tiny_index, "world", filter_cond=f)
+    assert nf == search(spark, tiny_index, "world", k=10**9, filter_cond=f).count()
+    assert count_matches(spark, tiny_index, "zzzzqqqq") == 0
+    assert count_matches(spark, tiny_index, "world zzzzqqqq", mode="and") == 0
