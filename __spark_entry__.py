@@ -33,6 +33,13 @@ from pyspark.sql.window import Window
 _IDX_VERSION = "v009"  # v009: k-means partial-sum rewrite can shift IVF centroids
 
 _BM25_K1, _BM25_B = 1.2, 0.75
+
+# the batched-execution gate's query set (fts_topk_batch)
+_BATCH_TERM_SETS = [
+    ["merge"],
+    ["merge", "sort", "join"],
+    ["scan", "filter", "window", "hash"],
+]
 _SHIPPED: set[str] = set()
 
 
@@ -406,6 +413,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def fts_topk_batch(s, d):
+        """Q queries in ONE job (query.search_batch): shared postings scan +
+        pivot, per-query totals as expressions, one ranking window."""
+        from cuvs_lucene_spark.query import search_batch
+
+        res = search_batch(
+            s, _index_for(s, d),
+            [" ".join(t) for t in _BATCH_TERM_SETS], k=10, float32=False,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("qid").cast("long").alias("qid"),
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+        )
+
+    q["fts_topk_batch"] = fts_topk_batch
+
     def fts_count_or(s, d):
         from cuvs_lucene_spark.query import count_matches
 
@@ -548,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 
+    o["fts_topk_batch"] = "\nUNION ALL\n".join(
+        f"SELECT cast({qi} AS bigint) AS qid, * FROM ({_oracle_topk_sql(terms, 10, 'or', None)})"
+        for qi, terms in enumerate(_BATCH_TERM_SETS)
+    )
     o["fts_count_or"] = f"""{_ORACLE_PREFIX}
 SELECT cast(count(DISTINCT doc_id) AS bigint) AS n
 FROM tf WHERE term IN ('merge', 'sort', 'join')

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     FloatType,
@@ -230,6 +231,113 @@ def search(
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
         del_ids, n_present_terms=len(present), after=after,
+    )
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    mode: str = "or",
+    reader: IndexReader | None = None,
+    float32: bool = True,
+) -> DataFrame:
+    """Top-k BM25 for MANY queries in ONE job: (qid, doc_id, score, conv_id,
+    turn_idx), qid = the query's position in `queries`.
+
+    Rationale: a single query's wall time on Spark is floored by job-scheduling
+    overhead (a few hundred ms per action), which amortizes at corpus scale
+    but dominates interactive workloads. Batch execution shares everything:
+    one term-stats lookup, one bucket+term-pruned postings scan over the
+    UNION of query terms, one scoring pass (per-term weight 1), one pivot
+    aggregation, then each query's total is a column expression over the
+    shared pivot (weight × per-term score, added in sorted-term order — the
+    same deterministic float64 sum as `_finish`), exploded to (qid, doc)
+    rows; per-query top-k is one ranking window partitioned by qid.
+
+    Scale shape: cost ≈ one search over the union of terms + a Q×-fanout of
+    the matched-doc rows — not Q independent jobs.
+    """
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [],
+        f"qid int, doc_id long, score {out_t}, conv_id string, turn_idx int",
+    )
+    if k <= 0 or not queries or rd.n_docs == 0 or not rd.manifest["segments"]:
+        return empty
+    k = min(k, rd.n_docs)
+    parsed = [tokenize_py(q) for q in queries]
+    all_terms = sorted({t for toks in parsed for t in toks})
+    if not all_terms:
+        return empty
+    stats = rd.term_stats(all_terms)
+    present = {t for t in all_terms if stats.get(t, (0, 0))[0] > 0}
+
+    specs = []  # (qid, weights, present-terms) for answerable queries
+    for qi, toks in enumerate(parsed):
+        w = Counter(toks)
+        pres = sorted(t for t in w if t in present)
+        if not pres or (mode == "and" and len(pres) < len(w)):
+            continue
+        specs.append((qi, w, pres))
+    if not specs:
+        return empty
+
+    active = sorted({t for _qi, _w, pres in specs for t in pres})
+    tindex = {t: i for i, t in enumerate(active)}
+    term_meta = {t: (rd.idf(stats[t][0]), 1) for t in active}
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in active}))
+        & F.col("term").isin(active)
+    )
+    score_rows = postings.mapInPandas(
+        make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
+    )
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    per_term = [
+        F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
+        for i in range(len(active))
+    ]
+    agg = score_rows.groupBy("doc_id").agg(*per_term)
+
+    q_structs = []
+    for qi, w, pres in specs:
+        total = F.lit(0.0)
+        matched = F.lit(0)
+        for t in pres:  # sorted — the deterministic summation order
+            c = F.col(f"_s{tindex[t]}")
+            total = total + F.lit(float(w[t])) * F.coalesce(c, F.lit(0.0))
+            matched = matched + F.when(c.isNotNull(), 1).otherwise(0)
+        need = len(w) if mode == "and" else 1
+        q_structs.append(
+            F.struct(
+                F.lit(qi).alias("qid"),
+                total.alias("score_d"),
+                (matched >= need).alias("ok"),
+            )
+        )
+    scored = (
+        agg.select("doc_id", F.explode(F.array(*q_structs)).alias("q"))
+        .select("doc_id", "q.qid", "q.score_d", "q.ok")
+        .where("ok")
+        .select("qid", "doc_id", F.col("score_d").cast(out_t).alias("score"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = scored.withColumn("_r", F.row_number().over(w_rank)).where(
+        F.col("_r") <= k
+    ).drop("_r")
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .select("qid", "doc_id", "score", "conv_id", "turn_idx")
+        .orderBy("qid", F.desc("score"), F.asc("doc_id"))
     )
 
 

@@ -215,3 +215,38 @@ def test_count_matches_equals_exhaustive(spark, tiny_index):
     assert nf == search(spark, tiny_index, "world", k=10**9, filter_cond=f).count()
     assert count_matches(spark, tiny_index, "zzzzqqqq") == 0
     assert count_matches(spark, tiny_index, "world zzzzqqqq", mode="and") == 0
+
+
+def test_search_batch_equals_per_query(spark, tiny_index):
+    """One-job batch == the per-query search results (same docs, same
+    rounded scores, same order), absent-term queries silently empty, and an
+    AND query agrees with its single-query twin."""
+    from cuvs_lucene_spark.query import search, search_batch
+
+    qs = ["world school", "student country help", "zzzzqqqq", "world the"]
+    modes = {3: "and"}  # qid 3 checked via its own single-query AND run
+    batch = search_batch(spark, tiny_index, qs, k=10).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["doc_id"], round(float(r["score"]), 4))
+        )
+    assert 2 not in by_qid  # absent term → no rows for that qid
+    for qi in (0, 1):
+        single = [
+            (r["doc_id"], round(float(r["score"]), 4))
+            for r in search(spark, tiny_index, qs[qi], k=10).collect()
+        ]
+        assert by_qid[qi] == single
+    # OR batch ranks 'world the' by OR semantics; compare with OR single
+    single3 = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in search(spark, tiny_index, qs[3], k=10).collect()
+    ]
+    assert by_qid[3] == single3
+    # AND mode batch
+    and_batch = search_batch(spark, tiny_index, ["world the"], k=10, mode="and").collect()
+    and_single = search(spark, tiny_index, "world the", k=10, mode="and").collect()
+    assert [(r["doc_id"], round(float(r["score"]), 4)) for r in and_batch] == [
+        (r["doc_id"], round(float(r["score"]), 4)) for r in and_single
+    ]
