@@ -341,6 +341,78 @@ def search_batch(
     )
 
 
+def explain(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_id: int,
+    reader: IndexReader | None = None,
+) -> dict:
+    """Score breakdown for one (query, doc) — the Lucene Explanation analog.
+
+    Returns {"doc_id", "score", "matched", "terms": {term: {"tf", "df",
+    "idf", "dl_d", "tf_norm", "weight", "contribution"}}} where score =
+    Σ contribution in sorted-term order (exactly the engine's summation),
+    computed in float64 (the oracle-parity mode). Docs the query doesn't
+    match return matched=False with an empty term map.
+
+    One bucket+term+doc-pruned postings read — the per-doc seek a user runs
+    interactively to debug a ranking, not a batch operator."""
+    from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, dequantize_dl_np
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    rd = reader or IndexReader(spark, index_dir)
+    out: dict = {"doc_id": int(doc_id), "score": 0.0, "matched": False, "terms": {}}
+    q_terms = tokenize_py(query)
+    if not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+        return out
+    weights = Counter(q_terms)
+    stats = rd.term_stats(sorted(weights))
+    present = [t for t in sorted(weights) if stats.get(t, (0, 0))[0] > 0]
+    if not present:
+        return out
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None and del_ids.where(F.col("doc_id") == doc_id).count():
+        return out
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & F.col("term").isin(present)
+        # block-level doc range prune: parquet min/max stats on first/last
+        & (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+    )
+    rows = (
+        decode_postings(postings)
+        .where(F.col("doc_id") == doc_id)
+        .select("term", "tf", "dl_q")
+        .collect()
+    )
+    score = 0.0
+    for t in present:  # sorted-term order — the engine's summation order
+        hit = next((r for r in rows if r["term"] == t), None)
+        if hit is None:
+            continue
+        df = stats[t][0]
+        idf = rd.idf(df)
+        dl_d = float(dequantize_dl_np(np.array([hit["dl_q"]], dtype=np.int64))[0])
+        tf = float(hit["tf"])
+        tf_norm = tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d / rd.avgdl))
+        contribution = float(weights[t]) * (idf * tf_norm)
+        score += contribution
+        out["terms"][t] = {
+            "tf": int(tf),
+            "df": int(df),
+            "idf": idf,
+            "dl_d": dl_d,
+            "tf_norm": tf_norm,
+            "weight": int(weights[t]),
+            "contribution": contribution,
+        }
+    out["matched"] = bool(out["terms"])
+    out["score"] = score
+    return out
+
+
 def count_matches(
     spark: SparkSession,
     index_dir: str,

@@ -250,3 +250,20 @@ def test_search_batch_equals_per_query(spark, tiny_index):
     assert [(r["doc_id"], round(float(r["score"]), 4)) for r in and_batch] == [
         (r["doc_id"], round(float(r["score"]), 4)) for r in and_single
     ]
+
+
+def test_explain_matches_search_score(spark, tiny_index):
+    """Explanation analog: per-term contributions sum to exactly the score
+    search() computes (float64 oracle-parity mode); unmatched docs report
+    matched=False."""
+    from cuvs_lucene_spark.query import explain, search
+
+    q = "world school student"
+    top = search(spark, tiny_index, q, k=3, float32=False).collect()
+    for r in top:
+        ex = explain(spark, tiny_index, q, int(r["doc_id"]))
+        assert ex["matched"]
+        assert abs(ex["score"] - float(r["score"])) < 1e-12
+        assert abs(sum(t["contribution"] for t in ex["terms"].values()) - ex["score"]) < 1e-15
+    assert explain(spark, tiny_index, q, 10**9)["matched"] is False
+    assert explain(spark, tiny_index, "zzzzqqqq", 0)["matched"] is False
