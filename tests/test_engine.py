@@ -267,3 +267,20 @@ def test_explain_matches_search_score(spark, tiny_index):
         assert abs(sum(t["contribution"] for t in ex["terms"].values()) - ex["score"]) < 1e-15
     assert explain(spark, tiny_index, q, 10**9)["matched"] is False
     assert explain(spark, tiny_index, "zzzzqqqq", 0)["matched"] is False
+
+
+def test_pruned_query_leaves_no_cache(spark, tiny_index):
+    """Regression (round-1 VERDICT): the pruned path persists a bounds frame
+    and must unpersist it on BOTH the early-return and success paths —
+    repeated pruned queries may not grow the session's persistent-RDD set."""
+    from cuvs_lucene_spark.query import search
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    search(spark, tiny_index, "world school", k=5, prune=True).collect()  # settle
+    before = persistent_ids()
+    for _ in range(3):
+        search(spark, tiny_index, "world school", k=5, prune=True).collect()
+        search(spark, tiny_index, "zzzzqqqq", k=5, prune=True).collect()  # early return
+    assert persistent_ids() <= before
