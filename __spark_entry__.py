@@ -34,11 +34,12 @@ _IDX_VERSION = "v009"  # v009: k-means partial-sum rewrite can shift IVF centroi
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-# the batched-execution gate's query set (fts_topk_batch)
+# the batched-execution gate's query set (fts_topk_batch): mixed boolean modes
 _BATCH_TERM_SETS = [
-    ["merge"],
-    ["merge", "sort", "join"],
-    ["scan", "filter", "window", "hash"],
+    (["merge"], "or"),
+    (["merge", "sort", "join"], "or"),
+    (["scan", "filter", "window", "hash"], "or"),
+    (["merge", "sort"], "and"),
 ]
 _SHIPPED: set[str] = set()
 
@@ -420,7 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         res = search_batch(
             s, _index_for(s, d),
-            [" ".join(t) for t in _BATCH_TERM_SETS], k=10, float32=False,
+            [" ".join(t) for t, _m in _BATCH_TERM_SETS],
+            k=10, float32=False,
+            mode=[m for _t, m in _BATCH_TERM_SETS],
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
         return (
@@ -581,8 +584,8 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 
     o["fts_topk_batch"] = "\nUNION ALL\n".join(
-        f"SELECT cast({qi} AS bigint) AS qid, * FROM ({_oracle_topk_sql(terms, 10, 'or', None)})"
-        for qi, terms in enumerate(_BATCH_TERM_SETS)
+        f"SELECT cast({qi} AS bigint) AS qid, * FROM ({_oracle_topk_sql(terms, 10, m, None)})"
+        for qi, (terms, m) in enumerate(_BATCH_TERM_SETS)
     )
     o["fts_count_or"] = f"""{_ORACLE_PREFIX}
 SELECT cast(count(DISTINCT doc_id) AS bigint) AS n

@@ -239,12 +239,15 @@ def search_batch(
     index_dir: str,
     queries: list[str],
     k: int = 10,
-    mode: str = "or",
+    mode: str | list[str] = "or",
     reader: IndexReader | None = None,
     float32: bool = True,
 ) -> DataFrame:
     """Top-k BM25 for MANY queries in ONE job: (qid, doc_id, score, conv_id,
-    turn_idx), qid = the query's position in `queries`.
+    turn_idx), qid = the query's position in `queries`. `mode` is one
+    boolean mode for every query or a per-query list — a batch may mix
+    OR and AND queries freely (each query's match requirement is its own
+    expression over the shared pivot).
 
     Rationale: a single query's wall time on Spark is floored by job-scheduling
     overhead (a few hundred ms per action), which amortizes at corpus scale
@@ -277,17 +280,20 @@ def search_batch(
     stats = rd.term_stats(all_terms)
     present = {t for t in all_terms if stats.get(t, (0, 0))[0] > 0}
 
-    specs = []  # (qid, weights, present-terms) for answerable queries
+    modes = [mode] * len(queries) if isinstance(mode, str) else list(mode)
+    if len(modes) != len(queries):
+        raise ValueError("mode list must match queries length")
+    specs = []  # (qid, weights, present-terms, mode) for answerable queries
     for qi, toks in enumerate(parsed):
         w = Counter(toks)
         pres = sorted(t for t in w if t in present)
-        if not pres or (mode == "and" and len(pres) < len(w)):
+        if not pres or (modes[qi] == "and" and len(pres) < len(w)):
             continue
-        specs.append((qi, w, pres))
+        specs.append((qi, w, pres, modes[qi]))
     if not specs:
         return empty
 
-    active = sorted({t for _qi, _w, pres in specs for t in pres})
+    active = sorted({t for _qi, _w, pres, _m in specs for t in pres})
     tindex = {t: i for i, t in enumerate(active)}
     term_meta = {t: (rd.idf(stats[t][0]), 1) for t in active}
     postings = rd.cat.read_postings(spark).where(
@@ -307,14 +313,14 @@ def search_batch(
     agg = score_rows.groupBy("doc_id").agg(*per_term)
 
     q_structs = []
-    for qi, w, pres in specs:
+    for qi, w, pres, q_mode in specs:
         total = F.lit(0.0)
         matched = F.lit(0)
         for t in pres:  # sorted — the deterministic summation order
             c = F.col(f"_s{tindex[t]}")
             total = total + F.lit(float(w[t])) * F.coalesce(c, F.lit(0.0))
             matched = matched + F.when(c.isNotNull(), 1).otherwise(0)
-        need = len(w) if mode == "and" else 1
+        need = len(w) if q_mode == "and" else 1
         q_structs.append(
             F.struct(
                 F.lit(qi).alias("qid"),
