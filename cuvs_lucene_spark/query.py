@@ -21,6 +21,7 @@ Two scoring paths, verified equal by pytest (SURVEY §4.3.6):
 
 from __future__ import annotations
 
+import logging
 from collections import Counter
 from collections.abc import Iterator
 
@@ -42,6 +43,32 @@ from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, tokenize_py
 from cuvs_lucene_spark.codec import unpack_u64_blocks
 from cuvs_lucene_spark.oracle import dequantize_dl_np
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+# The exact input columns make_score_kernel reads. Projected explicitly before
+# every mapInPandas so Arrow ships ONLY these: without the projection Spark
+# transfers the full postings schema — including the `pos` positional payload
+# (comparable in bytes to all other streams combined on a positions=True
+# index) plus unused block stats — to Python on every non-phrase query.
+# Reference analog: lazy per-field slice loading,
+# CuVS2510GPUVectorsReader.java:239-265.
+SCORE_KERNEL_COLS = ["term", "first_doc", "doc_gaps", "tfs", "dls"]
+
+log = logging.getLogger(__name__)
+
+# Selectivity gate for prune="auto": block-max pruning costs a fixed overhead
+# (persist + two extra driver actions + a window shuffle over block metadata +
+# exact re-scoring of the densest blocks) before the main scan starts; it only
+# pays when it can skip decoding MANY postings. Below this many candidate
+# postings (Σ df over query terms) the exhaustive scan finishes before
+# pruning's fixed costs do, so auto mode skips pruning — the same shape as the
+# reference gating engine choice on k (CuVS2510GPUVectorsReader.java:339,363).
+# At the north rule's 10^12-turn scale any real query clears this threshold.
+PRUNE_MIN_POSTINGS = 2_000_000
+
+# Observability for the last pruned query on this driver: total candidate
+# blocks, blocks kept after the θ cut, and θ itself. Populated by
+# _prune_blocks; read by bench/tests to report the prune ratio.
+LAST_PRUNE_STATS: dict = {}
 
 RESULT_SCHEMA = StructType(
     [
@@ -166,7 +193,7 @@ def search(
     k: int = 10,
     mode: str = "or",
     filter_cond: Column | str | None = None,
-    prune: bool = False,
+    prune: bool | str = False,
     prune_blocks_per_term: int = 8,
     reader: IndexReader | None = None,
     float32: bool = True,
@@ -179,7 +206,11 @@ def search(
     filter_cond — predicate over doc_dim columns (role, ts, conv_id, ...),
         applied as an exact PRE-filter semi-join (replaces the reference's
         k×10 over-sampling post-filter, ``CuVS2510GPUVectorsReader.java:313``).
-    prune=True — block-max pruned path (verified == exhaustive by pytest).
+    prune=True — block-max pruned path (verified == exhaustive by pytest);
+        prune="auto" engages it only when Σ df of the query terms exceeds
+        PRUNE_MIN_POSTINGS, i.e. when the exhaustive decode is big enough for
+        pruning's fixed overhead to pay (reference analog: engine choice gated
+        on k, ``CuVS2510GPUVectorsReader.java:339``).
     after=(score, doc_id) — pagination cursor (IndexSearcher.searchAfter
         analog): pass the LAST hit of the previous page exactly as this
         function returned it; the result is the next k hits in
@@ -219,13 +250,22 @@ def search(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
     del_ids = deleted_doc_ids(spark, index_dir)
-    if prune:
+    if prune == "auto":
+        sum_df = sum(stats[t][0] for t in present)
+        do_prune = mode != "and" and sum_df >= PRUNE_MIN_POSTINGS
+        log.info(
+            "prune=auto: sum_df=%d threshold=%d -> %s",
+            sum_df, PRUNE_MIN_POSTINGS, "prune" if do_prune else "exhaustive",
+        )
+    else:
+        do_prune = bool(prune)
+    if do_prune:
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
             prune_blocks_per_term, del_ids,
         )
 
-    score_rows = postings.mapInPandas(
+    score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
     )
     return _finish(
@@ -300,7 +340,7 @@ def search_batch(
         F.col("bucket").isin(sorted({stats[t][1] for t in active}))
         & F.col("term").isin(active)
     )
-    score_rows = postings.mapInPandas(
+    score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
     )
     del_ids = deleted_doc_ids(spark, index_dir)
@@ -724,17 +764,31 @@ def _prune_blocks(
         F.lit(1.0 - BM25_B)
         + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(rd.avgdl)
     )
-    bounded = postings.withColumn(
-        "_ub",
-        idf_map[F.col("term")]
-        * F.col("max_tf").cast("double")
-        / (F.col("max_tf").cast("double") + kf),
+    # project to the phase-1 working set BEFORE persisting: `_ub` for the
+    # bound agg + window, (block_id, salt) for the deterministic window order,
+    # and the score-kernel inputs — NOT `pos` or the remaining block stats,
+    # which would otherwise be scanned, shipped and cached for nothing.
+    bounded = postings.select(
+        *SCORE_KERNEL_COLS,
+        "block_id",
+        "salt",
+        (
+            idf_map[F.col("term")]
+            * F.col("max_tf").cast("double")
+            / (F.col("max_tf").cast("double") + kf)
+        ).alias("_ub"),
     ).persist()
 
-    # term-global max block bound (tiny agg)
-    ub_rows = bounded.groupBy("term").agg(F.max("_ub").alias("mub")).collect()
+    # term-global max block bound + per-term block counts (one tiny agg; the
+    # counts feed the logged prune ratio)
+    ub_rows = (
+        bounded.groupBy("term")
+        .agg(F.max("_ub").alias("mub"), F.count(F.lit(1)).alias("nb"))
+        .collect()
+    )
     term_ub = {r["term"]: float(r["mub"]) for r in ub_rows}
     sum_ub = sum(term_ub.values())
+    n_total_blocks = sum(int(r["nb"]) for r in ub_rows)
 
     # phase 1: exact scores over the densest blocks per term → threshold θ
     from pyspark.sql.window import Window
@@ -743,7 +797,7 @@ def _prune_blocks(
     top_blocks = bounded.withColumn("_rk", F.row_number().over(w)).where(
         F.col("_rk") <= m_per_term
     ).drop("_rk")
-    phase1 = top_blocks.mapInPandas(
+    phase1 = top_blocks.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
     )
     if del_ids is not None:
@@ -781,5 +835,22 @@ def _prune_blocks(
         * F.col("max_tf").cast("double")
         / (F.col("max_tf").cast("double") + kf)
     )
-    return postings.where(ub + slack_map[F.col("term")] >= F.lit(theta - 1e-9))
+    kept = postings.where(ub + slack_map[F.col("term")] >= F.lit(theta - 1e-9))
+    # prune-ratio observability: the kept-count scan touches only the small
+    # block-stat columns (term, max_tf, min_dl_d), never the payload.
+    n_kept = int(kept.select(F.count(F.lit(1))).collect()[0][0])
+    LAST_PRUNE_STATS.clear()
+    LAST_PRUNE_STATS.update(
+        {
+            "total_blocks": n_total_blocks,
+            "kept_blocks": n_kept,
+            "theta": theta,
+            "prune_ratio": 1.0 - (n_kept / n_total_blocks if n_total_blocks else 0.0),
+        }
+    )
+    log.info(
+        "block-max prune: kept %d/%d blocks (theta=%.4f, pruned %.1f%%)",
+        n_kept, n_total_blocks, theta, 100.0 * LAST_PRUNE_STATS["prune_ratio"],
+    )
+    return kept
 
