@@ -125,6 +125,14 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     made shingle extraction the dominant cost of the whole dedup family.
     Tokenization here is the same Arrow C++ lower→regex-split the index
     flush kernel uses, byte-identical to `tokenize_col`/`tokenize_sql`.
+
+    Fully vectorized — no per-doc Python (input_hint contract): tokens stay
+    dictionary-encoded in Arrow; n-gram candidates are n shifted views of the
+    flat code array (a window is a gram iff it lies inside one doc); the
+    per-doc DISTINCT is one np.unique over (doc, code_0..code_{n-1}) rows;
+    shingle STRINGS are materialized only for the unique grams (Arrow
+    binary_join_element_wise over dictionary takes) — the md5/join key the
+    downstream operators and the SQL oracle share.
     """
     from cuvs_lucene_spark.analysis import TOKEN_PATTERN
 
@@ -134,27 +142,47 @@ def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        empty = pd.DataFrame(
+            {"id": np.array([], dtype=np.int64), "sh": pd.Series([], dtype=str)}
+        )
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy()
+            ids = pdf[id_col].to_numpy().astype(np.int64)
             texts = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
             tok_list = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_PATTERN)
-            out_i: list = []
-            out_s: list = []
-            for did, lst in zip(ids, tok_list.to_pylist()):
-                if not lst:
-                    continue  # NULL text
-                toks = [t for t in lst if t]
-                m = len(toks) - n + 1
-                if m <= 0:
-                    continue
-                seen = {" ".join(toks[i : i + n]) for i in range(m)}
-                out_i.extend([did] * len(seen))
-                out_s.extend(seen)
-            yield pd.DataFrame(
-                {"id": np.asarray(out_i, dtype=np.int64), "sh": out_s}
-            )
+            # tokens per doc (NULL text → 0), doc index of every flat token
+            n_tok = pc.fill_null(pc.list_value_length(tok_list), 0)
+            n_tok = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+            flat = pc.list_flatten(tok_list)
+            # drop the empty strings regex-split leaves at text boundaries
+            keep = pc.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+            d = doc_of[keep_np]
+            if d.size < n:
+                yield empty
+                continue
+            enc = flat.filter(keep).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary
+            g = codes.size - n + 1
+            valid = d[:g] == d[n - 1 :]  # window fully inside one doc
+            if not valid.any():
+                yield empty
+                continue
+            rows = np.empty((int(valid.sum()), n + 1), dtype=np.int64)
+            rows[:, 0] = d[:g][valid]
+            for i in range(n):
+                rows[:, i + 1] = codes[i : i + g][valid]
+            v = np.ascontiguousarray(rows).view(
+                np.dtype((np.void, rows.dtype.itemsize * rows.shape[1]))
+            ).ravel()
+            _, first = np.unique(v, return_index=True)
+            u = rows[first]
+            parts = [pc.take(vocab, pa.array(u[:, i + 1])) for i in range(n)]
+            sh = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+            yield pd.DataFrame({"id": ids[u[:, 0]], "sh": sh.to_pandas()})
 
     return docs.select(id_col, text_col).mapInPandas(kernel, "id long, sh string")
 
