@@ -514,6 +514,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_cosine_topk"] = sim_cosine_topk
 
+    def sim_cosine_topk_filtered(s, d):
+        """Filtered ANN — the reference's primary query surface (acceptDocs,
+        CuVS2510GPUVectorsReader.java:313-335): exact pre-filter on a vector
+        attribute, pushed into the scan, replacing k×10 over-sampling."""
+        from cuvs_lucene_spark.pipeline.similarity import cosine_topk
+
+        return cosine_topk(
+            _emb(s, d), _SIM_QUERY_VEC, k=10,
+            filter_cond=F.col("label") % 2 == 0,
+        )
+
+    q["sim_cosine_topk_filtered"] = sim_cosine_topk_filtered
+
     def sim_ivf_exact(s, d):
         from cuvs_lucene_spark.pipeline.similarity import ivf_search, ivf_train
 
@@ -672,6 +685,9 @@ SELECT doc_id, cast({_ts.fingerprint_sql('text')} AS bigint) AS fingerprint
 FROM documents
 """
     o["sim_cosine_topk"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
+    o["sim_cosine_topk_filtered"] = _sim.cosine_topk_sql(
+        "embeddings", _SIM_QUERY_VEC, k=10, filter_sql="label % 2 = 0"
+    )
     # nprobe == n_centroids degrades IVF to exact search — same oracle
     o["sim_ivf_exact"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
     o["multimodal_features"] = f"""

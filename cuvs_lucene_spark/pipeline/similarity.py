@@ -42,19 +42,46 @@ def _qlit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _apply_vector_mask(
+    src: DataFrame,
+    id_col: str,
+    filter_cond: Column | str | None,
+    deletes: DataFrame | None,
+) -> DataFrame:
+    """Shared acceptDocs analog for every vector-search path: exact
+    PRE-filter (predicate over the source columns — Catalyst pushes it into
+    the scan, replacing the reference's k×10 over-sampling post-filter,
+    ``CuVS2510GPUVectorsReader.java:313-335``) + tombstone anti-join (the
+    liveDocs mask the FTS path already applies, ``TestCuVSDeletedDocuments``
+    semantics: deleted vectors are never returned). `deletes` is any
+    DataFrame whose FIRST column holds the deleted ids."""
+    if filter_cond is not None:
+        cond = F.expr(filter_cond) if isinstance(filter_cond, str) else filter_cond
+        src = src.where(cond)
+    if deletes is not None:
+        dl = deletes.select(F.col(deletes.columns[0]).cast("long").alias(id_col))
+        src = src.join(F.broadcast(dl), id_col, "left_anti")
+    return src
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_cond: Column | str | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (rank, id, score) with ascending-id tie-break.
 
     One whole-stage-codegen'd scan; the global top-k is Spark's
     TakeOrderedAndProject (same shape as the BM25 path's final merge).
+    filter_cond/deletes: see _apply_vector_mask — filtered ANN is the
+    reference's primary query surface (``TestCuVSGaps.java:155-196``).
     """
     q = _qlit(query)
+    embeddings = _apply_vector_mask(embeddings, id_col, filter_cond, deletes)
     d = embeddings.select(
         F.col(id_col).alias("id"),
         (
@@ -79,15 +106,17 @@ def cosine_topk_sql(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_sql: str | None = None,
 ) -> str:
     q = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    where = f"WHERE {filter_sql}" if filter_sql else ""
     return f"""
 WITH d AS (
   SELECT {id_col} AS id,
          round(list_inner_product(cast({vec_col} AS double[]), {q})
                / (sqrt(list_inner_product(cast({vec_col} AS double[]), cast({vec_col} AS double[])))
                   * sqrt(list_inner_product({q}, {q}))), 6) AS score
-  FROM {table}
+  FROM {table} {where}
 ),
 topk AS (SELECT * FROM d ORDER BY score DESC, id ASC LIMIT {k})
 SELECT row_number() OVER (ORDER BY score DESC, id ASC) AS rank, id, score
@@ -221,6 +250,8 @@ def ivf_search(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_cond: Column | str | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the nprobe centroids nearest the query; exact cosine within.
 
@@ -231,7 +262,12 @@ def ivf_search(
     re-assigns the scanned vectors; the serving path is ivf_build +
     ivf_probe_search, where the assignment is PRE-MATERIALIZED partitioned by
     cid and the probe becomes parquet partition pruning.
+
+    filter_cond/deletes apply BEFORE scoring (exact pre-filter + liveDocs
+    anti-join, _apply_vector_mask) — the filtered-ANN surface of the
+    reference (``CuVS2510GPUVectorsReader.java:313-335``).
     """
+    embeddings = _apply_vector_mask(embeddings, id_col, filter_cond, deletes)
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -273,6 +309,7 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Train + materialize the IVF index:
 
@@ -284,11 +321,19 @@ def ivf_build(
     in-memory ivf_search cannot offer: at 10^9+ vectors re-assignment per
     query costs more than brute force). One assignment job at build time,
     amortized over every query — the same economics as the FTS index build.
+
+    Pass `centroids` to skip training and lay the corpus out under an
+    EXISTING codebook (the rebuild-under-same-codebook path ivf_compact and
+    the append==rebuild lifecycle test use).
     """
     emb = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{ivf_dir}/centroids")
     (
         emb.withColumn("cid", _nearest_cid_expr(_collect_centroids(cents), "v"))
@@ -296,6 +341,87 @@ def ivf_build(
         .partitionBy("cid")
         .parquet(f"{ivf_dir}/vectors")
     )
+    _CENTROIDS_CACHE.pop(ivf_dir, None)  # codebook may have changed
+
+
+def ivf_append(
+    spark,
+    embeddings: DataFrame,
+    ivf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental segment append (the vector-side analog of the FTS path's
+    streaming segment build, and of ``mergeOneField``'s fast path: existing
+    structure untouched, new data slotted in): assign the NEW vectors with the
+    PERSISTED codebook and append their rows into the cid layout. No re-read
+    or rewrite of existing lists — cost is one scan of the appended batch.
+    List-size skew drifts as the data distribution moves away from the
+    training sample; ivf_compact is the re-train/compaction trigger.
+    """
+    cids, mat = _load_centroids(spark, ivf_dir)
+    cents = {int(c): mat[i].tolist() for i, c in enumerate(cids)}
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    (
+        emb.withColumn("cid", _nearest_cid_expr(cents, "v"))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{ivf_dir}/vectors")
+    )
+
+
+def ivf_list_stats(spark, ivf_dir: str) -> dict:
+    """Per-list health of a persisted IVF index: {"counts": {cid: n},
+    "skew": max/mean} — the merge-policy signal (size-tiered analog)."""
+    rows = (
+        spark.read.parquet(f"{ivf_dir}/vectors")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {int(r["cid"]): int(r["n"]) for r in rows}
+    ns = list(counts.values())
+    skew = (max(ns) / (sum(ns) / len(ns))) if ns else 0.0
+    return {"counts": counts, "skew": skew}
+
+
+def ivf_compact(
+    spark,
+    ivf_dir: str,
+    skew_bound: float = 4.0,
+    n_centroids: int | None = None,
+    iters: int = 2,
+) -> bool:
+    """Re-train/compaction trigger (the vector-index lifecycle's
+    ``mergeOneField`` rebuild dispatch): when the largest inverted list
+    exceeds skew_bound × the mean list size — appended data has drifted from
+    the codebook, so probes over-read — re-train the codebook on the FULL
+    stored corpus and rewrite the layout. Returns True iff a rebuild ran.
+
+    The rewrite stages into <ivf_dir>.rebuild then swaps, so a concurrent
+    reader never sees a half-written layout (raw values always survive: the
+    stored (id, v) rows are themselves the rebuild source — the S7 invariant).
+    """
+    st = ivf_list_stats(spark, ivf_dir)
+    if st["skew"] <= skew_bound or not st["counts"]:
+        return False
+    from cuvs_lucene_spark.sources import fs as idxfs
+
+    vecs = spark.read.parquet(f"{ivf_dir}/vectors").select("id", "v")
+    c = n_centroids or len(st["counts"])
+    tmp = f"{ivf_dir.rstrip('/')}.rebuild"
+    ivf_build(vecs, tmp, n_centroids=c, iters=iters, id_col="id", vec_col="v")
+    # local rename-swap; on object stores route through the catalog committer
+    idxfs.delete_dir(f"{ivf_dir}/centroids")
+    idxfs.delete_dir(f"{ivf_dir}/vectors")
+    idxfs.move(f"{tmp}/centroids", f"{ivf_dir}/centroids")
+    idxfs.move(f"{tmp}/vectors", f"{ivf_dir}/vectors")
+    idxfs.delete_dir(tmp)
+    _CENTROIDS_CACHE.pop(ivf_dir, None)
+    _CENTROIDS_CACHE.pop(tmp, None)
+    return True
 
 
 # per-index-dir centroid cache: centroids are immutable once written, tiny
@@ -319,12 +445,22 @@ def ivf_probe_search(
     query: list[float],
     k: int = 10,
     nprobe: int = 2,
+    filter_cond: Column | str | None = None,
+    accept: DataFrame | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine over the nprobe nearest inverted lists of a persisted
     IVF index — ONE Spark job: centroid selection is driver-side numpy over
     the cached centroid table, and the cid predicate is a partition filter on
     the hive layout, so only nprobe/C of the stored bytes are read (verify:
-    .explain() shows it under PartitionFilters, not PushedFilters)."""
+    .explain() shows it under PartitionFilters, not PushedFilters).
+
+    Filtered/deletes-aware serving (the reference's primary query surface,
+    ``CuVS2510GPUVectorsReader.java:313-335``): `filter_cond` is a predicate
+    over the stored (id, v, cid) columns; `accept` is a vector-dim DataFrame
+    whose FIRST column lists acceptable ids (semi-join — how a caller filters
+    by role/ts attributes kept in a separate dim table); `deletes` ids are
+    anti-joined so tombstoned vectors are never returned."""
     cids, mat = _load_centroids(spark, ivf_dir)
     q = np.asarray(query, dtype=np.float64)
     d2 = ((mat - q) ** 2).sum(axis=1)
@@ -333,7 +469,13 @@ def ivf_probe_search(
     vecs = spark.read.parquet(f"{ivf_dir}/vectors").where(
         F.col("cid").isin(probe_ids)
     )
-    return cosine_topk(vecs, query, k, id_col="id", vec_col="v")
+    if accept is not None:
+        acc = accept.select(F.col(accept.columns[0]).cast("long").alias("id"))
+        vecs = vecs.join(F.broadcast(acc), "id", "left_semi")
+    return cosine_topk(
+        vecs, query, k, id_col="id", vec_col="v",
+        filter_cond=filter_cond, deletes=deletes,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +530,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 200_000,
 ) -> DataFrame:
     """EXACT embedding near-dup: all (id_a < id_b, cos) with round(cos,6) ≥
     threshold — the small-N verification oracle (`embedding_lsh_pairs` is
@@ -397,13 +540,23 @@ def embedding_neardup_pairs(
     Spark broadcast; ONE narrow scan gives each partition a (block × N) BLAS
     matmul and emits only above-threshold upper-triangle entries. All-pairs
     compute is inherent to exactness; what the broadcast bounds is memory —
-    N·dim float64 per executor (≈0.5 GB at 10^6×64), the documented ceiling
-    of the exact verifier."""
+    N·dim float64 per executor (≈0.5 GB at 10^6×64), the ceiling ENFORCED by
+    max_rows: corpora above it raise rather than silently collecting the
+    whole corpus to the driver — switch to embedding_lsh_pairs (the scale
+    path) or raise max_rows deliberately."""
     spark = embeddings.sparkSession
     src = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    n_rows = src.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact small-N verifier: corpus "
+            f"has {n_rows} rows > max_rows={max_rows} (driver would collect "
+            f"~{n_rows}·dim·8 bytes). Use embedding_lsh_pairs for large "
+            f"corpora, or pass a higher max_rows deliberately."
+        )
     pdf = src.toPandas()
     ids_all = pdf["id"].to_numpy(dtype=np.int64)
     X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)

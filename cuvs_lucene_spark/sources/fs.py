@@ -82,6 +82,14 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     fs.move(tmp, p)
 
 
+def move(src: str, dst: str) -> None:
+    """Move/rename a file or directory within one filesystem (see atomicity
+    note: true rename on local/HDFS; copy+delete on object stores)."""
+    fs, p_src = resolve(src)
+    _, p_dst = resolve(dst)
+    fs.move(p_src, p_dst)
+
+
 def delete_dir(path: str) -> None:
     fs, p = resolve(path)
     try:

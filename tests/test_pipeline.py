@@ -268,3 +268,123 @@ class TestEmbeddingNearDup:
         H1 = S.rademacher_hyperplanes(16, 64)
         H2 = S.rademacher_hyperplanes(16, 64)
         assert (H1 == H2).all() and set(np.unique(H1)) == {-1.0, 1.0}
+
+
+class TestVectorFilteredAndLifecycle:
+    """Filtered / deletes-aware vector search (the reference's primary query
+    surface: acceptDocs filtering, ``TestCuVSGaps.java:155-196``; deletion
+    visibility, ``TestCuVSDeletedDocuments.java:69-132``) and the persisted
+    IVF lifecycle (append / skew-triggered re-train — the vector analog of
+    mergeOneField's fast/rebuild dispatch)."""
+
+    QV = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+
+    def test_filtered_cosine_equals_prefiltered_scan(self, spark, emb):
+        flt = F.col("label") % 2 == 0
+        got = [(r["id"], r["score"])
+               for r in S.cosine_topk(emb, self.QV, 10, filter_cond=flt).collect()]
+        exp = [(r["id"], r["score"])
+               for r in S.cosine_topk(emb.where(flt), self.QV, 10).collect()]
+        assert got == exp and len(got) == 10
+        # and the filter actually changes the result set vs unfiltered
+        unf = [r["id"] for r in S.cosine_topk(emb, self.QV, 10).collect()]
+        assert [i for i, _ in got] != unf
+
+    def test_deleted_vectors_never_returned_scores_stable(self, spark, emb):
+        base = S.cosine_topk(emb, self.QV, 10).collect()
+        victim = int(base[0]["id"])
+        dl = spark.createDataFrame([(victim,)], "vec_id long")
+        got = S.cosine_topk(emb, self.QV, 10, deletes=dl).collect()
+        got_ids = [int(r["id"]) for r in got]
+        assert victim not in got_ids
+        # survivors keep their exact scores and relative order
+        survivors = [(int(r["id"]), r["score"]) for r in base[1:]]
+        assert [(int(r["id"]), r["score"]) for r in got[:9]] == survivors
+
+    def test_ivf_search_filter_and_deletes(self, spark, emb):
+        cents = S.ivf_train(emb, n_centroids=8, iters=2)
+        flt = F.col("label") <= 5
+        got = [(r["id"], r["score"]) for r in S.ivf_search(
+            emb, cents, self.QV, 10, nprobe=8, filter_cond=flt).collect()]
+        exp = [(r["id"], r["score"])
+               for r in S.cosine_topk(emb.where(flt), self.QV, 10).collect()]
+        assert got == exp  # nprobe=C degrades to exact → equality holds
+        victim = got[0][0]
+        dl = spark.createDataFrame([(victim,)], "vec_id long")
+        got_d = [r["id"] for r in S.ivf_search(
+            emb, cents, self.QV, 10, nprobe=8, filter_cond=flt, deletes=dl
+        ).collect()]
+        assert victim not in got_d
+
+    def test_probe_search_accept_and_deletes(self, spark, emb, tmp_path):
+        d = str(tmp_path / "ivf")
+        S.ivf_build(emb, d, n_centroids=8, iters=2)
+        full = S.ivf_probe_search(spark, d, self.QV, 10, nprobe=8).collect()
+        victim = int(full[0]["id"])
+        accept = emb.where(F.col("label") % 2 == 0).select("vec_id")
+        got = S.ivf_probe_search(
+            spark, d, self.QV, 10, nprobe=8, accept=accept,
+            deletes=spark.createDataFrame([(victim,)], "id long"),
+        ).collect()
+        accept_ids = {int(r["vec_id"]) for r in accept.collect()}
+        assert all(int(r["id"]) in accept_ids for r in got)
+        assert victim not in {int(r["id"]) for r in got}
+        # equality with the exact filtered scan (nprobe=C → exact)
+        exp = S.cosine_topk(
+            emb.where((F.col("label") % 2 == 0) & (F.col("vec_id") != victim)),
+            self.QV, 10,
+        ).collect()
+        assert [(int(r["id"]), r["score"]) for r in got] == [
+            (int(r["id"]), r["score"]) for r in exp
+        ]
+
+    def test_exact_verifier_guard_trips(self, spark, emb):
+        with pytest.raises(ValueError, match="embedding_lsh_pairs"):
+            S.embedding_neardup_pairs(emb, threshold=0.4, max_rows=10)
+
+    def test_ivf_append_equals_rebuild_same_codebook(self, spark, emb, tmp_path):
+        """append(new batch) + probe == rebuild-from-scratch over the full
+        corpus UNDER THE SAME CODEBOOK + probe (the M2 fast-path invariant:
+        incremental layout == batch layout)."""
+        d_inc = str(tmp_path / "ivf_inc")
+        d_full = str(tmp_path / "ivf_full")
+        first = emb.where(F.col("vec_id") < 250)
+        second = emb.where(F.col("vec_id") >= 250)
+        S.ivf_build(first, d_inc, n_centroids=8, iters=2)
+        S.ivf_append(spark, second, d_inc)
+        cents = spark.read.parquet(f"{d_inc}/centroids")
+        S.ivf_build(emb, d_full, centroids=cents)
+        for nprobe in (2, 8):
+            a = [(int(r["id"]), r["score"]) for r in
+                 S.ivf_probe_search(spark, d_inc, self.QV, 10, nprobe=nprobe).collect()]
+            b = [(int(r["id"]), r["score"]) for r in
+                 S.ivf_probe_search(spark, d_full, self.QV, 10, nprobe=nprobe).collect()]
+            assert a == b and len(a) == 10
+
+    def test_ivf_compact_retrains_on_skew(self, spark, tmp_path):
+        """A drifted append (all new vectors land in one list) trips the skew
+        bound; after re-train the skew drops and search still answers exactly
+        (nprobe=C) over all vectors — old AND appended."""
+        d = str(tmp_path / "ivf_skew")
+        rng = np.random.RandomState(3)
+        base = [(i, [float(x) for x in rng.randn(16)]) for i in range(64)]
+        e0 = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+        S.ivf_build(e0, d, n_centroids=4, iters=2)
+        assert S.ivf_compact(spark, d, skew_bound=3.0) is False  # healthy
+        drift = [(1000 + i, [float(x + 25.0) for x in rng.randn(16)])
+                 for i in range(400)]
+        e1 = spark.createDataFrame(drift, "vec_id long, embedding array<float>")
+        S.ivf_append(spark, e1, d)
+        skew_before = S.ivf_list_stats(spark, d)["skew"]
+        assert skew_before > 3.0  # 400/464 rows in one of 4 lists
+        assert S.ivf_compact(spark, d, skew_bound=3.0) is True
+        st = S.ivf_list_stats(spark, d)
+        assert st["skew"] < skew_before
+        assert sum(st["counts"].values()) == 464  # no vector lost
+        qv = [1.0] + [0.0] * 15
+        got = {int(r["id"]) for r in
+               S.ivf_probe_search(spark, d, qv, 5, nprobe=len(st["counts"])).collect()}
+        exact = {int(r["id"]) for r in S.cosine_topk(
+            spark.createDataFrame(base + drift, "vec_id long, embedding array<float>"),
+            qv, 5).collect()}
+        assert got == exact
