@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v009"  # v009: k-means partial-sum rewrite can shift IVF centroids
+_IDX_VERSION = "v011"  # v011: committed file list (files.json) joins the layout
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -69,7 +69,12 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN 1 THEN 'assistant' ELSE 'tool' END"
         ).alias("role"),
         F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
+        # tool-output text for the 'tool' turns — the SECOND indexed field
+        # (fts_topk_field); NULL elsewhere (sparse field, like real transcripts)
+        F.expr(
+            "CASE WHEN cast(doc_id % 3 as int) = 2 "
+            "THEN concat('call ', substring(text, 1, 90)) ELSE NULL END"
+        ).alias("tool"),
         F.expr(
             "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
         ).alias("ts"),
@@ -77,26 +82,30 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB CTE prefix shared by every FTS oracle query: derivation + docID
-# assignment + tokenize + quantized norms + stats + tf.
-_ORACLE_PREFIX = """
+# assignment + tokenize + quantized norms + stats + tf. Parametrized by the
+# indexed FIELD expression: per-field n_docs/avgdl/df (the whole prefix
+# becomes field-specific, exactly like the engine's per-field stats).
+def _oracle_prefix(field_expr: str = "text") -> str:
+    return f"""
 WITH base AS (
   SELECT 'conv-' || lpad(cast(cast(doc_id % 50 AS bigint) AS varchar), 8, '0') AS conv_id,
          cast(doc_id // 50 AS int) AS turn_idx,
          CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-         text
+         text,
+         CASE WHEN cast(doc_id % 3 AS int) = 2 THEN 'call ' || substr(text, 1, 90) ELSE NULL END AS tool
   FROM documents
 ),
 docs AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
          conv_id, turn_idx, role,
-         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+         list_filter(regexp_split_to_array(lower(coalesce({field_expr},'')), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM base
 ),
 dlq AS (
   SELECT doc_id, conv_id, turn_idx, role, len(toks) AS dl, toks,
          CASE WHEN len(toks) < 8 THEN len(toks)
-              ELSE ((len(toks) >> (length(format('{:b}', len(toks))) - 4))
-                    << (length(format('{:b}', len(toks))) - 4)) END AS dl_d
+              ELSE ((len(toks) >> (length(format('{{:b}}', len(toks))) - 4))
+                    << (length(format('{{:b}}', len(toks))) - 4)) END AS dl_d
   FROM docs
 ),
 stats AS (
@@ -112,6 +121,10 @@ tf AS (
   GROUP BY doc_id, term
 )
 """
+
+
+# primary-field instance (every pre-existing oracle keeps using this)
+_ORACLE_PREFIX = _oracle_prefix("text")
 
 
 def _oracle_phrase_sql(slots: list[str], k: int) -> str:
@@ -162,7 +175,13 @@ ORDER BY rank
 """
 
 
-def _oracle_topk_sql(terms: list[str], k: int, mode: str, filter_sql: str | None) -> str:
+def _oracle_topk_sql(
+    terms: list[str],
+    k: int,
+    mode: str,
+    filter_sql: str | None,
+    field_expr: str = "text",
+) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
 
     The per-doc total is a PIVOTED sum — one max(CASE term) aggregate per
@@ -185,7 +204,7 @@ def _oracle_topk_sql(terms: list[str], k: int, mode: str, filter_sql: str | None
         f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
         for t in sorted(set(terms))
     )
-    return f"""{_ORACLE_PREFIX},
+    return f"""{_oracle_prefix(field_expr)},
 qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
 ts AS (SELECT term, count(*) AS df,
               ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
@@ -230,6 +249,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     build_index(
         spark, derive_transcripts(spark, sf_dir), d,
         buckets=8, salt_buckets=4, hot_df_ratio=0.20, positions=True,
+        fields=("text", "tool"),
     )  # idempotent: committed manifest → no-op
     return d
 
@@ -242,13 +262,14 @@ def _fts_topk(
     mode: str = "or",
     filter_cond=None,
     prune: bool | str = False,
+    field: str | None = None,
 ) -> DataFrame:
     from cuvs_lucene_spark.query import search
 
     idx = _index_for(spark, sf_dir)
     res = search(
         spark, idx, " ".join(terms), k=k, mode=mode,
-        filter_cond=filter_cond, prune=prune, float32=False,
+        filter_cond=filter_cond, prune=prune, float32=False, field=field,
     )
     w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     return (
@@ -294,6 +315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ["query", "data", "batch"], filter_cond=F.col("role") == "user"
     )
     q["fts_topk_hot"] = lambda s, d: _fts_topk(s, d, ["batch"], k=20)
+    # second-field query (multi-field index): BM25 over the `tool` field with
+    # THAT field's docCount/avgdl (per-field entries,
+    # CuVS2510GPUVectorsWriter.java:335-352)
+    q["fts_topk_field"] = lambda s, d: _fts_topk(
+        s, d, ["merge", "filter"], field="tool"
+    )
 
     def phrase(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import search_phrase
@@ -323,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = IndexReader(s, _index_for(s, d))
         return (
             rd.cat.read_dictionary(s)
+            .where(F.col("field") == "text")
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -598,6 +626,9 @@ def oracle_sql() -> dict[str, str]:
         ["query", "data", "batch"], 10, "or", "role = 'user'"
     )
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
+    o["fts_topk_field"] = _oracle_topk_sql(
+        ["merge", "filter"], 10, "or", None, field_expr="tool"
+    )
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 
     o["fts_topk_batch"] = "\nUNION ALL\n".join(

@@ -66,11 +66,22 @@ from cuvs_lucene_spark.operators.doc_ids import assign_doc_ids
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 POSTINGS_SCHEMA = (
-    "bucket int, term string, salt int, block_id int, "
+    "bucket int, field string, term string, salt int, block_id int, "
     "first_doc long, last_doc long, doc_count int, cf long, "
     "doc_gaps binary, tfs binary, dls binary, pos binary, "
     "max_tf int, min_dl_d long, n_bytes int"
 )
+
+# column order of POSTINGS_SCHEMA — kernels reorder their output to this so
+# Arrow column/position matching can never drift from the declared schema
+POSTINGS_COLS = [c.split()[0] for c in POSTINGS_SCHEMA.split(", ")]
+
+# `field`: which indexed document field the posting list belongs to — the
+# analog of the reference's per-field index entries
+# (``CuVS2510GPUVectorsWriter.java:335-352``: one meta entry + payload slice
+# per field; two-field coverage ``TestCuVSVectorsFormat.java:92-129``). Every
+# query runs against exactly one field (Lucene TermQuery = (field, term));
+# per-field collection stats (docCount, avgdl) live in the segment manifest.
 
 # `pos`: FOR-packed within-doc token positions of every occurrence in the
 # block, concatenated in (doc, occurrence) order — per-posting slice lengths
@@ -223,10 +234,21 @@ def _encode_sorted_rows(
     })
 
 
+def _fielded_codes(field: np.ndarray, term: np.ndarray) -> np.ndarray:
+    """Factorize (field, term) pairs into one int code array: field codes are
+    folded into the term codes so every boundary scan downstream treats two
+    fields' identical terms as distinct groups. O(n) int ops; no per-row
+    string concatenation (field cardinality is tiny)."""
+    fc = pd.factorize(field)[0].astype(np.int64)
+    tc = pd.factorize(term)[0].astype(np.int64)
+    return fc * (tc.max() + 1 if len(tc) else 1) + tc
+
+
 def make_partition_encoder(block_size: int = BLOCK_SIZE):
     """mapInPandas kernel over a partition PRE-SORTED by
-    (bucket, term, salt, doc_id): stream Arrow batches, carry the trailing
-    (possibly incomplete) group across batch boundaries, emit block rows.
+    (bucket, field, term, salt, doc_id): stream Arrow batches, carry the
+    trailing (possibly incomplete) group across batch boundaries, emit block
+    rows.
 
     This replaces a groupBy(term).applyInPandas design: with a 50k-term
     vocabulary the per-group Arrow round-trip overhead dominates build time;
@@ -248,6 +270,26 @@ def make_partition_encoder(block_size: int = BLOCK_SIZE):
         )
         return flat.astype(np.int64), head["tf"].to_numpy().astype(np.int64)
 
+    def _encode_slice(head: pd.DataFrame) -> pd.DataFrame:
+        f = head["field"].to_numpy()
+        t = head["term"].to_numpy()
+        cc = _fielded_codes(f, t)
+        ppos, pocc = _row_positions(head)
+        # pass the combined code as the "term" array: _encode_sorted_rows
+        # emits it per block, and rep maps codes back to (field, term) strings
+        rep = np.zeros(int(cc.max()) + 1 if len(cc) else 1, dtype=np.int64)
+        rep[cc] = np.arange(len(cc))
+        out = _encode_sorted_rows(
+            head["bucket"].to_numpy(), cc, head["salt"].to_numpy(),
+            head["doc_id"].to_numpy(), head["tf"].to_numpy(),
+            head["dl_q"].to_numpy(), block_size,
+            term_codes=cc, positions=ppos, occ_counts=pocc,
+        )
+        codes_out = rep[out["term"].to_numpy().astype(np.int64)]
+        out["term"] = t[codes_out]
+        out.insert(1, "field", f[codes_out])
+        return out
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
         for pdf in batches:
@@ -257,8 +299,7 @@ def make_partition_encoder(block_size: int = BLOCK_SIZE):
             if not len(pdf):
                 continue
             b = pdf["bucket"].to_numpy()
-            t = pdf["term"].to_numpy()
-            tc = pd.factorize(t)[0]  # int codes for the boundary scan only
+            tc = _fielded_codes(pdf["field"].to_numpy(), pdf["term"].to_numpy())
             s = pdf["salt"].to_numpy()
             change = np.ones(len(pdf), dtype=bool)
             change[1:] = (b[1:] != b[:-1]) | (tc[1:] != tc[:-1]) | (s[1:] != s[:-1])
@@ -268,22 +309,9 @@ def make_partition_encoder(block_size: int = BLOCK_SIZE):
                 continue
             head = pdf.iloc[:last_start]
             pending = pdf.iloc[last_start:].reset_index(drop=True)
-            ppos, pocc = _row_positions(head)
-            yield _encode_sorted_rows(
-                b[:last_start], t[:last_start], s[:last_start],
-                head["doc_id"].to_numpy(), head["tf"].to_numpy(),
-                head["dl_q"].to_numpy(), block_size,
-                positions=ppos, occ_counts=pocc,
-            )
+            yield _encode_slice(head)
         if pending is not None and len(pending):
-            ppos, pocc = _row_positions(pending)
-            yield _encode_sorted_rows(
-                pending["bucket"].to_numpy(), pending["term"].to_numpy(),
-                pending["salt"].to_numpy(), pending["doc_id"].to_numpy(),
-                pending["tf"].to_numpy(), pending["dl_q"].to_numpy(),
-                block_size,
-                positions=ppos, occ_counts=pocc,
-            )
+            yield _encode_slice(pending)
 
     return encode
 
@@ -294,19 +322,19 @@ def encode_postings(
     buckets: int,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
-    """(term, doc_id, tf, dl_q, salt, bucket) rows → posting block rows.
+    """(field, term, doc_id, tf, dl_q, salt, bucket) rows → posting block rows.
 
-    Co-locates each (bucket, salt) slice, sorts so every (term, salt) posting
-    list is contiguous and docID-ascending, then streams whole partitions
-    through the Arrow encoder (O(#partitions) Python crossings — see
-    make_partition_encoder). Used by compaction (whose input is already
+    Co-locates each (bucket, salt) slice, sorts so every (field, term, salt)
+    posting list is contiguous and docID-ascending, then streams whole
+    partitions through the Arrow encoder (O(#partitions) Python crossings —
+    see make_partition_encoder). Used by compaction (whose input is already
     decoded posting rows); the initial build uses the cheaper
     flush+merge path (make_flush_kernel / merge_partials).
     """
     enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
     return (
         salted.repartition(enc_parts, "bucket", "salt")
-        .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+        .sortWithinPartitions("bucket", "field", "term", "salt", "doc_id")
         .mapInPandas(make_partition_encoder(block_size), POSTINGS_SCHEMA)
     )
 
@@ -350,7 +378,12 @@ def bucket_col(term_col, buckets: int):
 DOC_DIM_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts"]
 
 
-def _doc_dim_schema():
+def _doc_dim_schema(extra_fields: tuple[str, ...] = ()):
+    """doc_dim schema: `dl/dl_q/dl_d` are the PRIMARY field's lengths
+    (back-compat with every consumer); each extra indexed field appends one
+    exact-length column `dl__<field>` (quantized norms are not needed here —
+    they travel inside the posting blocks; doc_dim lengths feed only the
+    per-field collection stats and the norms inspection surface)."""
     import pyarrow as pa
 
     return pa.schema([
@@ -363,6 +396,7 @@ def _doc_dim_schema():
         ("dl", pa.int64()),
         ("dl_q", pa.int32()),
         ("dl_d", pa.float64()),
+        *[(f"dl__{f}", pa.int64()) for f in extra_fields],
     ])
 
 
@@ -373,6 +407,7 @@ def make_flush_kernel(
     block_size: int = BLOCK_SIZE,
     positions: bool = False,
     doc_dim_dir: str | None = None,
+    fields: tuple[str, ...] = ("text",),
 ):
     """mapInPandas kernel over doc partitions → partial posting block rows
     for that partition's docID range.
@@ -384,6 +419,13 @@ def make_flush_kernel(
     positions=True additionally records each occurrence's within-doc token
     ordinal (0-based over the analyzer's token list) into the block `pos`
     payload — the input to phrase queries (Lucene .prx analog).
+
+    fields: the document columns to index, each producing its own posting
+    lists tagged with a `field` column (per-field entries,
+    ``CuVS2510GPUVectorsWriter.java:335-352``). fields[0] is the PRIMARY
+    field: its lengths fill doc_dim's dl/dl_q/dl_d; each extra field adds a
+    `dl__<field>` column. All fields are tokenized from the SAME Arrow batch,
+    so indexing F fields still reads the corpus exactly once.
 
     doc_dim_dir (the ONE-pass build): the kernel side-writes this partition's
     doc_dim slice (meta cols + exact dl + quantized norms, computed from the
@@ -399,60 +441,108 @@ def make_flush_kernel(
 
     hot = set(hot_terms)
 
+    def _flush_field(pdf: pd.DataFrame, fname: str, doc_ids: np.ndarray):
+        """Tokenize + encode ONE field of the batch → (block rows without the
+        `field` column | None, exact per-doc dl, quantized per-doc dl)."""
+        # tokenize entirely in Arrow C++: lower → regex split → flatten →
+        # dictionary-encode. No per-token Python string objects exist at
+        # any point; Python touches only the ~|vocab∩partition| uniques.
+        texts = pa.array(pdf[fname], type=pa.string(), from_pandas=True)
+        tok_list = pc.split_pattern_regex(
+            pc.utf8_lower(texts), TOKEN_PATTERN
+        )  # list<string>; "" at text boundaries; NULL text → NULL list
+        lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)  # NULL → 0
+        flat = pc.list_flatten(tok_list)  # null lists contribute nothing
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+        d_rep = np.repeat(doc_ids, lens)
+        # drop empty tokens ("" occurs only at string boundaries), then
+        # dl = per-doc surviving token count — identical to the JVM
+        # regexp_count dl (count of maximal [a-z0-9]+ runs) — quantized
+        # in-kernel, so the flush lineage ships only (doc_id, text)
+        empty_code = np.flatnonzero(uniq == "")
+        doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        pos = None
+        if len(empty_code):
+            keep = codes != empty_code[0]
+            # exact per-doc kept-token count via prefix-sum difference:
+            # immune to reduceat's empty-segment aliasing AND to trailing
+            # zero-length docs (NULL texts at the batch tail), where a
+            # clipped reduceat undercounts the last non-empty doc by one
+            # token and desyncs q_rep from the kept rows.
+            kcum = np.zeros(len(codes) + 1, dtype=np.int64)
+            np.cumsum(keep, out=kcum[1:])
+            dl = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
+            if positions:
+                # ordinal among KEPT tokens within the doc ("" split
+                # artifacts are separators, not tokens — they consume no
+                # position, matching tokenize_py's token list)
+                pos = (
+                    kcum[:-1] - np.repeat(kcum[doc_off[:-1]], lens)
+                )[keep]
+            codes, d_rep = codes[keep], d_rep[keep]
+        else:
+            dl = lens
+            if positions:
+                pos = np.arange(len(codes), dtype=np.int64) - np.repeat(
+                    doc_off[:-1], lens
+                )
+        q_per_doc = quantize_dl_np(np.maximum(dl, 0))
+        if not len(codes):
+            return None, dl, q_per_doc
+        q_rep = np.repeat(q_per_doc, dl)
+        u_bucket = bucket_of_terms(uniq, buckets)
+        if hot:
+            u_hot = np.fromiter(
+                (u in hot for u in uniq), dtype=bool, count=len(uniq)
+            )
+            salt = np.where(
+                u_hot[codes], d_rep % salt_buckets, 0
+            ).astype(np.int64)
+        else:
+            salt = np.zeros(len(codes), dtype=np.int64)
+        # stable sort: (term, salt) groups, docID-ascending inside (input
+        # rows arrive in docID order — the partition IS a sorted range)
+        order = np.lexsort((salt, codes))
+        cs = codes[order]
+        out = _encode_sorted_rows(
+            u_bucket[cs],
+            cs,
+            salt[order],
+            d_rep[order],
+            np.ones(len(order), dtype=np.int64),
+            q_rep[order],
+            block_size,
+            term_codes=cs,
+            # lexsort is stable and input rows arrive (doc asc, pos asc),
+            # so each (term, doc) run's occurrence positions stay ascending
+            positions=pos[order] if positions else None,
+        )
+        out["term"] = uniq[out["term"].to_numpy().astype(np.int64)]
+        return out, dl, q_per_doc
+
     def flush(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dd_parts: list = []
         for pdf in batches:
             if not len(pdf):
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
-            # tokenize entirely in Arrow C++: lower → regex split → flatten →
-            # dictionary-encode. No per-token Python string objects exist at
-            # any point; Python touches only the ~|vocab∩partition| uniques.
-            texts = pa.array(pdf["text"], type=pa.string(), from_pandas=True)
-            tok_list = pc.split_pattern_regex(
-                pc.utf8_lower(texts), TOKEN_PATTERN
-            )  # list<string>; "" at text boundaries; NULL text → NULL list
-            lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
-            lens = np.nan_to_num(lens, nan=0).astype(np.int64)  # NULL → 0
-            flat = pc.list_flatten(tok_list)  # null lists contribute nothing
-            enc = pc.dictionary_encode(flat)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            uniq = np.asarray(enc.dictionary.to_pandas(), dtype=object)
-            d_rep = np.repeat(doc_ids, lens)
-            # drop empty tokens ("" occurs only at string boundaries), then
-            # dl = per-doc surviving token count — identical to the JVM
-            # regexp_count dl (count of maximal [a-z0-9]+ runs) — quantized
-            # in-kernel, so the flush lineage ships only (doc_id, text)
-            empty_code = np.flatnonzero(uniq == "")
-            doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=doc_off[1:])
-            if len(empty_code):
-                keep = codes != empty_code[0]
-                # exact per-doc kept-token count via prefix-sum difference:
-                # immune to reduceat's empty-segment aliasing AND to trailing
-                # zero-length docs (NULL texts at the batch tail), where a
-                # clipped reduceat undercounts the last non-empty doc by one
-                # token and desyncs q_rep from the kept rows.
-                kcum = np.zeros(len(codes) + 1, dtype=np.int64)
-                np.cumsum(keep, out=kcum[1:])
-                dl = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
-                if positions:
-                    # ordinal among KEPT tokens within the doc ("" split
-                    # artifacts are separators, not tokens — they consume no
-                    # position, matching tokenize_py's token list)
-                    pos = (
-                        kcum[:-1] - np.repeat(kcum[doc_off[:-1]], lens)
-                    )[keep]
-                codes, d_rep = codes[keep], d_rep[keep]
-            else:
-                dl = lens
-                if positions:
-                    pos = np.arange(len(codes), dtype=np.int64) - np.repeat(
-                        doc_off[:-1], lens
-                    )
-            q_per_doc = quantize_dl_np(np.maximum(dl, 0))
+            extra_dl: dict[str, np.ndarray] = {}
+            outs: list[pd.DataFrame] = []
+            for fname in fields:
+                out, dl, q_per_doc = _flush_field(pdf, fname, doc_ids)
+                if fname == fields[0]:
+                    dl0, q0 = dl, q_per_doc
+                else:
+                    extra_dl[f"dl__{fname}"] = dl
+                if out is not None:
+                    out.insert(1, "field", fname)
+                    outs.append(out)
             if doc_dim_dir is not None:
                 dd_parts.append(
                     pa.table(
@@ -461,44 +551,14 @@ def make_flush_kernel(
                                 c: pa.array(pdf[c], from_pandas=True)
                                 for c in DOC_DIM_COLS
                             },
-                            "dl": pa.array(dl),
-                            "dl_q": pa.array(q_per_doc.astype(np.int32)),
-                            "dl_d": pa.array(dequantize_dl_np(q_per_doc)),
+                            "dl": pa.array(dl0),
+                            "dl_q": pa.array(q0.astype(np.int32)),
+                            "dl_d": pa.array(dequantize_dl_np(q0)),
+                            **{k: pa.array(v) for k, v in extra_dl.items()},
                         }
-                    ).cast(_doc_dim_schema())
+                    ).cast(_doc_dim_schema(tuple(fields[1:])))
                 )
-            if not len(codes):
-                continue
-            q_rep = np.repeat(q_per_doc, dl)
-            u_bucket = bucket_of_terms(uniq, buckets)
-            if hot:
-                u_hot = np.fromiter(
-                    (u in hot for u in uniq), dtype=bool, count=len(uniq)
-                )
-                salt = np.where(
-                    u_hot[codes], d_rep % salt_buckets, 0
-                ).astype(np.int64)
-            else:
-                salt = np.zeros(len(codes), dtype=np.int64)
-            # stable sort: (term, salt) groups, docID-ascending inside (input
-            # rows arrive in docID order — the partition IS a sorted range)
-            order = np.lexsort((salt, codes))
-            cs = codes[order]
-            out = _encode_sorted_rows(
-                u_bucket[cs],
-                cs,
-                salt[order],
-                d_rep[order],
-                np.ones(len(order), dtype=np.int64),
-                q_rep[order],
-                block_size,
-                term_codes=cs,
-                # lexsort is stable and input rows arrive (doc asc, pos asc),
-                # so each (term, doc) run's occurrence positions stay ascending
-                positions=pos[order] if positions else None,
-            )
-            out["term"] = uniq[out["term"].to_numpy().astype(np.int64)]
-            yield out
+            yield from outs
         if doc_dim_dir is not None and dd_parts:
             from pyspark import TaskContext
 
@@ -519,17 +579,20 @@ def make_flush_kernel(
 
 def make_merge_kernel(block_size: int = BLOCK_SIZE):
     """mapInPandas kernel over partial-block partitions PRE-SORTED by
-    (bucket, term, salt, first_doc): batch-decode the blocks, and re-encode
-    each (term, salt) group's concatenated postings into final BLOCK_SIZE
-    blocks. Disjoint source docID ranges make this a concat, never a k-way
-    interleave (cf. native index merge, ``CuVS2510GPUVectorsWriter.java:372-409``).
+    (bucket, field, term, salt, first_doc): batch-decode the blocks, and
+    re-encode each (field, term, salt) group's concatenated postings into
+    final BLOCK_SIZE blocks. Disjoint source docID ranges make this a concat,
+    never a k-way interleave (cf. native index merge,
+    ``CuVS2510GPUVectorsWriter.java:372-409``).
     """
     from cuvs_lucene_spark.codec import unpack_u64_blocks
 
     def encode_group_blocks(pdf: pd.DataFrame, tc: np.ndarray) -> pd.DataFrame:
-        """Decode block rows (term-factorized to int codes tc) and re-encode;
-        per-posting arrays carry CODES, strings reappear only per out-block."""
+        """Decode block rows ((field, term)-factorized to int codes tc) and
+        re-encode; per-posting arrays carry CODES, strings reappear only per
+        out-block."""
         uniq_terms = pdf["term"].to_numpy()  # aligned with codes via first use
+        uniq_fields = pdf["field"].to_numpy()
         gaps, counts = unpack_u64_blocks(list(pdf["doc_gaps"]))
         tfs, _ = unpack_u64_blocks(list(pdf["tfs"]))
         dlqs, _ = unpack_u64_blocks(list(pdf["dls"]))
@@ -560,7 +623,9 @@ def make_merge_kernel(block_size: int = BLOCK_SIZE):
             positions=pos_vals,
             occ_counts=tfs.astype(np.int64) if positional else None,
         )
-        out["term"] = uniq_terms[rep[out["term"].to_numpy().astype(np.int64)]]
+        codes_out = rep[out["term"].to_numpy().astype(np.int64)]
+        out["term"] = uniq_terms[codes_out]
+        out.insert(1, "field", uniq_fields[codes_out])
         return out
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -572,7 +637,7 @@ def make_merge_kernel(block_size: int = BLOCK_SIZE):
             if not len(pdf):
                 continue
             b = pdf["bucket"].to_numpy()
-            tc = pd.factorize(pdf["term"].to_numpy())[0]
+            tc = _fielded_codes(pdf["field"].to_numpy(), pdf["term"].to_numpy())
             s = pdf["salt"].to_numpy()
             change = np.ones(len(pdf), dtype=bool)
             change[1:] = (b[1:] != b[:-1]) | (tc[1:] != tc[:-1]) | (s[1:] != s[:-1])
@@ -585,7 +650,10 @@ def make_merge_kernel(block_size: int = BLOCK_SIZE):
             yield encode_group_blocks(head, tc[:last_start])
         if pending is not None and len(pending):
             yield encode_group_blocks(
-                pending, pd.factorize(pending["term"].to_numpy())[0]
+                pending,
+                _fielded_codes(
+                    pending["field"].to_numpy(), pending["term"].to_numpy()
+                ),
             )
 
     return merge
@@ -612,7 +680,7 @@ def merge_partials(
     """
     enc_parts = max(buckets, int(spark.conf.get("spark.sql.shuffle.partitions")))
     co = partials.repartition(enc_parts, "bucket", "salt").sortWithinPartitions(
-        "bucket", "term", "salt", "first_doc"
+        "bucket", "field", "term", "salt", "first_doc"
     )
     if not reblock:
         return co
@@ -659,6 +727,7 @@ def detect_hot_terms(
     n_docs: int,
     hot_df_ratio: float = 0.05,
     sample_fraction: float = 0.05,
+    field: str = "text",
 ) -> list[str]:
     """Terms whose estimated df exceeds hot_df_ratio·n_docs → get salted.
 
@@ -674,7 +743,7 @@ def detect_hot_terms(
     eff = min(sample_fraction, 1.0)
     thresh = hot_df_ratio * n_docs * eff
     rows = (
-        src.select(F.explode(F.array_distinct(tokenize_col("text"))).alias("term"))
+        src.select(F.explode(F.array_distinct(tokenize_col(field))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df_est"))
         .where(F.col("df_est") > F.lit(thresh))
@@ -734,6 +803,7 @@ def build_segment(
     run_id: str | None = None,
     bucket_groups: int = 1,
     positions: bool = False,
+    fields: tuple[str, ...] = ("text",),
     _fail_after_groups: int | None = None,
 ) -> dict:
     """Build + commit one segment; returns its manifest entry.
@@ -765,9 +835,12 @@ def build_segment(
     if existing:
         # bucket layout must agree across segments: the query planner prunes
         # partitions with one term→bucket map for the whole index; the
-        # positional flag likewise (phrase queries need EVERY segment's pos)
+        # positional flag likewise (phrase queries need EVERY segment's pos);
+        # the field set likewise (per-field stats must cover every segment)
         buckets = existing[0]["buckets"]
         positions = bool(existing[0].get("positions", False))
+        fields = tuple(existing[0].get("fields", ["text"]))
+    fields = tuple(fields)
     run_id = run_id or uuid.uuid4().hex[:12]
     doc_base = cat.next_doc_base()
     import time as _time
@@ -786,7 +859,15 @@ def build_segment(
     n_rows = transcripts.count()
     timings["doc_ids_count"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    hot = detect_hot_terms(docs, n_rows, hot_df_ratio, hot_sample_fraction)
+    # hot terms are the union over indexed fields: salting a term that is hot
+    # in ANY field only affects block layout, never correctness, so one shared
+    # set is safe and keeps the shuffle key (bucket, salt) field-agnostic
+    hot_set: set[str] = set()
+    for fld in fields:
+        hot_set.update(
+            detect_hot_terms(docs, n_rows, hot_df_ratio, hot_sample_fraction, fld)
+        )
+    hot = sorted(hot_set)
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # Warm executor Python workers (imports + package zipimport + first
@@ -794,9 +875,12 @@ def build_segment(
     # a cold 16-core session this turns a one-time ~60 s stall into ~3 s.
     # On a real cluster the same pre-pass warms every executor's workers.
     # (No doc_dim_dir here — the warmup slice must not leave part files.)
-    src = docs.select(*DOC_DIM_COLS, "text")
+    src = docs.select(
+        *DOC_DIM_COLS, *[f for f in fields if f not in DOC_DIM_COLS]
+    )
     warm_kernel = make_flush_kernel(
-        buckets, salt_buckets, hot, block_size, positions=positions
+        buckets, salt_buckets, hot, block_size, positions=positions,
+        fields=fields,
     )
     (
         src.limit(2048)
@@ -824,7 +908,7 @@ def build_segment(
         _fs.delete_dir(cat.doc_dim_path(segment_id))
     flush_kernel = make_flush_kernel(
         buckets, salt_buckets, hot, block_size, positions=positions,
-        doc_dim_dir=cat.doc_dim_path(segment_id),
+        doc_dim_dir=cat.doc_dim_path(segment_id), fields=fields,
     )
     partials = src.mapInPandas(flush_kernel, POSTINGS_SCHEMA)
     blocks = merge_partials(spark, partials, buckets, block_size, reblock=True)
@@ -833,21 +917,35 @@ def build_segment(
 
     def _stats() -> dict:
         """Global stats from the flush-written doc_dim (column-pruned scan of
-        one int column + footer counts) — available after the FIRST postings
-        write action, which materializes the flush stage."""
+        a few int columns + footer counts) — available after the FIRST
+        postings write action, which materializes the flush stage. Per-field
+        collection stats (docCount + sumTotalTermFreq per field — the inputs
+        to that field's idf and avgdl, Lucene CollectionStatistics) come from
+        the same single agg."""
         if not _stat_box:
-            row = spark.read.parquet(cat.doc_dim_path(segment_id)).agg(
-                F.count(F.lit(1)).alias("total_rows"),
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
-            ).collect()[0]
-            n_docs = int(row["n_docs"] or 0)
-            sum_dl = int(row["sum_dl"] or 0)
+            dl_col = {f: ("dl" if f == fields[0] else f"dl__{f}") for f in fields}
+            aggs = [F.count(F.lit(1)).alias("total_rows")]
+            for f in fields:
+                c = dl_col[f]
+                aggs.append(
+                    F.sum(F.when(F.col(c) > 0, 1).otherwise(0)).alias(f"nd_{f}")
+                )
+                aggs.append(F.sum(c).alias(f"sd_{f}"))
+            row = spark.read.parquet(cat.doc_dim_path(segment_id)).agg(*aggs).collect()[0]
+            field_stats = {
+                f: {
+                    "n_docs": int(row[f"nd_{f}"] or 0),
+                    "sum_dl": int(row[f"sd_{f}"] or 0),
+                }
+                for f in fields
+            }
+            prim = field_stats[fields[0]]
             _stat_box.update(
                 total_rows=int(row["total_rows"]),
-                n_docs=n_docs,
-                sum_dl=sum_dl,
-                avgdl=sum_dl / n_docs if n_docs else 1.0,
+                n_docs=prim["n_docs"],
+                sum_dl=prim["sum_dl"],
+                avgdl=prim["sum_dl"] / prim["n_docs"] if prim["n_docs"] else 1.0,
+                field_stats=field_stats,
             )
         return _stat_box
 
@@ -923,7 +1021,7 @@ def build_segment(
     # only small stat columns are read (byte counts were recorded per block
     # at encode time), never the binary payloads.
     written = spark.read.parquet(cat.postings_path(segment_id))
-    written.groupBy("term").agg(
+    written.groupBy("field", "term").agg(
         F.min("bucket").alias("bucket"),
         F.sum("doc_count").alias("df"),
         F.sum("cf").alias("cf"),
@@ -943,9 +1041,15 @@ def build_segment(
         "buckets": buckets,
         "hot_terms": len(hot),
         "positions": positions,
+        "fields": list(fields),
+        "field_stats": st["field_stats"],
         "run_id": run_id,
         "timings": {k: round(v, 2) for k, v in timings.items()},
     }
+    # object-store commit: pin the exact data-file set (files.json) BEFORE the
+    # manifest pointer swap — readers then ignore any orphan part-files a dead
+    # attempt may have left (rename-independence; see catalog.py)
+    cat.record_segment_files(segment_id)
     cat.commit_segment(seg_meta)
     _cached.unpersist()
     return seg_meta

@@ -41,15 +41,16 @@ from cuvs_lucene_spark.operators.deletes import (
 )
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
-DECODED_SCHEMA = "term string, doc_id long, tf long, dl_q int"
+DECODED_SCHEMA = "field string, term string, doc_id long, tf long, dl_q int"
 DECODED_SCHEMA_POS = DECODED_SCHEMA + ", pos array<long>"
 
 
 def _make_decode_kernel(positional: bool):
     def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Posting block rows → flat (term, doc_id, tf, dl_q[, pos]) rows
-        (Arrow-batched, one unpackbits per width class via unpack_u64_blocks —
-        no per-row loop; the per-posting position slices are numpy views)."""
+        """Posting block rows → flat (field, term, doc_id, tf, dl_q[, pos])
+        rows (Arrow-batched, one unpackbits per width class via
+        unpack_u64_blocks — no per-row loop; the per-posting position slices
+        are numpy views)."""
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -62,6 +63,7 @@ def _make_decode_kernel(positional: bool):
             anchor = np.repeat(cs[starts[:-1]], counts)
             first = np.repeat(pdf["first_doc"].to_numpy().astype(np.uint64), counts)
             out = {
+                "field": np.repeat(pdf["field"].to_numpy(), counts),
                 "term": np.repeat(pdf["term"].to_numpy(), counts),
                 "doc_id": (cs - anchor + first).astype(np.int64),
                 "tf": tfs.astype(np.int64),
@@ -79,7 +81,7 @@ def decode_postings(postings: DataFrame, positional: bool = False) -> DataFrame:
     """Decode block rows back to per-posting rows (the M3 'raw values' source).
     positional=True carries each posting's within-doc positions as an array
     column so compaction preserves the phrase payload."""
-    cols = ["term", "first_doc", "doc_gaps", "tfs", "dls"] + (
+    cols = ["field", "term", "first_doc", "doc_gaps", "tfs", "dls"] + (
         ["pos"] if positional else []
     )
     return postings.select(*cols).mapInPandas(
@@ -131,6 +133,7 @@ def compact(
     new_id = max(all_ids) + 1
     buckets = segs[0]["buckets"]
     positional = bool(segs[0].get("positions", False))
+    fields = tuple(segs[0].get("fields", ["text"]))
 
     del_ids = deleted_doc_ids(spark, index_dir) if deletes else None
 
@@ -139,13 +142,20 @@ def compact(
     if del_ids is not None:
         dd = dd.join(F.broadcast(del_ids), "doc_id", "left_anti")
     dd = dd.persist()
-    stats = dd.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-    ).collect()[0]
-    n_docs = int(stats["n_docs"] or 0)
-    sum_dl = int(stats["sum_dl"] or 0)
+    dl_col = {f: ("dl" if f == fields[0] else f"dl__{f}") for f in fields}
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for f in fields:
+        aggs.append(
+            F.sum(F.when(F.col(dl_col[f]) > 0, 1).otherwise(0)).alias(f"nd_{f}")
+        )
+        aggs.append(F.sum(dl_col[f]).alias(f"sd_{f}"))
+    stats = dd.agg(*aggs).collect()[0]
+    field_stats = {
+        f: {"n_docs": int(stats[f"nd_{f}"] or 0), "sum_dl": int(stats[f"sd_{f}"] or 0)}
+        for f in fields
+    }
+    n_docs = field_stats[fields[0]]["n_docs"]
+    sum_dl = field_stats[fields[0]]["sum_dl"]
     avgdl = sum_dl / n_docs if n_docs else 1.0
     dd.write.mode("overwrite").parquet(cat.doc_dim_path(new_id))
 
@@ -156,7 +166,9 @@ def compact(
     if del_ids is not None:
         tf = tf.join(F.broadcast(del_ids), "doc_id", "left_anti")
 
-    # exact hot-term detection (compaction is offline; full-vocab agg is fine)
+    # exact hot-term detection (compaction is offline; full-vocab agg is
+    # fine). Counted across fields — the union over-salts slightly, which
+    # only affects block layout, never correctness (same policy as build).
     hot_rows = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -185,7 +197,7 @@ def compact(
     )
 
     written = spark.read.parquet(cat.postings_path(new_id))
-    written.groupBy("term").agg(
+    written.groupBy("field", "term").agg(
         F.min("bucket").alias("bucket"),
         F.sum("doc_count").alias("df"),
         F.sum("cf").alias("cf"),
@@ -220,9 +232,12 @@ def compact(
         "buckets": buckets,
         "hot_terms": len(hot),
         "positions": positional,
+        "fields": list(fields),
+        "field_stats": field_stats,
         "run_id": run_id,
         "compacted_from": old_ids,
     }
+    cat.record_segment_files(new_id)  # pin data files before the pointer swap
     cat.replace_segments(old_ids, seg_meta)
     if not subset:
         # tombstones may still reference docs in unmerged segments, so only a

@@ -88,7 +88,13 @@ SCORE_ROWS_SCHEMA = StructType(
 
 
 class IndexReader:
-    """Query-time handle: manifest + global stats + lazy table refs."""
+    """Query-time handle: manifest + global stats + lazy table refs.
+
+    Every query targets exactly ONE indexed field (Lucene TermQuery =
+    (field, term); per-field index entries, reference analog
+    ``CuVS2510GPUVectorsWriter.java:335-352``). ``fields[0]`` is the primary
+    field and the default for every query entry point; ``field_stats_of``
+    serves each field's own collection stats (docCount, avgdl)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -97,26 +103,50 @@ class IndexReader:
         # dirs, bucket layout (CorruptIndexException analog — raises
         # catalog.CorruptIndexError instead of trusting the manifest blindly)
         self.manifest = self.cat.validate_for_read()
+        self.fields = (
+            list(self.manifest["segments"][0].get("fields", ["text"]))
+            if self.manifest["segments"]
+            else ["text"]
+        )
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """{term: (global df, bucket)} in ONE tiny job — df summed across
-        segments (Lucene computes idf at IndexSearcher level, not per-segment
-        — SURVEY §4.3.2); bucket rides along so query planning needs no
-        second hash job (it is identical across segments by construction)."""
+    def resolve_field(self, field: str | None) -> str:
+        fld = field or self.fields[0]
+        if self.manifest["segments"] and fld not in self.fields:
+            raise ValueError(
+                f"field {fld!r} is not indexed (index fields: {self.fields})"
+            )
+        return fld
+
+    def field_stats_of(self, field: str) -> tuple[int, int, float]:
+        """(n_docs, sum_dl, avgdl) of one field — Lucene CollectionStatistics."""
+        if field == self.fields[0]:
+            return self.n_docs, self.sum_dl, self.avgdl
+        return self.cat.global_stats(field)
+
+    def term_stats(
+        self, terms: list[str], field: str | None = None
+    ) -> dict[str, tuple[int, int]]:
+        """{term: (global df, bucket)} for ONE field in ONE tiny job — df
+        summed across segments (Lucene computes idf at IndexSearcher level,
+        not per-segment — SURVEY §4.3.2); bucket rides along so query planning
+        needs no second hash job (it is identical across segments by
+        construction)."""
         if not terms or not self.manifest["segments"]:
             return {}
+        fld = self.resolve_field(field)
         rows = (
             self.cat.read_dictionary(self.spark)
-            .where(F.col("term").isin(terms))
+            .where((F.col("field") == fld) & F.col("term").isin(terms))
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.min("bucket").alias("bucket"))
             .collect()
         )
         return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
 
-    def idf(self, df: int) -> float:
-        return float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+    def idf(self, df: int, n_docs: int | None = None) -> float:
+        n = self.n_docs if n_docs is None else n_docs
+        return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
 def make_score_kernel(
     term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True
@@ -198,9 +228,13 @@ def search(
     reader: IndexReader | None = None,
     float32: bool = True,
     after: tuple[float, int] | None = None,
+    field: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
+    field — which indexed field to search (default: the index's primary
+        field). Scoring uses THAT field's collection stats (docCount for idf,
+        avgdl for length normalization) — Lucene per-field semantics.
     mode='or'  — Lucene BooleanQuery SHOULD semantics (disjunctive top-k)
     mode='and' — conjunctive: doc must match every distinct query term
     filter_cond — predicate over doc_dim columns (role, ts, conv_id, ...),
@@ -214,12 +248,11 @@ def search(
     after=(score, doc_id) — pagination cursor (IndexSearcher.searchAfter
         analog): pass the LAST hit of the previous page exactly as this
         function returned it; the result is the next k hits in
-        (score desc, doc_id asc) order. Exhaustive path only: the block-max
-        θ bound is a page-1 bound, so prune=True with `after` would prune
-        blocks that still hold page-2 docs — rejected loudly instead.
+        (score desc, doc_id asc) order. Composes with prune: the block-max
+        phase 1 then derives a PAGE-LOCAL θ from docs provably past the
+        cursor (doc's total upper bound < cursor score), so pruning never
+        drops a page-2 hit — see _prune_blocks.
     """
-    if after is not None and prune:
-        raise ValueError("after= (searchAfter) requires prune=False")
     rd = reader or IndexReader(spark, index_dir)
     empty = spark.createDataFrame(
         [],
@@ -227,21 +260,26 @@ def search(
         "conv_id string, turn_idx int",
     )
     q_terms = tokenize_py(query)
-    if k <= 0 or not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+    if k <= 0 or not q_terms or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
         return empty
     # k-capping to the collection size (reference guard,
     # CuVS2510GPUVectorsReader.java:335): unbounded k would otherwise make
     # TakeOrderedAndProject allocate a 2k-slot selector per partition.
-    k = min(k, rd.n_docs)
+    k = min(k, f_docs)
     weights = Counter(q_terms)
-    stats = rd.term_stats(list(weights))
+    stats = rd.term_stats(list(weights), fld)
     present = [t for t in weights if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(weights)):
         return empty
-    term_meta = {t: (rd.idf(stats[t][0]), weights[t]) for t in present}
+    term_meta = {t: (rd.idf(stats[t][0], f_docs), weights[t]) for t in present}
 
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
         & F.col("term").isin(present)
     )
     # liveDocs mask (D1): tombstoned docs dropped from every scoring path —
@@ -262,11 +300,11 @@ def search(
     if do_prune:
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
-            prune_blocks_per_term, del_ids,
+            prune_blocks_per_term, del_ids, avgdl=f_avgdl, after=after,
         )
 
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
     )
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
@@ -282,6 +320,7 @@ def search_batch(
     mode: str | list[str] = "or",
     reader: IndexReader | None = None,
     float32: bool = True,
+    field: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 for MANY queries in ONE job: (qid, doc_id, score, conv_id,
     turn_idx), qid = the query's position in `queries`. `mode` is one
@@ -310,14 +349,18 @@ def search_batch(
         [],
         f"qid int, doc_id long, score {out_t}, conv_id string, turn_idx int",
     )
-    if k <= 0 or not queries or rd.n_docs == 0 or not rd.manifest["segments"]:
+    if k <= 0 or not queries or not rd.manifest["segments"]:
         return empty
-    k = min(k, rd.n_docs)
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
     parsed = [tokenize_py(q) for q in queries]
     all_terms = sorted({t for toks in parsed for t in toks})
     if not all_terms:
         return empty
-    stats = rd.term_stats(all_terms)
+    stats = rd.term_stats(all_terms, fld)
     present = {t for t in all_terms if stats.get(t, (0, 0))[0] > 0}
 
     modes = [mode] * len(queries) if isinstance(mode, str) else list(mode)
@@ -335,13 +378,14 @@ def search_batch(
 
     active = sorted({t for _qi, _w, pres, _m in specs for t in pres})
     tindex = {t: i for i, t in enumerate(active)}
-    term_meta = {t: (rd.idf(stats[t][0]), 1) for t in active}
+    term_meta = {t: (rd.idf(stats[t][0], f_docs), 1) for t in active}
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in active}))
+        & (F.col("field") == fld)
         & F.col("term").isin(active)
     )
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, rd.avgdl, float32), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
     )
     del_ids = deleted_doc_ids(spark, index_dir)
     if del_ids is not None:
@@ -393,6 +437,7 @@ def explain(
     query: str,
     doc_id: int,
     reader: IndexReader | None = None,
+    field: str | None = None,
 ) -> dict:
     """Score breakdown for one (query, doc) — the Lucene Explanation analog.
 
@@ -411,10 +456,14 @@ def explain(
     rd = reader or IndexReader(spark, index_dir)
     out: dict = {"doc_id": int(doc_id), "score": 0.0, "matched": False, "terms": {}}
     q_terms = tokenize_py(query)
-    if not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+    if not q_terms or not rd.manifest["segments"]:
+        return out
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
         return out
     weights = Counter(q_terms)
-    stats = rd.term_stats(sorted(weights))
+    stats = rd.term_stats(sorted(weights), fld)
     present = [t for t in sorted(weights) if stats.get(t, (0, 0))[0] > 0]
     if not present:
         return out
@@ -423,6 +472,7 @@ def explain(
         return out
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
         & F.col("term").isin(present)
         # block-level doc range prune: parquet min/max stats on first/last
         & (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
@@ -439,10 +489,10 @@ def explain(
         if hit is None:
             continue
         df = stats[t][0]
-        idf = rd.idf(df)
+        idf = rd.idf(df, f_docs)
         dl_d = float(dequantize_dl_np(np.array([hit["dl_q"]], dtype=np.int64))[0])
         tf = float(hit["tf"])
-        tf_norm = tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d / rd.avgdl))
+        tf_norm = tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d / f_avgdl))
         contribution = float(weights[t]) * (idf * tf_norm)
         score += contribution
         out["terms"][t] = {
@@ -466,6 +516,7 @@ def count_matches(
     mode: str = "or",
     filter_cond: Column | str | None = None,
     reader: IndexReader | None = None,
+    field: str | None = None,
 ) -> int:
     """Number of live docs matching the query (IndexSearcher.count analog):
     mode='or' counts docs containing ≥1 query term, mode='and' docs
@@ -480,15 +531,19 @@ def count_matches(
 
     rd = reader or IndexReader(spark, index_dir)
     q_terms = tokenize_py(query)
-    if not q_terms or rd.n_docs == 0 or not rd.manifest["segments"]:
+    if not q_terms or not rd.manifest["segments"]:
+        return 0
+    fld = rd.resolve_field(field)
+    if rd.field_stats_of(fld)[0] == 0:
         return 0
     distinct_terms = sorted(set(q_terms))
-    stats = rd.term_stats(distinct_terms)
+    stats = rd.term_stats(distinct_terms, fld)
     present = [t for t in distinct_terms if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(distinct_terms)):
         return 0
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
         & F.col("term").isin(present)
     )
     rows = decode_postings(postings).select("term", "doc_id")
@@ -645,6 +700,7 @@ def search_phrase(
     filter_cond: Column | str | None = None,
     reader: IndexReader | None = None,
     float32: bool = True,
+    field: str | None = None,
 ) -> DataFrame:
     """Top-k exact-phrase BM25 search (Lucene PhraseQuery, slop=0).
 
@@ -666,18 +722,22 @@ def search_phrase(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
     slots = tokenize_py(phrase)
-    if k <= 0 or not slots or rd.n_docs == 0 or not rd.manifest["segments"]:
+    if k <= 0 or not slots or not rd.manifest["segments"]:
         return empty
     if not all(s.get("positions", False) for s in rd.manifest["segments"]):
         raise ValueError(
             "phrase search requires an index built with positions=True"
         )
-    k = min(k, rd.n_docs)
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
     distinct = sorted(set(slots))
-    stats = rd.term_stats(distinct)
+    stats = rd.term_stats(distinct, fld)
     if any(stats.get(t, (0, 0))[0] == 0 for t in distinct):
         return empty  # a phrase term absent from the corpus ⇒ no match
-    idf_sum = float(sum(rd.idf(stats[t][0]) for t in slots))
+    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in slots))
 
     slot_of_term: dict[str, list[int]] = {}
     for i, t in enumerate(slots):
@@ -685,6 +745,7 @@ def search_phrase(
 
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
+        & (F.col("field") == fld)
         & F.col("term").isin(distinct)
     )
     occ = postings.mapInPandas(
@@ -711,7 +772,7 @@ def search_phrase(
         F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
     )
     kf = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(rd.avgdl)
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(f_avgdl)
     )
     scored = pf.select(
         "doc_id",
@@ -741,6 +802,8 @@ def _prune_blocks(
     filter_cond,
     m_per_term: int,
     del_ids: DataFrame | None = None,
+    avgdl: float | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Bound-safe distributed block-max pruning.
 
@@ -754,15 +817,31 @@ def _prune_blocks(
     θ would come from phase-1 partial sums of docs that may fail the
     conjunction, overestimating the true conjunctive k-th best and making the
     prune unsound — AND queries use the intersection path instead.
+
+    searchAfter composition (``after=(score, doc_id)``): θ must bound the
+    k-th best score OF THE PAGE (docs strictly past the cursor), not of the
+    whole index — a page-1 θ would prune blocks that still hold page-2 docs.
+    A phase-1 doc's partial sum is a LOWER bound of its true total (terms
+    whose top-m blocks miss the doc contribute 0), so "partial < cursor"
+    cannot prove page membership. Instead phase 1 keeps only docs whose
+    total UPPER bound — partial + Σ UB over terms NOT matched in phase 1 —
+    is strictly below the cursor score: those docs are provably in the page,
+    their partials lower-bound their true totals, and the k-th best such
+    partial is therefore ≤ the page's true k-th best. Fewer than k provable
+    page members → no sound θ exists → fall back to the exhaustive scan.
+    Cursor-tied docs (score == cursor, doc_id > cursor) are never pruned:
+    every θ candidate's partial < cursor, so θ < cursor ≤ their block bound.
     """
     if mode == "and":
         return postings
+    if avgdl is None:
+        avgdl = rd.avgdl
     idf_map = F.create_map(
         *[x for t, (idf, w) in term_meta.items() for x in (F.lit(t), F.lit(idf * w))]
     )
     kf = F.lit(BM25_K1) * (
         F.lit(1.0 - BM25_B)
-        + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(rd.avgdl)
+        + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(avgdl)
     )
     # project to the phase-1 working set BEFORE persisting: `_ub` for the
     # bound agg + window, (block_id, salt) for the deterministic window order,
@@ -798,19 +877,45 @@ def _prune_blocks(
         F.col("_rk") <= m_per_term
     ).drop("_rk")
     phase1 = top_blocks.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, rd.avgdl), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, avgdl), SCORE_ROWS_SCHEMA
     )
     if del_ids is not None:
         phase1 = phase1.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:
         phase1 = phase1.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
-    theta_rows = (
-        phase1.groupBy("doc_id")
-        .agg(F.sum("score").alias("s"))
-        .orderBy(F.desc("s"))
-        .limit(k)
-        .collect()
-    )
+    if after is None:
+        theta_rows = (
+            phase1.groupBy("doc_id")
+            .agg(F.sum("score").alias("s"))
+            .orderBy(F.desc("s"))
+            .limit(k)
+            .collect()
+        )
+    else:
+        # page-local θ: keep only docs PROVABLY past the cursor — total upper
+        # bound (partial + unmatched terms' global bounds) strictly below the
+        # cursor score (1e-6 float slack). See docstring for the soundness
+        # argument; tidx is the term's rank in sorted(term_meta), the same
+        # mapping make_score_kernel emits.
+        ub_of_tidx = F.create_map(
+            *[
+                x
+                for i, t in enumerate(sorted(term_meta))
+                for x in (F.lit(i), F.lit(term_ub.get(t, 0.0)))
+            ]
+        )
+        theta_rows = (
+            phase1.withColumn("_tub", ub_of_tidx[F.col("tidx")])
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("s"), F.sum("_tub").alias("_mub"))
+            .where(
+                F.col("s") + (F.lit(sum_ub) - F.col("_mub"))
+                < F.lit(float(after[0]) - 1e-6)
+            )
+            .orderBy(F.desc("s"))
+            .limit(k)
+            .collect()
+        )
     if len(theta_rows) < k:
         bounded.unpersist()
         return postings  # not enough candidates to establish a threshold

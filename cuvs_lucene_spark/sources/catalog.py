@@ -39,7 +39,7 @@ MANIFEST = "manifest.json"
 # ``CuVS2510GPUVectorsFormat.java:39-42``). Bump INDEX_FORMAT_VERSION whenever
 # manifest/table layout changes; CODEC_NAME names the postings wire format
 # (cuvs_lucene_spark.codec pack_u64: 13-byte header + MSB FOR bit-packing).
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2  # v2: per-field postings/dictionary (`field` column)
 CODEC_NAME = "for128-msb-v1"
 
 
@@ -73,6 +73,58 @@ class IndexCatalog:
 
     def lineage_path(self) -> str:
         return fs.join(self.index_dir, "lineage")
+
+    def files_path(self, sid: int) -> str:
+        return fs.join(self.seg_dir(sid), "files.json")
+
+    # -- per-segment data-file enumeration (object-store commit protocol) --
+    # Rename is not atomic on S3-class stores and Spark's dir-listing reads
+    # would pick up orphan part-files left by dead/zombie attempts. Instead,
+    # the COMMIT pins the exact data-file set: files.json (written atomically
+    # before the manifest pointer swap) enumerates every parquet data file of
+    # the segment, and the table readers consume ONLY the enumerated list —
+    # the same write-data → write-file-list → swap-pointer shape as
+    # Iceberg/Delta snapshots, and of the reference's finish() end-marker
+    # commit (``CuVS2510GPUVectorsWriter.java:521-537``). Orphans on disk are
+    # thereby invisible to every reader. Single-writer per index is the
+    # documented contract (Lucene IndexWriter lock analog).
+
+    _TABLE_DIRS = ("doc_dim", "postings", "dictionary")
+
+    def _table_dir(self, sid: int, table: str) -> str:
+        return fs.join(self.seg_dir(sid), table)
+
+    @staticmethod
+    def _is_data_file(rel: str) -> bool:
+        base = rel.rsplit("/", 1)[-1]
+        return base.endswith(".parquet") and not base.startswith(("_", "."))
+
+    def record_segment_files(self, sid: int) -> dict:
+        """Enumerate the segment's parquet data files into files.json.
+        Called by the writer after all table writes and BEFORE the manifest
+        commit — the listing is the committed snapshot of the segment."""
+        listing = {}
+        for table in self._TABLE_DIRS:
+            listing[table] = [
+                {"path": rel, "bytes": int(size)}
+                for rel, size in sorted(fs.list_files_recursive(self._table_dir(sid, table)))
+                if self._is_data_file(rel)
+            ]
+        fs.write_bytes_atomic(
+            self.files_path(sid), json.dumps(listing, indent=1).encode()
+        )
+        return listing
+
+    def _data_files(self, sid: int, table: str) -> list[str] | None:
+        """Committed file list for one segment table (absolute paths), or
+        None when the segment predates file enumeration (legacy dir scan)."""
+        p = self.files_path(sid)
+        if not fs.exists(p):
+            return None
+        listing = json.loads(fs.read_bytes(p))
+        base = self._table_dir(sid, table)
+        files = [fs.join(base, f["path"]) for f in listing.get(table, [])]
+        return files or None
 
     # -- manifest (snapshot pointer) ------------------------------------
     def read_manifest(self) -> dict:
@@ -136,6 +188,11 @@ class IndexCatalog:
             ]:
                 if not fs.isdir(d):
                     raise CorruptIndexError(f"segment {sid}: missing {what} at {d}")
+            if not fs.exists(self.files_path(sid)):
+                raise CorruptIndexError(
+                    f"segment {sid}: missing committed file list "
+                    f"{self.files_path(sid)}"
+                )
             seen = set()
             for e in fs.listdir(pdir):
                 if e.startswith("bucket="):
@@ -156,11 +213,27 @@ class IndexCatalog:
         return {s["id"] for s in self.read_manifest()["segments"]}
 
     # -- global stats (IndexSearcher-level; SURVEY §4.3.2) ---------------
-    def global_stats(self) -> tuple[int, int, float]:
-        """(n_docs, sum_dl, avgdl) summed across live segments."""
+    def fields(self) -> list[str]:
+        """Indexed fields (identical across segments by construction);
+        fields[0] is the primary field."""
+        segs = self.read_manifest()["segments"]
+        return list(segs[0].get("fields", ["text"])) if segs else ["text"]
+
+    def global_stats(self, field: str | None = None) -> tuple[int, int, float]:
+        """(n_docs, sum_dl, avgdl) for one field, summed across live segments
+        (Lucene CollectionStatistics: docCount + sumTotalTermFreq are
+        per-field at IndexSearcher level). field=None → the primary field."""
         m = self.read_manifest()
-        n = sum(s["n_docs"] for s in m["segments"])
-        sdl = sum(s["sum_dl"] for s in m["segments"])
+        segs = m["segments"]
+        if field is None or (segs and field == segs[0].get("fields", ["text"])[0]):
+            n = sum(s["n_docs"] for s in segs)
+            sdl = sum(s["sum_dl"] for s in segs)
+        else:
+            per = [s.get("field_stats", {}).get(field) for s in segs]
+            if any(p is None for p in per):
+                raise KeyError(f"field {field!r} not indexed in every segment")
+            n = sum(p["n_docs"] for p in per)
+            sdl = sum(p["sum_dl"] for p in per)
         return n, sdl, (sdl / n if n else 0.0)
 
     def next_doc_base(self) -> int:
@@ -180,24 +253,37 @@ class IndexCatalog:
     def read_doc_dim(
         self, spark: SparkSession, seg_ids: list[int] | None = None
     ) -> DataFrame:
-        paths = [self.doc_dim_path(i) for i in self._live_ids(seg_ids)]
+        paths: list[str] = []
+        for i in self._live_ids(seg_ids):
+            paths.extend(
+                self._data_files(i, "doc_dim") or [self.doc_dim_path(i)]
+            )
         return spark.read.parquet(*paths)
 
     def read_postings(
         self, spark: SparkSession, seg_ids: list[int] | None = None
     ) -> DataFrame:
-        paths = [self.postings_path(i) for i in self._live_ids(seg_ids)]
         # each segment is its own hive-partitioned (bucket=N) tree; reading
         # them in one call trips partition-discovery root conflicts — union
-        # per-segment scans instead (bucket pruning still applies per scan)
+        # per-segment scans instead (bucket pruning still applies per scan).
+        # basePath keeps the bucket partition column when reading the
+        # committed explicit file list.
         from functools import reduce
 
-        dfs = [spark.read.option("basePath", p).parquet(p) for p in paths]
+        dfs = []
+        for i in self._live_ids(seg_ids):
+            p = self.postings_path(i)
+            files = self._data_files(i, "postings") or [p]
+            dfs.append(spark.read.option("basePath", p).parquet(*files))
         return reduce(DataFrame.unionByName, dfs)
 
     def read_dictionary(self, spark: SparkSession) -> DataFrame:
-        segs = self.read_manifest()["segments"]
-        paths = [self.dictionary_path(s["id"]) for s in segs]
+        paths: list[str] = []
+        for s in self.read_manifest()["segments"]:
+            paths.extend(
+                self._data_files(s["id"], "dictionary")
+                or [self.dictionary_path(s["id"])]
+            )
         return spark.read.parquet(*paths)
 
     # -- lineage ----------------------------------------------------------

@@ -67,6 +67,22 @@ def listdir(path: str) -> list[str]:
     return [i.base_name for i in infos]
 
 
+def list_files_recursive(path: str) -> list[tuple[str, int]]:
+    """(path relative to ``path``, size) of every regular file under the
+    directory, recursively ([] if the directory is absent)."""
+    fs, p = resolve(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+    except (FileNotFoundError, OSError):
+        return []
+    base = p.rstrip("/") + "/"
+    return [
+        (i.path[len(base):] if i.path.startswith(base) else i.base_name, i.size)
+        for i in infos
+        if i.type == pafs.FileType.File
+    ]
+
+
 def read_bytes(path: str) -> bytes:
     fs, p = resolve(path)
     with fs.open_input_stream(p) as f:

@@ -181,24 +181,30 @@ def test_assign_doc_ids_duplicate_keys_fallback(spark, tmp_path):
 def test_search_after_pagination(spark, tiny_index):
     """searchAfter analog: page-2 via the last hit of page-1 must equal rows
     k..2k of a single top-2k search (same ranking, same tie-breaks), pages
-    are disjoint, and prune=True with a cursor is rejected."""
-    import pytest as _pytest
-
+    are disjoint, and the PRUNED page-2 (block-max with a page-local θ —
+    see _prune_blocks' searchAfter composition) matches the exhaustive one
+    exactly."""
     from cuvs_lucene_spark.query import search
 
     q = "world school student"
     top20 = search(spark, tiny_index, q, k=20).collect()
     page1 = search(spark, tiny_index, q, k=10).collect()
     last = page1[-1]
-    page2 = search(
-        spark, tiny_index, q, k=10, after=(float(last["score"]), int(last["doc_id"]))
-    ).collect()
+    cursor = (float(last["score"]), int(last["doc_id"]))
+    page2 = search(spark, tiny_index, q, k=10, after=cursor).collect()
     key = lambda r: (r["doc_id"], round(float(r["score"]), 5))
     assert [key(r) for r in page1 + page2] == [key(r) for r in top20]
     assert {r["doc_id"] for r in page1}.isdisjoint({r["doc_id"] for r in page2})
 
-    with _pytest.raises(ValueError):
-        search(spark, tiny_index, q, k=10, prune=True, after=(1.0, 0))
+    # pruned paging == exhaustive paging, for both a mid-index cursor and a
+    # deep one (few provable page members → the sound-θ fallback branch)
+    page2_pruned = search(spark, tiny_index, q, k=10, prune=True, after=cursor).collect()
+    assert [key(r) for r in page2_pruned] == [key(r) for r in page2]
+    deep = top20[-1]
+    deep_cursor = (float(deep["score"]), int(deep["doc_id"]))
+    tail_ex = search(spark, tiny_index, q, k=10, after=deep_cursor).collect()
+    tail_pr = search(spark, tiny_index, q, k=10, prune=True, after=deep_cursor).collect()
+    assert [key(r) for r in tail_pr] == [key(r) for r in tail_ex]
 
 
 def test_count_matches_equals_exhaustive(spark, tiny_index):

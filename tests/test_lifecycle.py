@@ -272,6 +272,62 @@ class TestReadValidation:
             IndexReader(spark, d)
 
 
+class TestCommittedFileList:
+    """Object-store commit protocol: the manifest commit pins the exact data
+    file set (files.json, written before the pointer swap); readers consume
+    ONLY the enumerated list, so orphan part-files left by dead/zombie
+    attempts — the rename-isn't-atomic hazard on S3-class stores — are
+    invisible. Commit-shape analog of the reference's finish() end-marker
+    (``CuVS2510GPUVectorsWriter.java:521-537``)."""
+
+    def test_orphan_part_files_ignored_at_read(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        import glob
+        import os
+        import shutil
+
+        d = str(tmp_path_factory.mktemp("idx") / "orphan")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        cat = IndexCatalog(d)
+        before_dd = cat.read_doc_dim(spark).count()
+        before_post = cat.read_postings(spark).count()
+        before_dict = cat.read_dictionary(spark).count()
+        before_q = _topk(spark, d, "world school")
+
+        # simulate a zombie attempt: duplicate data files under new names in
+        # every table dir — a dir-listing reader would double-count all three
+        dd_part = sorted(glob.glob(os.path.join(cat.doc_dim_path(0), "*.parquet")))[0]
+        shutil.copy(dd_part, os.path.join(cat.doc_dim_path(0), "part-99999.parquet"))
+        post_part = sorted(
+            glob.glob(os.path.join(cat.postings_path(0), "bucket=*", "*.parquet"))
+        )[0]
+        shutil.copy(post_part, os.path.join(os.path.dirname(post_part), "orphan.parquet"))
+        dict_part = sorted(
+            glob.glob(os.path.join(cat.dictionary_path(0), "*.parquet"))
+        )[0]
+        shutil.copy(dict_part, os.path.join(cat.dictionary_path(0), "orphan.parquet"))
+
+        IndexReader(spark, d)  # still opens clean
+        assert cat.read_doc_dim(spark).count() == before_dd
+        assert cat.read_postings(spark).count() == before_post
+        assert cat.read_dictionary(spark).count() == before_dict
+        assert _topk(spark, d, "world school") == before_q
+
+    def test_missing_file_list_fails_validation(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        import os
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = str(tmp_path_factory.mktemp("idx") / "nofiles")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        os.remove(IndexCatalog(d).files_path(0))
+        with pytest.raises(CorruptIndexError, match="file list"):
+            IndexReader(spark, d)
+
+
 class TestUriIndexDir:
     """index_dir given as a file:// URI — every byte of the index (Spark
     tables via the Hadoop FS layer, manifest/side-files via sources.fs) must
