@@ -344,6 +344,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_phrase"] = phrase
 
+    def phrase_slop(s: SparkSession, d: str) -> DataFrame:
+        # sloppy phrase (Lucene PhraseQuery slop>0). The SloppyPhraseMatcher
+        # sweep is inherently sequential per doc and has no reasonable ANSI-SQL
+        # twin, so this gate is rows-only at the driver; exact score parity is
+        # pinned by tests/test_phrase.py::TestSloppyPhrase against an
+        # independent heapq transliteration of the published algorithm.
+        from cuvs_lucene_spark.query import search_phrase
+
+        res = search_phrase(
+            s, _index_for(s, d), "merge sort", k=10, float32=False, slop=2
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_topk_phrase_slop"] = phrase_slop
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 

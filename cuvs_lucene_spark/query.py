@@ -633,14 +633,21 @@ PHRASE_OCC_SCHEMA = StructType(
 )
 
 
-def make_phrase_occ_kernel(slot_of_term: dict[str, list[int]]):
+def make_phrase_occ_kernel(
+    slot_of_term: dict[str, list[int]], keep_negative_adj: bool = False
+):
     """mapInPandas kernel: positional posting blocks → anchor-adjusted
     occurrence rows. An occurrence of the term filling phrase slot i at
     position p contributes (doc, slot=i, adj=p-i): a phrase match at anchor a
     is exactly a (doc, a) group containing every slot 0..n-1 (Lucene
     ExactPhraseMatcher's advance-to-alignment, re-expressed as one groupBy).
     Occurrences are expanded once per slot their term fills (repeated-term
-    phrases like "a b a" fan out ≤ phrase-length ways)."""
+    phrases like "a b a" fan out ≤ phrase-length ways).
+
+    keep_negative_adj — exact (slop=0) matching can drop adj<0 occurrences
+    (an anchor is ≥ 0, so they can never align), but SLOPPY matching cannot:
+    in "b a" vs phrase "a b"~2, b's adjusted position is -1 and the
+    transposed match lives in the window [-1, 1]."""
 
     def occ(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -675,7 +682,10 @@ def make_phrase_occ_kernel(slot_of_term: dict[str, list[int]]):
                 dl = o_dl[tmask]
                 for s in slots:
                     adj = p - s
-                    keep = adj >= 0  # slot s needs s tokens before it
+                    if keep_negative_adj:
+                        keep = np.ones(len(adj), dtype=bool)
+                    else:
+                        keep = adj >= 0  # slot s needs s tokens before it
                     outs.append(
                         pd.DataFrame(
                             {
@@ -692,6 +702,128 @@ def make_phrase_occ_kernel(slot_of_term: dict[str, list[int]]):
     return occ
 
 
+def _lucene_sloppy_freq(pos_by_slot: list[np.ndarray], slop: int) -> float:
+    """Sloppy phrase frequency of ONE doc — the published SloppyPhraseMatcher
+    sweep (Lucene 8 ``SloppyPhraseMatcher.nextMatch``), no-repeats case.
+
+    pos_by_slot[i] = sorted ADJUSTED positions (position - slot) of the term
+    filling slot i. The sweep pops the minimum adjusted position, refines the
+    match length (end - min) while the popped slot advances without passing
+    the runner-up head, and on each completed minimization with
+    matchLength <= slop adds Lucene's sloppy weight 1/(1+matchLength); `end`
+    (the max adjusted position seen) is updated the moment a position is
+    consumed (advancePP), and exhaustion of any slot ends the doc with one
+    final check. Heads tie-break (position, slot) = Lucene's pq (position,
+    offset). Sequential PER DOC by nature — exactly as in Lucene — and
+    embarrassingly parallel across docs."""
+    _POPPED = 1 << 62
+    heads = np.array([a[0] for a in pos_by_slot], dtype=np.int64)
+    ptr = [0] * len(pos_by_slot)
+    end = int(heads.max())
+    s0 = int(np.argmin(heads))  # first minimum → smallest slot on ties
+    p0 = int(heads[s0])
+    heads[s0] = _POPPED
+    match_len = end - p0
+    nxt = int(heads.min())
+    freq = 0.0
+    while True:
+        ptr[s0] += 1
+        arr = pos_by_slot[s0]
+        if ptr[s0] >= len(arr):
+            break  # the minimum slot is exhausted: no further full windows
+        p = int(arr[ptr[s0]])
+        if p > end:
+            end = p
+        if p > nxt:  # done minimizing the current match length
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heads[s0] = p
+            s0 = int(np.argmin(heads))
+            p0 = int(heads[s0])
+            heads[s0] = _POPPED
+            match_len = end - p0
+            nxt = int(heads.min())
+        else:
+            ml2 = end - p
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq
+
+
+SLOPPY_PF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pf", DoubleType()),   # Σ 1/(1+matchLength) — float freq
+        StructField("dl_d", DoubleType()),
+    ]
+)
+
+
+def make_sloppy_sweep_kernel(n_slots: int, slop: int):
+    """mapInPandas kernel over occurrence rows co-located by doc_id
+    (repartition("doc_id") upstream): per doc, slice each slot's sorted
+    adjusted positions and run the Lucene sloppy sweep. Docs are independent;
+    the trailing (possibly batch-split) doc is carried to the next Arrow
+    batch, same pattern as the partition encoder. Docs missing a slot are
+    skipped (the upstream conjunction semi-join already removed them; the
+    re-check makes the kernel safe standalone)."""
+
+    def _sweep_docs(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        d = pdf["doc_id"].to_numpy()
+        s = pdf["slot"].to_numpy()
+        a = pdf["adj"].to_numpy()
+        dl = pdf["dl_d"].to_numpy()
+        order = np.lexsort((a, s, d))
+        d, s, a, dl = d[order], s[order], a[order], dl[order]
+        bounds = np.flatnonzero(np.diff(d)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(d)]))
+        out_doc, out_pf, out_dl = [], [], []
+        for lo, hi in zip(starts, ends):
+            ss = s[lo:hi]
+            slot_bounds = np.flatnonzero(np.diff(ss)) + 1
+            if len(slot_bounds) != n_slots - 1:
+                continue  # a slot is absent: the doc cannot match
+            sl = np.concatenate(([0], slot_bounds))
+            sh = np.concatenate((slot_bounds, [hi - lo]))
+            pos_by_slot = [a[lo + i:lo + j] for i, j in zip(sl, sh)]
+            pf = _lucene_sloppy_freq(pos_by_slot, slop)
+            if pf > 0.0:
+                out_doc.append(int(d[lo]))
+                out_pf.append(pf)
+                out_dl.append(float(dl[lo]))
+        if not out_doc:
+            return None
+        return pd.DataFrame({"doc_id": out_doc, "pf": out_pf, "dl_d": out_dl})
+
+    def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            dcol = pdf["doc_id"].to_numpy()
+            complete = dcol != dcol[-1]
+            if not complete.any():
+                pend = pdf
+                continue
+            cut = int(np.flatnonzero(complete)[-1]) + 1
+            out = _sweep_docs(pdf.iloc[:cut])
+            pend = pdf.iloc[cut:].reset_index(drop=True)
+            if out is not None:
+                yield out
+        if pend is not None and len(pend):
+            out = _sweep_docs(pend)
+            if out is not None:
+                yield out
+
+    return sweep
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,
@@ -701,21 +833,39 @@ def search_phrase(
     reader: IndexReader | None = None,
     float32: bool = True,
     field: str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Top-k exact-phrase BM25 search (Lucene PhraseQuery, slop=0).
+    """Top-k phrase BM25 search (Lucene PhraseQuery; slop=0 exact, slop>0
+    sloppy).
 
     Requires an index built with positions=True (build_segment). Scoring
-    follows Lucene's PhraseWeight: tf = number of exact phrase occurrences
-    in the doc (pf), idf = SUM of the slot terms' idfs (repeated terms count
-    once per slot), norm = the document's usual dl — i.e. the phrase scores
-    like a pseudo-term with frequency pf:
+    follows Lucene's PhraseWeight: tf = phrase frequency in the doc (pf),
+    idf = SUM of the slot terms' idfs (repeated terms count once per slot),
+    norm = the document's usual dl — i.e. the phrase scores like a
+    pseudo-term with frequency pf:
         score = Σ_slots idf(t_slot) · pf / (pf + k1·(1-b+b·dl/avgdl))
 
-    Plan shape (one bucket+term-pruned scan, two shuffles on doc-keys):
+    slop=0 (exact): pf = number of exact phrase occurrences. Plan shape (one
+    bucket+term-pruned scan, two shuffles on doc-keys):
       postings(terms ∪, pruned) → occurrence kernel (adj = pos - slot)
       → groupBy(doc, adj): anchor is a match iff all n slots present
       → groupBy(doc): pf = #anchors → JVM score expr → top-k.
+
+    slop>0 (sloppy): pf = Σ over matches of 1/(1+matchLength), matches and
+    lengths produced by the published SloppyPhraseMatcher sweep
+    (_lucene_sloppy_freq). Plan shape mirrors Lucene's own two-phase
+    PhraseQuery (the approximation is the TERM CONJUNCTION; positions are
+    only evaluated on docs passing it):
+      postings scan #1 (positions NOT read) → docs containing every phrase
+      term → semi-join gates the occurrence rows → repartition(doc) →
+      per-doc sweep kernel → JVM score expr → top-k.
+    Phrases with REPEATED terms are rejected for slop>0 (Lucene routes those
+    through its repeats machinery; out of scope here — loud ValueError, not
+    silent wrong answers). Single-term phrases route to the exact path
+    (PhraseQuery rewrites to TermQuery; slop is irrelevant).
     """
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     rd = reader or IndexReader(spark, index_dir)
     out_t = "float" if float32 else "double"
     empty = spark.createDataFrame(
@@ -739,6 +889,14 @@ def search_phrase(
         return empty  # a phrase term absent from the corpus ⇒ no match
     idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in slots))
 
+    n = len(slots)
+    sloppy = slop > 0 and n > 1
+    if sloppy and len(distinct) < n:
+        raise ValueError(
+            "slop>0 with repeated phrase terms is not supported "
+            "(Lucene's repeats machinery; use slop=0 or distinct terms)"
+        )
+
     slot_of_term: dict[str, list[int]] = {}
     for i, t in enumerate(slots):
         slot_of_term.setdefault(t, []).append(i)
@@ -749,7 +907,8 @@ def search_phrase(
         & F.col("term").isin(distinct)
     )
     occ = postings.mapInPandas(
-        make_phrase_occ_kernel(slot_of_term), PHRASE_OCC_SCHEMA
+        make_phrase_occ_kernel(slot_of_term, keep_negative_adj=sloppy),
+        PHRASE_OCC_SCHEMA,
     )
 
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
@@ -760,17 +919,38 @@ def search_phrase(
     if filter_cond is not None:
         occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
 
-    n = len(slots)
-    # (doc, slot, adj) rows are unique (a slot's term occupies a position at
-    # most once), so count(*) == count(distinct slot)
-    anchors = (
-        occ.groupBy("doc_id", "adj")
-        .agg(F.count(F.lit(1)).alias("ns"), F.max("dl_d").alias("dl_d"))
-        .where(F.col("ns") == F.lit(n))
-    )
-    pf = anchors.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
-    )
+    if sloppy:
+        # two-phase, like Lucene's PhraseQuery: the approximation is the term
+        # CONJUNCTION, computed from a second postings pass that never reads
+        # the position payload (decode_postings projects it away); only docs
+        # passing it reach the per-doc sweep.
+        from cuvs_lucene_spark.operators.merge import decode_postings
+
+        cand = (
+            decode_postings(postings)
+            .select("doc_id", "term")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == F.lit(n))
+            .select("doc_id")
+        )
+        pf = (
+            occ.join(cand, "doc_id", "left_semi")
+            .repartition("doc_id")
+            .sortWithinPartitions("doc_id")  # tail-carry needs contiguous docs
+            .mapInPandas(make_sloppy_sweep_kernel(n, slop), SLOPPY_PF_SCHEMA)
+        )
+    else:
+        # (doc, slot, adj) rows are unique (a slot's term occupies a position
+        # at most once), so count(*) == count(distinct slot)
+        anchors = (
+            occ.groupBy("doc_id", "adj")
+            .agg(F.count(F.lit(1)).alias("ns"), F.max("dl_d").alias("dl_d"))
+            .where(F.col("ns") == F.lit(n))
+        )
+        pf = anchors.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
+        )
     kf = F.lit(BM25_K1) * (
         F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(f_avgdl)
     )

@@ -146,6 +146,191 @@ class TestPhraseOracle:
         assert got == [(c, t) for c, t, _ in exp]
 
 
+def oracle_sloppy_freq(pos_by_slot, slop):
+    """Independent heapq transliteration of the published Lucene 8
+    SloppyPhraseMatcher sweep (the engine uses a numpy argmin head-array
+    instead — two separately-written implementations of the same spec)."""
+    import heapq
+
+    heads = [(pos[0], s) for s, pos in enumerate(pos_by_slot)]
+    heapq.heapify(heads)
+    end = max(p for p, _ in heads)
+    ptr = [0] * len(pos_by_slot)
+    p0, s0 = heapq.heappop(heads)
+    match_len = end - p0
+    nxt = heads[0][0]
+    freq = 0.0
+    while True:
+        ptr[s0] += 1
+        lst = pos_by_slot[s0]
+        if ptr[s0] >= len(lst):
+            break
+        p = lst[ptr[s0]]
+        if p > end:
+            end = p
+        if p > nxt:
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heads, (p, s0))
+            p0, s0 = heapq.heappop(heads)
+            match_len = end - p0
+            nxt = heads[0][0]
+        else:
+            match_len = min(match_len, end - p)
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq
+
+
+def oracle_sloppy_phrase(corpus_toks, phrase: str, k: int, slop: int):
+    """[(conv_id, turn_idx, score)] top-k sloppy-phrase BM25."""
+    slots = tokenize_py(phrase)
+    docs_with_dl = [(c, t, toks, len(toks)) for c, t, toks in corpus_toks]
+    n_docs = sum(1 for *_, dl in docs_with_dl if dl > 0)
+    avgdl = sum(dl for *_, dl in docs_with_dl) / n_docs
+    df = {
+        s: sum(1 for *_, toks, _ in docs_with_dl if s in set(toks))
+        for s in set(slots)
+    }
+    if any(df[s] == 0 for s in set(slots)):
+        return []
+    idf_sum = sum(
+        math.log(1.0 + (n_docs - df[s] + 0.5) / (df[s] + 0.5)) for s in slots
+    )
+    scored = []
+    for doc_id, (c, t, toks, dl) in enumerate(docs_with_dl):
+        pos_by_slot = [
+            [p - i for p, tok in enumerate(toks) if tok == slots[i]]
+            for i in range(len(slots))
+        ]
+        if any(not ps for ps in pos_by_slot):
+            continue
+        pf = oracle_sloppy_freq(pos_by_slot, slop)
+        if pf > 0.0:
+            dl_d = float(
+                dequantize_dl_np(quantize_dl_np(np.array([dl], dtype=np.int64)))[0]
+            )
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dl_d / avgdl))
+            scored.append((doc_id, c, t, score))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [(c, t, s) for _, c, t, s in scored[:k]]
+
+
+class TestSloppyPhrase:
+    def test_topk_matches_oracle_across_slops(self, spark, pos_index, corpus_toks):
+        phrases = find_phrases(corpus_toks)
+        # add a TRANSPOSED bigram: reversal of a real bigram exercises
+        # negative adjusted positions ("b a" matches "a b"~2)
+        first = [p for p in phrases if len(set(p.split())) == len(p.split())]
+        rev = " ".join(reversed(first[0].split()))
+        cases = [p for p in first if len(set(p.split())) == len(p.split())]
+        cases.append(rev)
+        for phrase in cases:
+            for slop in (1, 2, 5):
+                exp = oracle_sloppy_phrase(corpus_toks, phrase, 10, slop)
+                got = [
+                    (r["conv_id"], r["turn_idx"], float(r["score"]))
+                    for r in search_phrase(
+                        spark, pos_index, phrase, k=10, float32=False, slop=slop
+                    ).collect()
+                ]
+                assert [(c, t) for c, t, _ in got] == [
+                    (c, t) for c, t, _ in exp
+                ], (phrase, slop)
+                for (_, _, g), (_, _, e) in zip(got, exp):
+                    assert g == pytest.approx(e, rel=1e-9), (phrase, slop)
+
+    def test_slop0_sweep_counts_exact_anchors(self):
+        """The sweep at slop=0 degenerates to exact-anchor counting: each
+        anchor where every slot aligns contributes weight exactly 1."""
+        from cuvs_lucene_spark.query import _lucene_sloppy_freq
+
+        rng = np.random.RandomState(7)
+        for _ in range(200):
+            n = int(rng.randint(2, 5))
+            toks = rng.randint(0, n + 2, size=rng.randint(n, 40))
+            pos_by_slot = [
+                np.array([p - i for p, v in enumerate(toks) if v == i],
+                         dtype=np.int64)
+                for i in range(n)
+            ]
+            if any(len(ps) == 0 for ps in pos_by_slot):
+                continue
+            exact = sum(
+                1
+                for a in range(len(toks) - n + 1)
+                if all(toks[a + i] == i for i in range(n))
+            )
+            got = _lucene_sloppy_freq(pos_by_slot, 0)
+            assert got == pytest.approx(float(exact)), toks
+
+    def test_engine_sweep_equals_oracle_sweep_random(self):
+        """Property pin: the numpy argmin sweep (engine) and the heapq sweep
+        (oracle) agree on random position lists for every slop."""
+        from cuvs_lucene_spark.query import _lucene_sloppy_freq
+
+        rng = np.random.RandomState(11)
+        for _ in range(300):
+            n = int(rng.randint(2, 6))
+            pos_by_slot = []
+            for _s in range(n):
+                m = int(rng.randint(1, 8))
+                ps = np.unique(rng.randint(-3, 40, size=m)).astype(np.int64)
+                pos_by_slot.append(ps)
+            for slop in (0, 1, 2, 3, 7):
+                a = _lucene_sloppy_freq(pos_by_slot, slop)
+                b = oracle_sloppy_freq([list(p) for p in pos_by_slot], slop)
+                assert a == pytest.approx(b), (pos_by_slot, slop)
+
+    def test_repeated_terms_with_slop_rejected(self, spark, pos_index, corpus_toks):
+        rep = next(
+            (p for p in find_phrases(corpus_toks) if len(set(p.split())) < len(p.split())),
+            None,
+        )
+        phrase = rep or "the data the"
+        with pytest.raises(ValueError, match="repeated"):
+            search_phrase(spark, pos_index, phrase, k=5, slop=2)
+
+    def test_sloppy_with_filter_and_deletes(self, spark, tiny_df, corpus_toks, tmp_path_factory):
+        """Deleted docs never surface in sloppy results; filter_cond applies."""
+        from pyspark.sql import functions as F
+
+        from cuvs_lucene_spark.operators.deletes import delete_docs
+        from cuvs_lucene_spark.query import IndexReader
+
+        d = str(tmp_path_factory.mktemp("idx") / "slopdel")
+        build_index(
+            spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+            positions=True,
+        )
+        phrase = find_phrases(corpus_toks)[0]
+        if len(set(phrase.split())) < len(phrase.split()):
+            phrase = next(
+                p for p in find_phrases(corpus_toks)
+                if len(set(p.split())) == len(p.split())
+            )
+        base = search_phrase(spark, d, phrase, k=10, slop=3).collect()
+        assert base, phrase
+        victim = int(base[0]["doc_id"])
+        rd = IndexReader(spark, d)
+        keys = (
+            rd.cat.read_doc_dim(spark)
+            .where(F.col("doc_id") == victim)
+            .select("conv_id", "turn_idx")
+        )
+        assert delete_docs(spark, d, keys) == 1
+        after = search_phrase(spark, d, phrase, k=10, slop=3).collect()
+        assert victim not in {int(r["doc_id"]) for r in after}
+        flt = search_phrase(
+            spark, d, phrase, k=10, slop=3, filter_cond=F.col("role") == "user"
+        ).collect()
+        roles = {r["doc_id"] for r in flt}
+        if roles:
+            dd = spark.read.parquet(f"{d}/seg=0/doc_dim")
+            ok = dd.where(F.col("doc_id").isin([int(x) for x in roles])).select("role").distinct().collect()
+            assert {r["role"] for r in ok} == {"user"}
+
+
 class TestPhraseLifecycle:
     def test_positions_survive_compaction(
         self, spark, tiny_df, corpus_toks, tmp_path_factory
