@@ -87,6 +87,26 @@ SCORE_ROWS_SCHEMA = StructType(
 )
 
 
+# driver-side term-stats (TermStates) cache: {(snap_key, field): {term: (df,
+# bucket)}}. Bounded: at most _TERM_CACHE_MAX_KEYS snapshots (insertion-order
+# eviction — reopening after compaction ages out the old snapshot) and
+# _TERM_CACHE_MAX_TERMS terms per snapshot. Absent terms are cached as
+# (0, -1). Safe under deletes: tombstones never change df (SURVEY §4.3.2).
+_TERM_STATS_CACHE: dict[tuple, dict[str, tuple[int, int]]] = {}
+_TERM_CACHE_MAX_KEYS = 8
+_TERM_CACHE_MAX_TERMS = 65536
+
+
+def _term_stats_cache(snap_key, field: str) -> dict[str, tuple[int, int]]:
+    key = (snap_key, field)
+    cache = _TERM_STATS_CACHE.get(key)
+    if cache is None:
+        while len(_TERM_STATS_CACHE) >= _TERM_CACHE_MAX_KEYS:
+            _TERM_STATS_CACHE.pop(next(iter(_TERM_STATS_CACHE)))
+        cache = _TERM_STATS_CACHE[key] = {}
+    return cache
+
+
 class IndexReader:
     """Query-time handle: manifest + global stats + lazy table refs.
 
@@ -109,6 +129,16 @@ class IndexReader:
             else ["text"]
         )
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
+        # snapshot identity for the driver-side term-stats cache: the segment
+        # set (ids + run lineage) IS the dictionary's content identity —
+        # deletes are tombstones and do not alter df (Lucene likewise keeps
+        # df of deleted docs until merge), compaction replaces segment ids
+        self._snap_key = (
+            self.cat.index_dir,
+            tuple(
+                (s["id"], s.get("run_id")) for s in self.manifest["segments"]
+            ),
+        )
 
     def resolve_field(self, field: str | None) -> str:
         fld = field or self.fields[0]
@@ -135,14 +165,29 @@ class IndexReader:
         if not terms or not self.manifest["segments"]:
             return {}
         fld = self.resolve_field(field)
-        rows = (
-            self.cat.read_dictionary(self.spark)
-            .where((F.col("field") == fld) & F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.min("bucket").alias("bucket"))
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+        # driver-side TermStates cache (Lucene caches term seek state per
+        # reader the same way): keyed by snapshot identity + field, with
+        # NEGATIVE entries for absent terms so hot queries with typos don't
+        # re-seek either. One dictionary-seek job only for cache misses.
+        cache = _term_stats_cache(self._snap_key, fld)
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (
+                self.cat.read_dictionary(self.spark)
+                .where((F.col("field") == fld) & F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.min("bucket").alias("bucket"))
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+            if len(cache) + len(missing) <= _TERM_CACHE_MAX_TERMS:
+                for t in missing:
+                    cache[t] = found.get(t, (0, -1))  # (0,-1) = absent
+            return {
+                **{t: cache[t] for t in terms if cache.get(t, (0, -1))[1] >= 0},
+                **found,
+            }
+        return {t: cache[t] for t in terms if cache[t][1] >= 0}
 
     def idf(self, df: int, n_docs: int | None = None) -> float:
         n = self.n_docs if n_docs is None else n_docs
