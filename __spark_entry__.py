@@ -85,9 +85,12 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment + tokenize + quantized norms + stats + tf. Parametrized by the
 # indexed FIELD expression: per-field n_docs/avgdl/df (the whole prefix
 # becomes field-specific, exactly like the engine's per-field stats).
-def _oracle_prefix(field_expr: str = "text") -> str:
+def _oracle_prefix(field_expr: str = "text", sfx: str = "", lead: str = "WITH ") -> str:
+    """CTE prefix for ONE indexed field. sfx suffixes every CTE name so two
+    fields' chains can coexist in one statement (_oracle_multifield_sql);
+    lead='' drops the WITH for non-first chains."""
     return f"""
-WITH base AS (
+{lead}base{sfx} AS (
   SELECT 'conv-' || lpad(cast(cast(doc_id % 50 AS bigint) AS varchar), 8, '0') AS conv_id,
          cast(doc_id // 50 AS int) AS turn_idx,
          CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
@@ -95,29 +98,29 @@ WITH base AS (
          CASE WHEN cast(doc_id % 3 AS int) = 2 THEN 'call ' || substr(text, 1, 90) ELSE NULL END AS tool
   FROM documents
 ),
-docs AS (
+docs{sfx} AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
          conv_id, turn_idx, role,
          list_filter(regexp_split_to_array(lower(coalesce({field_expr},'')), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM base
+  FROM base{sfx}
 ),
-dlq AS (
+dlq{sfx} AS (
   SELECT doc_id, conv_id, turn_idx, role, len(toks) AS dl, toks,
          CASE WHEN len(toks) < 8 THEN len(toks)
               ELSE ((len(toks) >> (length(format('{{:b}}', len(toks))) - 4))
                     << (length(format('{{:b}}', len(toks))) - 4)) END AS dl_d
-  FROM docs
+  FROM docs{sfx}
 ),
-stats AS (
+stats{sfx} AS (
   SELECT count(*) FILTER (WHERE dl > 0) AS n_docs,
          sum(dl) FILTER (WHERE dl > 0) AS sum_dl,
          cast(sum(dl) FILTER (WHERE dl > 0) AS double)
            / count(*) FILTER (WHERE dl > 0) AS avgdl
-  FROM dlq
+  FROM dlq{sfx}
 ),
-tf AS (
+tf{sfx} AS (
   SELECT doc_id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(toks) AS term FROM dlq) u
+  FROM (SELECT doc_id, unnest(toks) AS term FROM dlq{sfx}) u
   GROUP BY doc_id, term
 )
 """
@@ -232,6 +235,68 @@ ORDER BY rank
 """
 
 
+def _oracle_multifield_sql(terms: list[str], k: int, field_exprs: list[str]) -> str:
+    """Cross-field BM25 top-k in DuckDB SQL — the oracle twin of
+    query.search_fields: each field gets its own full CTE chain (per-field
+    n_docs/avgdl/df/idf), per-field subtotals are term-sorted pivot sums,
+    and the total adds subtotals left-to-right in field order — grouping
+    float64 additions exactly as the engine does, so values hash-match."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    chains = "".join(
+        _oracle_prefix(fe, sfx=f"_f{i}", lead="WITH " if i == 0 else ",")
+        for i, fe in enumerate(field_exprs)
+    )
+    score_ctes = []
+    for i in range(len(field_exprs)):
+        s = f"_f{i}"
+        per = (
+            f"ts{s}.idf * tf{s}.tf / (tf{s}.tf + {_BM25_K1} * "
+            f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / st.avgdl))"
+        )
+        pivot = " + ".join(
+            f"{terms.count(t)} * COALESCE(max(CASE WHEN tf{s}.term = '{t}' THEN {per} END), 0)"
+            for t in sorted(set(terms))
+        )
+        score_ctes.append(f"""
+sc{s} AS (
+  SELECT tf{s}.doc_id, ({pivot}) AS score
+  FROM tf{s}
+  JOIN qt ON tf{s}.term = qt.term
+  JOIN (SELECT term, count(*) AS df,
+               ln(1 + ((SELECT n_docs FROM stats{s}) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+        FROM tf{s} WHERE term IN (SELECT term FROM qt) GROUP BY term) ts{s}
+    ON tf{s}.term = ts{s}.term
+  JOIN dlq{s} d ON tf{s}.doc_id = d.doc_id
+  CROSS JOIN stats{s} st
+  GROUP BY tf{s}.doc_id
+)""")
+    # left-assoc full-outer chain: u0 = sc_f0; u_i = u_{i-1} ⟗ sc_fi with
+    # score = COALESCE(prev,0) + COALESCE(this,0) — the engine's field order
+    union_ctes = ["u0 AS (SELECT doc_id, score FROM sc_f0)"]
+    for i in range(1, len(field_exprs)):
+        union_ctes.append(f"""
+u{i} AS (
+  SELECT doc_id,
+         COALESCE(a.score, 0) + COALESCE(b.score, 0) AS score
+  FROM u{i - 1} a FULL OUTER JOIN sc_f{i} b USING (doc_id)
+)""")
+    last = f"u{len(field_exprs) - 1}"
+    return f"""{chains},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+{", ".join(score_ctes)},
+{", ".join(union_ctes)},
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM {last} ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq_f0 d USING (doc_id)
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-side helpers
 # ---------------------------------------------------------------------------
@@ -321,6 +386,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_topk_field"] = lambda s, d: _fts_topk(
         s, d, ["merge", "filter"], field="tool"
     )
+
+    def multifield(s: SparkSession, d: str) -> DataFrame:
+        # cross-field disjunction (MultiFieldQueryParser analog): terms score
+        # in BOTH indexed fields with each field's own docCount/avgdl/idf
+        from cuvs_lucene_spark.query import search_fields
+
+        res = search_fields(
+            s, _index_for(s, d), "call data", k=10, float32=False
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_topk_multifield"] = multifield
 
     def phrase(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import search_phrase
@@ -655,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
     o["fts_topk_field"] = _oracle_topk_sql(
         ["merge", "filter"], 10, "or", None, field_expr="tool"
+    )
+    o["fts_topk_multifield"] = _oracle_multifield_sql(
+        ["call", "data"], 10, ["text", "tool"]
     )
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
 

@@ -476,6 +476,126 @@ def search_batch(
     )
 
 
+def search_fields(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    fields: list[str] | None = None,
+    weights: list[float] | None = None,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+) -> DataFrame:
+    """Cross-field disjunctive top-k BM25 — the Lucene MultiFieldQueryParser
+    / BooleanQuery-of-per-field-TermQueries analog: every query term scores
+    in EVERY requested field with THAT field's own collection statistics
+    (docCount → idf, avgdl → length norm; per-field entries,
+    ``CuVS2510GPUVectorsWriter.java:335-352``), and a doc's total is
+        Σ_f w_f · Σ_t score_f(t, doc).
+
+    fields — indexed fields to search (default: all of them, index order).
+    weights — per-field boosts aligned with `fields` (default all 1.0),
+        folded into each field's idf exactly like a Lucene query boost.
+
+    Determinism: per-field subtotals are summed in sorted-term order and
+    then added in field order ((f0 terms…) + (f1 terms…) + …), and the
+    DuckDB oracle groups its float64 additions identically, so totals are
+    bit-equal and exact ties at the k boundary break the same way.
+
+    Plan: one bucket+term+field-pruned postings scan per field (the
+    dictionary seek is per field, as in Lucene), each through the narrow
+    score kernel; a union of (doc, global-tidx, score) rows; ONE pivot
+    aggregation; TakeOrderedAndProject. Deletes and filter_cond apply to
+    the unioned rows once.
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    q_terms = tokenize_py(query)
+    if k <= 0 or not q_terms or not rd.manifest["segments"]:
+        return empty
+    flds = [rd.resolve_field(f) for f in (fields or rd.fields)]
+    if len(set(flds)) != len(flds):
+        raise ValueError(f"duplicate fields in {flds}")
+    if weights is None:
+        weights = [1.0] * len(flds)
+    if len(weights) != len(flds):
+        raise ValueError("weights must align with fields")
+    w_of = dict(zip(flds, weights))
+    q_weights = Counter(q_terms)
+
+    branches: list[tuple[int, DataFrame]] = []  # (n_present_terms, score rows)
+    offset = 0
+    cap = 0
+    for fld in flds:
+        f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+        if f_docs == 0:
+            continue
+        stats = rd.term_stats(list(q_weights), fld)
+        present = [t for t in q_weights if stats.get(t, (0, 0))[0] > 0]
+        if not present:
+            continue
+        cap += f_docs
+        term_meta = {
+            t: (rd.idf(stats[t][0], f_docs) * w_of[fld], q_weights[t])
+            for t in present
+        }
+        postings = rd.cat.read_postings(spark).where(
+            F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+            & (F.col("field") == fld)
+            & F.col("term").isin(present)
+        )
+        rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
+            make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
+        )
+        if offset:
+            rows = rows.select(
+                "doc_id", (F.col("tidx") + F.lit(offset)).alias("tidx"), "score"
+            )
+        branches.append((len(present), rows))
+        offset += len(present)
+    if not branches:
+        return empty
+    k = min(k, cap)
+
+    from functools import reduce as _reduce
+
+    score_rows = _reduce(DataFrame.unionByName, [r for _n, r in branches])
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        score_rows = score_rows.join(
+            _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
+        )
+    per_term = [
+        F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
+        for i in range(offset)
+    ]
+    agg = score_rows.groupBy("doc_id").agg(*per_term)
+    total = None
+    i = 0
+    for n_present, _r in branches:
+        sub = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        for j in range(i + 1, i + n_present):
+            sub = sub + F.coalesce(F.col(f"_s{j}"), F.lit(0.0))
+        total = sub if total is None else total + sub
+        i += n_present
+    ranked = agg.select("doc_id", total.cast(out_t).alias("score"))
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def explain(
     spark: SparkSession,
     index_dir: str,

@@ -100,3 +100,112 @@ def test_tool_field_count_and_dictionary(spark, mf_index, oracle_tool):
 def test_unknown_field_rejected(spark, mf_index):
     with pytest.raises(ValueError, match="not indexed"):
         search(spark, mf_index, "bash", field="nosuchfield")
+
+
+# ---------------------------------------------------------------------------
+# cross-field search (Lucene MultiFieldQueryParser analog)
+# ---------------------------------------------------------------------------
+
+def _field_acc(idx, query: str, boost: float = 1.0) -> dict[int, float]:
+    """Per-doc float64 subtotal for one field, f64 per-term scores added in
+    sorted-term order (the engine's float32=False grouping), boost folded
+    into idf BEFORE the per-term product — exactly as search_fields does."""
+    from collections import Counter
+
+    from cuvs_lucene_spark.analysis import tokenize_py
+    from cuvs_lucene_spark.oracle import oracle_idf
+
+    K1, B = 1.2, 0.75
+    weights = Counter(tokenize_py(query))
+    acc: dict[int, float] = {}
+    for term in sorted(set(weights)):
+        if term not in idx.postings:
+            continue
+        d, tf = idx.postings[term]
+        idf = oracle_idf(idx, term) * boost
+        for di, f in zip(d, tf):
+            dl = float(idx.dl_d[di])
+            kf = K1 * (1 - B + B * dl / idx.avgdl)
+            s = weights[term] * (idf * float(f) / (float(f) + kf))
+            acc[int(di)] = acc.get(int(di), 0.0) + s
+    return acc
+
+
+def _combined_topk(accs: list[dict[int, float]], k: int):
+    docs = sorted(set().union(*[a.keys() for a in accs]))
+    totals = []
+    for d in docs:
+        t = 0.0
+        for a in accs:
+            t = t + a.get(d, 0.0)
+        totals.append((d, t))
+    totals.sort(key=lambda r: (-r[1], r[0]))
+    return totals[:k]
+
+
+def test_search_fields_matches_combined_oracle(
+    spark, mf_index, oracle_tiny, oracle_tool
+):
+    from cuvs_lucene_spark.query import search_fields
+
+    for q in ["bash merge", "python sql school", "search the window"]:
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in search_fields(
+                spark, mf_index, q, k=10, float32=False
+            ).collect()
+        ]
+        want = _combined_topk(
+            [_field_acc(oracle_tiny, q), _field_acc(oracle_tool, q)], 10
+        )
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
+
+
+def test_search_fields_boost(spark, mf_index, oracle_tiny, oracle_tool):
+    from cuvs_lucene_spark.query import search_fields
+
+    q = "bash data"
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_fields(
+            spark, mf_index, q, k=10, weights=[1.0, 2.5], float32=False
+        ).collect()
+    ]
+    want = _combined_topk(
+        [_field_acc(oracle_tiny, q), _field_acc(oracle_tool, q, boost=2.5)], 10
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_search_fields_single_field_degenerates(spark, mf_index):
+    """fields=['text'] must equal the plain single-field search exactly."""
+    from cuvs_lucene_spark.query import search_fields
+
+    q = "school water company"
+    a = [
+        (r["doc_id"], float(r["score"]))
+        for r in search_fields(
+            spark, mf_index, q, k=10, fields=["text"], float32=False
+        ).collect()
+    ]
+    b = [
+        (r["doc_id"], float(r["score"]))
+        for r in search(spark, mf_index, q, k=10, float32=False).collect()
+    ]
+    assert a == b
+
+
+def test_search_fields_guards(spark, mf_index):
+    from cuvs_lucene_spark.query import search_fields
+
+    assert search_fields(spark, mf_index, "", k=10).count() == 0
+    assert search_fields(spark, mf_index, "zzzqqq", k=10).count() == 0
+    assert search_fields(spark, mf_index, "bash", k=0).count() == 0
+    with pytest.raises(ValueError, match="duplicate"):
+        search_fields(spark, mf_index, "bash", fields=["text", "text"])
+    with pytest.raises(ValueError, match="align"):
+        search_fields(spark, mf_index, "bash", weights=[1.0])
