@@ -282,6 +282,34 @@ class TestSloppyPhrase:
                 b = oracle_sloppy_freq([list(p) for p in pos_by_slot], slop)
                 assert a == pytest.approx(b), (pos_by_slot, slop)
 
+    def test_sweep_kernel_tail_carry_across_batches(self):
+        """A doc whose occurrence rows are split across Arrow batches must
+        produce the same pf as the single-batch run (the pending-tail carry);
+        docs missing a slot are dropped by the kernel itself."""
+        import pandas as pd
+
+        from cuvs_lucene_spark.query import make_sloppy_sweep_kernel
+
+        rows = []
+        rng = np.random.RandomState(3)
+        for doc in range(40):
+            for slot in range(3):
+                for p in np.unique(rng.randint(0, 30, size=rng.randint(1, 6))):
+                    rows.append((doc, slot, int(p) - slot, 10.0 + doc))
+        # doc 40 misses slot 2 → must not appear in the output
+        rows += [(40, 0, 1, 50.0), (40, 1, 1, 50.0)]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "slot", "adj", "dl_d"])
+        kern = make_sloppy_sweep_kernel(3, 2)
+        one = pd.concat(list(kern(iter([pdf]))), ignore_index=True)
+        for cut in (7, len(pdf) // 3, len(pdf) - 5):
+            parts = [pdf.iloc[:cut], pdf.iloc[cut:].reset_index(drop=True)]
+            got = pd.concat(list(kern(iter(parts))), ignore_index=True)
+            pd.testing.assert_frame_equal(
+                got.sort_values("doc_id").reset_index(drop=True),
+                one.sort_values("doc_id").reset_index(drop=True),
+            )
+        assert 40 not in set(one["doc_id"])
+
     def test_repeated_terms_with_slop_rejected(self, spark, pos_index, corpus_toks):
         rep = next(
             (p for p in find_phrases(corpus_toks) if len(set(p.split())) < len(p.split())),
