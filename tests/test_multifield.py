@@ -199,6 +199,76 @@ def test_search_fields_single_field_degenerates(spark, mf_index):
     assert a == b
 
 
+def test_multifield_survives_compaction_and_deletes(
+    spark, tiny_df, tmp_path_factory
+):
+    """Two two-field segments → delete a tool-field hit → compact: per-field
+    stats recompute per field, tool-field and cross-field results drop the
+    victim and keep everyone else's scores."""
+    from pyspark.sql import functions as F
+
+    from cuvs_lucene_spark.operators.build import build_segment
+    from cuvs_lucene_spark.operators.deletes import delete_docs
+    from cuvs_lucene_spark.operators.merge import compact
+    from cuvs_lucene_spark.query import search_fields
+
+    d = str(tmp_path_factory.mktemp("idx") / "mf2seg")
+    cut = "conv-00000100"
+    for sid, cond in enumerate(
+        [F.col("conv_id") < cut, F.col("conv_id") >= cut]
+    ):
+        build_segment(
+            spark, tiny_df.where(cond), d, sid,
+            buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+            fields=("text", "tool"),
+        )
+    q = "bash merge data"
+    base = search(spark, d, "bash python", k=10, field="tool").collect()
+    base_x = search_fields(spark, d, q, k=10, float32=False).collect()
+    assert base and base_x
+    victim = int(base[0]["doc_id"])
+    rd = IndexReader(spark, d)
+    n_before = rd.field_stats_of("tool")[0]  # BEFORE delete+compact: the
+    # catalog re-reads the manifest on every stats call, so capture now
+    keys = (
+        rd.cat.read_doc_dim(spark)
+        .where(F.col("doc_id") == victim)
+        .select("conv_id", "turn_idx")
+    )
+    assert delete_docs(spark, d, keys) == 1
+    compact(spark, d)
+    rd2 = IndexReader(spark, d)
+    assert rd2.fields == ["text", "tool"]
+    after = search(spark, d, "bash python", k=10, field="tool").collect()
+    after_x = search_fields(spark, d, q, k=10, float32=False).collect()
+    assert victim not in {int(r["doc_id"]) for r in after}
+    assert victim not in {int(r["doc_id"]) for r in after_x}
+    # exact equivalence: compact-with-deletes == an index built from scratch
+    # over the filtered corpus (same docIDs: stable (conv_id, turn_idx)
+    # assignment is unaffected by dropping one row — M3/M4 invariant), on
+    # BOTH the tool field and the cross-field path
+    vrow = keys.collect()[0]
+    d2 = str(tmp_path_factory.mktemp("idx") / "mfrebuild")
+    build_segment(
+        spark,
+        tiny_df.where(
+            ~((F.col("conv_id") == vrow["conv_id"])
+              & (F.col("turn_idx") == vrow["turn_idx"]))
+        ),
+        d2, 0, buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+        fields=("text", "tool"),
+    )
+    def key(rows):
+        return [(r["conv_id"], r["turn_idx"], round(float(r["score"]), 5)) for r in rows]
+    assert key(after) == key(search(spark, d2, "bash python", k=10, field="tool").collect())
+    assert key(after_x) == key(
+        search_fields(spark, d2, q, k=10, float32=False).collect()
+    )
+    # tool-field stats recomputed over live docs only
+    n_after = rd2.field_stats_of("tool")[0]
+    assert n_after == n_before - 1
+
+
 def test_search_fields_guards(spark, mf_index):
     from cuvs_lucene_spark.query import search_fields
 
