@@ -115,6 +115,53 @@ class IndexCatalog:
         )
         return listing
 
+    def check_files(self, seg_ids: list[int] | None = None) -> dict:
+        """Deep file verification — the Lucene CheckIndex analog, fs-level.
+
+        For every live (or requested) segment, re-stats each file the commit
+        enumerated in files.json and confirms it exists with EXACTLY the
+        recorded byte size (catches S3-class truncated/partial uploads and
+        lost files before they surface as scan failures); also reports data
+        files present on disk but NOT enumerated (orphans — ignored by
+        readers, reclaimable). Raises CorruptIndexError on any missing or
+        size-mismatched file; returns {segment: {"files": n, "bytes": total,
+        "orphans": [...]}} on success."""
+        m = self.read_manifest()
+        ids = [s["id"] for s in m["segments"]]
+        if seg_ids is not None:
+            ids = [i for i in ids if i in set(seg_ids)]
+        report: dict = {}
+        for sid in ids:
+            p = self.files_path(sid)
+            if not fs.exists(p):
+                raise CorruptIndexError(f"segment {sid}: missing file list {p}")
+            listing = json.loads(fs.read_bytes(p))
+            n, total, orphans = 0, 0, []
+            for table in self._TABLE_DIRS:
+                base = self._table_dir(sid, table)
+                committed = {f["path"]: int(f["bytes"]) for f in listing.get(table, [])}
+                on_disk = dict(fs.list_files_recursive(base)) if fs.isdir(base) else {}
+                for rel, want in committed.items():
+                    got = on_disk.get(rel)
+                    if got is None:
+                        raise CorruptIndexError(
+                            f"segment {sid}: committed file missing: {table}/{rel}"
+                        )
+                    if int(got) != want:
+                        raise CorruptIndexError(
+                            f"segment {sid}: size mismatch {table}/{rel}: "
+                            f"committed {want} bytes, on disk {got}"
+                        )
+                    n += 1
+                    total += want
+                orphans += [
+                    f"{table}/{rel}"
+                    for rel in on_disk
+                    if rel not in committed and self._is_data_file(rel)
+                ]
+            report[sid] = {"files": n, "bytes": total, "orphans": orphans}
+        return report
+
     def _data_files(self, sid: int, table: str) -> list[str] | None:
         """Committed file list for one segment table (absolute paths), or
         None when the segment predates file enumeration (legacy dir scan)."""

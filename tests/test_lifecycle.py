@@ -314,6 +314,35 @@ class TestCommittedFileList:
         assert cat.read_dictionary(spark).count() == before_dict
         assert _topk(spark, d, "world school") == before_q
 
+    def test_check_files_catches_truncation_and_reports_orphans(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        """check_files (CheckIndex analog): clean index passes and counts
+        every committed file; an unreferenced part-file is reported as an
+        orphan (not an error); a truncated committed file raises."""
+        import glob
+        import os
+        import shutil
+
+        from cuvs_lucene_spark.sources.catalog import CorruptIndexError
+
+        d = str(tmp_path_factory.mktemp("idx") / "checkf")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        cat = IndexCatalog(d)
+        rep = cat.check_files()
+        assert rep[0]["files"] > 0 and rep[0]["bytes"] > 0
+        assert rep[0]["orphans"] == []
+
+        dd_part = sorted(glob.glob(os.path.join(cat.doc_dim_path(0), "*.parquet")))[0]
+        shutil.copy(dd_part, os.path.join(cat.doc_dim_path(0), "orphan.parquet"))
+        rep2 = cat.check_files()
+        assert any("orphan.parquet" in o for o in rep2[0]["orphans"])
+
+        with open(dd_part, "r+b") as f:
+            f.truncate(os.path.getsize(dd_part) - 7)
+        with pytest.raises(CorruptIndexError, match="size mismatch"):
+            cat.check_files()
+
     def test_missing_file_list_fails_validation(
         self, spark, tiny_df, tmp_path_factory
     ):
