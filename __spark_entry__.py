@@ -184,6 +184,8 @@ def _oracle_topk_sql(
     mode: str,
     filter_sql: str | None,
     field_expr: str = "text",
+    exclude: list[str] | None = None,
+    msm: int | None = None,
 ) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
 
@@ -195,7 +197,14 @@ def _oracle_topk_sql(
     """
     vals = ", ".join(f"('{t}')" for t in terms)
     where = f"AND d.{filter_sql}" if filter_sql else ""
+    if exclude:
+        ex_vals = ", ".join(f"'{t}'" for t in sorted(set(exclude)))
+        where += (
+            f" AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({ex_vals}))"
+        )
     and_having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    if msm is not None and mode == "or":
+        and_having = f"HAVING count(DISTINCT tf.term) >= {msm}"
     per = (
         f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
         f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
@@ -328,6 +337,8 @@ def _fts_topk(
     filter_cond=None,
     prune: bool | str = False,
     field: str | None = None,
+    exclude: list[str] | None = None,
+    msm: int | None = None,
 ) -> DataFrame:
     from cuvs_lucene_spark.query import search
 
@@ -335,6 +346,7 @@ def _fts_topk(
     res = search(
         spark, idx, " ".join(terms), k=k, mode=mode,
         filter_cond=filter_cond, prune=prune, float32=False, field=field,
+        exclude=" ".join(exclude) if exclude else None, msm=msm,
     )
     w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     return (
@@ -376,6 +388,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ["scan", "filter", "window", "hash"], prune="auto"
     )
     q["fts_topk_and"] = lambda s, d: _fts_topk(s, d, ["merge", "sort"], mode="and")
+    # BooleanQuery MUST_NOT: docs containing any excluded term are dropped
+    # at doc level (no score effect) — Lucene prohibited-clause semantics
+    q["fts_topk_not"] = lambda s, d: _fts_topk(
+        s, d, ["query", "data"], exclude=["merge"]
+    )
+    # BooleanQuery minimum_should_match: OR over 3 terms, keep docs matching
+    # at least 2 distinct ones
+    q["fts_topk_msm"] = lambda s, d: _fts_topk(
+        s, d, ["scan", "filter", "window"], msm=2
+    )
     q["fts_topk_filtered"] = lambda s, d: _fts_topk(
         s, d, ["query", "data", "batch"], filter_cond=F.col("role") == "user"
     )
@@ -738,6 +760,12 @@ def oracle_sql() -> dict[str, str]:
         ["scan", "filter", "window", "hash"], 10, "or", None
     )
     o["fts_topk_and"] = _oracle_topk_sql(["merge", "sort"], 10, "and", None)
+    o["fts_topk_not"] = _oracle_topk_sql(
+        ["query", "data"], 10, "or", None, exclude=["merge"]
+    )
+    o["fts_topk_msm"] = _oracle_topk_sql(
+        ["scan", "filter", "window"], 10, "or", None, msm=2
+    )
     o["fts_topk_filtered"] = _oracle_topk_sql(
         ["query", "data", "batch"], 10, "or", "role = 'user'"
     )

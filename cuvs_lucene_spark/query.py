@@ -274,6 +274,8 @@ def search(
     float32: bool = True,
     after: tuple[float, int] | None = None,
     field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -282,6 +284,16 @@ def search(
         avgdl for length normalization) — Lucene per-field semantics.
     mode='or'  — Lucene BooleanQuery SHOULD semantics (disjunctive top-k)
     mode='and' — conjunctive: doc must match every distinct query term
+    exclude — terms whose presence DISQUALIFIES a doc (BooleanQuery MUST_NOT:
+        no score contribution, pure doc-level exclusion). Implemented as a
+        broadcast anti-join of the excluded terms' docID sets, applied in
+        every path including the block-max phase-1 θ (an excluded doc's
+        score must not inflate the prune threshold — same rule as deletes).
+    msm — minimum_should_match for mode='or': keep only docs matching at
+        least `msm` distinct query terms (Lucene BooleanQuery msm). msm>1
+        disables block-max pruning: θ derived from partial sums of docs that
+        may fail the msm constraint would overestimate the true k-th best
+        and make the prune unsound — the same reason AND mode is exhaustive.
     filter_cond — predicate over doc_dim columns (role, ts, conv_id, ...),
         applied as an exact PRE-filter semi-join (replaces the reference's
         k×10 over-sampling post-filter, ``CuVS2510GPUVectorsReader.java:313``).
@@ -315,11 +327,18 @@ def search(
     # CuVS2510GPUVectorsReader.java:335): unbounded k would otherwise make
     # TakeOrderedAndProject allocate a 2k-slot selector per partition.
     k = min(k, f_docs)
+    if msm is not None:
+        if mode != "or":
+            raise ValueError("msm (minimum_should_match) applies to mode='or'")
+        if msm < 1:
+            raise ValueError("msm must be >= 1")
     weights = Counter(q_terms)
     stats = rd.term_stats(list(weights), fld)
     present = [t for t in weights if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(weights)):
         return empty
+    if msm is not None and len(present) < msm:
+        return empty  # fewer present terms than the match minimum
     term_meta = {t: (rd.idf(stats[t][0], f_docs), weights[t]) for t in present}
 
     postings = rd.cat.read_postings(spark).where(
@@ -333,27 +352,54 @@ def search(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
     del_ids = deleted_doc_ids(spark, index_dir)
+    # MUST_NOT (BooleanQuery exclusion): the excluded terms' docID union,
+    # applied as a plain left-anti join (no broadcast hint — an excluded hot
+    # term's doc set can be huge; AQE promotes small ones to broadcast).
+    # Positions/payload never read: decode_postings projects them away.
+    ex_ids: DataFrame | None = None
+    if exclude:
+        ex_terms = sorted(set(tokenize_py(exclude)))
+        ex_stats = rd.term_stats(ex_terms, fld)
+        ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
+        if ex_present:
+            from cuvs_lucene_spark.operators.merge import decode_postings
+
+            ex_post = rd.cat.read_postings(spark).where(
+                F.col("bucket").isin(sorted({ex_stats[t][1] for t in ex_present}))
+                & (F.col("field") == fld)
+                & F.col("term").isin(ex_present)
+            )
+            ex_ids = decode_postings(ex_post).select("doc_id").distinct()
+    eff_msm = msm if msm is not None else 1
     if prune == "auto":
         sum_df = sum(stats[t][0] for t in present)
-        do_prune = mode != "and" and sum_df >= PRUNE_MIN_POSTINGS
+        do_prune = mode != "and" and eff_msm == 1 and sum_df >= PRUNE_MIN_POSTINGS
         log.info(
             "prune=auto: sum_df=%d threshold=%d -> %s",
             sum_df, PRUNE_MIN_POSTINGS, "prune" if do_prune else "exhaustive",
         )
     else:
         do_prune = bool(prune)
+    if do_prune and eff_msm > 1:
+        raise ValueError(
+            "prune=True with msm>1 is unsound (phase-1 θ would include docs "
+            "failing the match minimum); use prune='auto' or prune=False"
+        )
     if do_prune:
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
             prune_blocks_per_term, del_ids, avgdl=f_avgdl, after=after,
+            ex_ids=ex_ids,
         )
 
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
     )
+    if ex_ids is not None:
+        score_rows = score_rows.join(ex_ids, "doc_id", "left_anti")
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
-        del_ids, n_present_terms=len(present), after=after,
+        del_ids, n_present_terms=len(present), after=after, msm=eff_msm,
     )
 
 
@@ -745,6 +791,7 @@ def _finish(
     del_ids: DataFrame | None = None,
     n_present_terms: int = 1,
     after: tuple[float, int] | None = None,
+    msm: int = 1,
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -771,6 +818,10 @@ def _finish(
     agg = agg.withColumn("score_d", total)
     if mode == "and":
         agg = agg.where(F.col("nt") == F.lit(n_query_terms))
+    elif msm > 1:
+        # minimum_should_match: nt counts DISTINCT matched terms (one score
+        # row per (doc, term) — a (doc, term) lives in exactly one block)
+        agg = agg.where(F.col("nt") >= F.lit(msm))
     out_t = "float" if float32 else "double"
     ranked = agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
     if after is not None:
@@ -1149,6 +1200,7 @@ def _prune_blocks(
     del_ids: DataFrame | None = None,
     avgdl: float | None = None,
     after: tuple[float, int] | None = None,
+    ex_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Bound-safe distributed block-max pruning.
 
@@ -1226,6 +1278,9 @@ def _prune_blocks(
     )
     if del_ids is not None:
         phase1 = phase1.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if ex_ids is not None:
+        # MUST_NOT docs must not contribute to θ (same rule as deletes)
+        phase1 = phase1.join(ex_ids, "doc_id", "left_anti")
     if filter_cond is not None:
         phase1 = phase1.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
     if after is None:

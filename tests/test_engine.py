@@ -207,6 +207,65 @@ def test_search_after_pagination(spark, tiny_index):
     assert [key(r) for r in tail_pr] == [key(r) for r in tail_ex]
 
 
+def test_must_not_and_msm_match_oracle(spark, tiny_index, oracle_tiny):
+    """BooleanQuery MUST_NOT (exclude=) and minimum_should_match (msm=):
+    engine == numpy oracle with the equivalent accept mask; exclusion under
+    prune=True equals exhaustive (θ must ignore excluded docs)."""
+    import numpy as np
+
+    from cuvs_lucene_spark.oracle import oracle_search
+    from cuvs_lucene_spark.query import search
+
+    q = "world school student"
+    n = len(oracle_tiny.doc_ids)
+
+    # MUST_NOT: exclude docs containing 'the' or 'water'
+    ex_terms = ["the", "water"]
+    banned = np.zeros(n, dtype=bool)
+    for t in ex_terms:
+        d, _tf = oracle_tiny.postings.get(t, (np.array([], dtype=int), None))
+        banned[d] = True
+    want = oracle_search(oracle_tiny, q, k=10, accept=~banned)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search(
+            spark, tiny_index, q, k=10, exclude=" ".join(ex_terms)
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-5)
+    got_p = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search(
+            spark, tiny_index, q, k=10, exclude=" ".join(ex_terms), prune=True
+        ).collect()
+    ]
+    assert got_p == got
+
+    # msm=2: docs matching >= 2 distinct query terms; scores unchanged
+    matched = np.zeros(n, dtype=np.int32)
+    for t in set(q.split()):
+        d, _tf = oracle_tiny.postings.get(t, (np.array([], dtype=int), None))
+        matched[d] += 1
+    want2 = oracle_search(oracle_tiny, q, k=10, accept=matched >= 2)
+    got2 = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search(spark, tiny_index, q, k=10, msm=2).collect()
+    ]
+    assert [d for d, _ in got2] == [d for d, _ in want2]
+    for (_, gs), (_, ws) in zip(got2, want2):
+        assert gs == pytest.approx(ws, abs=1e-5)
+
+    # guards: msm over the term count → empty; prune=True+msm rejected;
+    # msm with AND rejected
+    assert search(spark, tiny_index, q, k=10, msm=4).count() == 0
+    with pytest.raises(ValueError, match="unsound"):
+        search(spark, tiny_index, q, k=10, msm=2, prune=True)
+    with pytest.raises(ValueError, match="mode='or'"):
+        search(spark, tiny_index, q, k=10, msm=2, mode="and")
+
+
 def test_count_matches_equals_exhaustive(spark, tiny_index):
     """count == number of rows an exhaustive search returns at k=N, for both
     boolean modes and under a filter; absent terms count 0."""
