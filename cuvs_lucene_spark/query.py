@@ -728,11 +728,14 @@ def count_matches(
     filter_cond: Column | str | None = None,
     reader: IndexReader | None = None,
     field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
 ) -> int:
     """Number of live docs matching the query (IndexSearcher.count analog):
-    mode='or' counts docs containing ≥1 query term, mode='and' docs
-    containing every distinct query term; tombstoned docs and filter_cond
-    rejects never count.
+    mode='or' counts docs containing ≥1 query term (or ≥`msm` distinct terms
+    when given — minimum_should_match), mode='and' docs containing every
+    distinct query term; tombstoned docs, `exclude`d docs (MUST_NOT) and
+    filter_cond rejects never count — the same clause surface as search().
 
     Plan shape: the same bucket+term-pruned postings scan as search, decoded
     to (term, doc_id) and reduced by a map-side-combinable distinct — no
@@ -740,6 +743,8 @@ def count_matches(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
     from cuvs_lucene_spark.operators.merge import decode_postings
 
+    if msm is not None and (mode != "or" or msm < 1):
+        raise ValueError("msm requires mode='or' and msm >= 1")
     rd = reader or IndexReader(spark, index_dir)
     q_terms = tokenize_py(query)
     if not q_terms or not rd.manifest["segments"]:
@@ -752,6 +757,8 @@ def count_matches(
     present = [t for t in distinct_terms if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(distinct_terms)):
         return 0
+    if msm is not None and len(present) < msm:
+        return 0
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
         & (F.col("field") == fld)
@@ -761,13 +768,29 @@ def count_matches(
     del_ids = deleted_doc_ids(spark, index_dir)
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if exclude:
+        ex_terms = sorted(set(tokenize_py(exclude)))
+        ex_stats = rd.term_stats(ex_terms, fld)
+        ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
+        if ex_present:
+            ex_post = rd.cat.read_postings(spark).where(
+                F.col("bucket").isin(sorted({ex_stats[t][1] for t in ex_present}))
+                & (F.col("field") == fld)
+                & F.col("term").isin(ex_present)
+            )
+            rows = rows.join(
+                decode_postings(ex_post).select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
     if filter_cond is not None:
         rows = rows.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
-    if mode == "and":
+    need = len(present) if mode == "and" else (msm or 1)
+    if need > 1:
         return int(
             rows.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))
-            .where(F.col("nt") == len(present))
+            .where(F.col("nt") >= need if mode != "and" else F.col("nt") == need)
             .count()
         )
     return int(rows.select("doc_id").distinct().count())

@@ -280,6 +280,14 @@ def test_count_matches_equals_exhaustive(spark, tiny_index):
     assert nf == search(spark, tiny_index, "world", k=10**9, filter_cond=f).count()
     assert count_matches(spark, tiny_index, "zzzzqqqq") == 0
     assert count_matches(spark, tiny_index, "world zzzzqqqq", mode="and") == 0
+    # MUST_NOT and msm mirror the search() clause surface exactly
+    q = "world school student"
+    ne = count_matches(spark, tiny_index, q, exclude="the water")
+    assert ne == search(spark, tiny_index, q, k=10**9, exclude="the water").count()
+    nm = count_matches(spark, tiny_index, q, msm=2)
+    assert nm == search(spark, tiny_index, q, k=10**9, msm=2).count()
+    assert 0 < nm < count_matches(spark, tiny_index, q)
+    assert count_matches(spark, tiny_index, q, msm=4) == 0
 
 
 def test_search_batch_equals_per_query(spark, tiny_index):
