@@ -178,6 +178,107 @@ ORDER BY rank
 """
 
 
+def sloppy_sweep_cte(slop: int) -> str:
+    """The two-slot SloppyPhraseMatcher sweep as a recursive-CTE body.
+
+    Expects an in-scope relation ``pairs(doc_id, la, lb)`` — each doc's two
+    sorted ADJUSTED position lists (position − slot) — and yields ``sweep``
+    whose ``done`` rows carry the doc's final sloppy freq. State machine =
+    query._lucene_sloppy_freq specialized to n=2: s0 is the advancing slot,
+    (ia, ib) the 1-based next-unread index per list (both start at 2 — each
+    list's head is pre-loaded, one as the popped minimum, one as the standing
+    head `nxt`), end_ the max adjusted position consumed, mlen the current
+    match length being minimized, freq accumulates 1/(1+mlen) on every
+    completed minimization with mlen <= slop (and once at exhaustion).
+    Public (reused by tests/test_phrase.py's fuzz pin over random lists)."""
+    add = f"(CASE WHEN mlen <= {slop} THEN 1.0/(1.0+mlen) ELSE 0.0 END)"
+    return f"""sweep AS (
+  SELECT doc_id, la, lb,
+         CASE WHEN la[1] <= lb[1] THEN 0 ELSE 1 END AS s0,
+         2 AS ia, 2 AS ib,
+         greatest(la[1], lb[1]) AS end_,
+         greatest(la[1], lb[1]) - least(la[1], lb[1]) AS mlen,
+         CASE WHEN la[1] <= lb[1] THEN lb[1] ELSE la[1] END AS nxt,
+         cast(0.0 AS double) AS freq, false AS done
+  FROM pairs
+  UNION ALL
+  SELECT doc_id, la, lb,
+         CASE WHEN exhausted THEN s0 WHEN p > nxt THEN 1 - s0 ELSE s0 END,
+         CASE WHEN NOT exhausted AND s0 = 0 THEN ia + 1 ELSE ia END,
+         CASE WHEN NOT exhausted AND s0 = 1 THEN ib + 1 ELSE ib END,
+         CASE WHEN exhausted THEN end_ ELSE greatest(end_, p) END,
+         CASE WHEN exhausted THEN mlen
+              WHEN p > nxt THEN greatest(end_, p) - nxt
+              ELSE least(mlen, end_ - p) END,
+         CASE WHEN NOT exhausted AND p > nxt THEN p ELSE nxt END,
+         freq + CASE WHEN exhausted OR p > nxt THEN {add} ELSE 0.0 END,
+         exhausted
+  FROM (
+    SELECT *,
+           (CASE WHEN s0 = 0 THEN ia ELSE ib END)
+             > (CASE WHEN s0 = 0 THEN len(la) ELSE len(lb) END) AS exhausted,
+           CASE WHEN s0 = 0 THEN la[least(ia, len(la))]
+                ELSE lb[least(ib, len(lb))] END AS p
+    FROM sweep WHERE NOT done
+  )
+)"""
+
+
+def _oracle_phrase_slop_sql(slots: list[str], slop: int, k: int) -> str:
+    """Sloppy-phrase (slop>0, TWO distinct slots) BM25 top-k in DuckDB SQL —
+    the oracle twin of query.search_phrase(slop>0).
+
+    pf = Σ 1/(1+matchLength) over the matches of the published Lucene-8
+    SloppyPhraseMatcher sweep. The sweep is a per-doc sequential merge walk;
+    for the two-slot case its state machine is small enough to transliterate
+    EXACTLY as a recursive CTE: state = (advancing slot s0, next unread index
+    per list, end = max adjusted position consumed, current match length,
+    the standing head `nxt`, accumulated freq). Each recursion step consumes
+    one position (or finishes a doc), mirroring query._lucene_sloppy_freq
+    line for line; equality is additionally fuzz-pinned by
+    tests/test_phrase.py::test_duckdb_sweep_matches_engine over random
+    position lists. Two-slot only — the gate's query — by construction."""
+    if len(slots) != 2 or len(set(slots)) != 2:
+        raise ValueError("slop oracle supports exactly 2 distinct slots")
+    t0, t1 = slots
+    idf_sum = " + ".join(
+        f"(SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)"
+        f"/(count(*) + 0.5)) FROM tf WHERE term = '{t}')"
+        for t in slots
+    )
+    return f"""{_oracle_prefix("text", lead="WITH RECURSIVE ")},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+pairs AS (
+  SELECT a.doc_id, a.la, b.lb
+  FROM (SELECT doc_id, list(pos - 0 ORDER BY pos) AS la
+        FROM tokpos WHERE term = '{t0}' GROUP BY doc_id) a
+  JOIN (SELECT doc_id, list(pos - 1 ORDER BY pos) AS lb
+        FROM tokpos WHERE term = '{t1}' GROUP BY doc_id) b USING (doc_id)
+),
+{sloppy_sweep_cte(slop)},
+pfv AS (SELECT doc_id, freq AS pf FROM sweep WHERE done AND freq > 0),
+scores AS (
+  SELECT p.doc_id,
+         ({idf_sum}) * p.pf
+           / (p.pf + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM pfv p JOIN dlq d ON p.doc_id = d.doc_id CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_topk_sql(
     terms: list[str],
     k: int,
@@ -306,6 +407,102 @@ ORDER BY rank
 """
 
 
+def _oracle_multiterm_sql(term_pred: str, k: int) -> str:
+    """Dynamic-term-set BM25 top-k oracle (MultiTermQuery rewrite twin).
+
+    The expanded term set is data-dependent (a predicate over the term
+    dictionary), so the fixed-pivot trick of _oracle_topk_sql is unavailable;
+    determinism of the float64 total comes from list_reduce over per-term
+    scores collected in sorted-term order — an explicit left fold, the same
+    association as the engine's sorted-term pivot sum (adding the engine's
+    zero terms is a float64 no-op: x + 0.0 == x exactly)."""
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT DISTINCT term FROM tf WHERE {term_pred}),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ts.idf * tf.tf / (tf.tf + {_BM25_K1} *
+           ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS s
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+  FROM per GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
+# the boolean-AST gate's query tree: (scan AND (filter OR window^2.0)) NOT merge
+def _boolean_gate_tree():
+    from cuvs_lucene_spark.booleanq import Q
+
+    return Q.boolean(
+        must=[
+            Q.term("scan"),
+            Q.boolean(should=[Q.term("filter"), Q.term("window", boost=2.0)]),
+        ],
+        must_not=[Q.term("merge")],
+    )
+
+
+def _oracle_boolean_sql(k: int) -> str:
+    """Nested-BooleanQuery oracle: match/score SQL generated from the SAME
+    AST walker the engine compiles (booleanq.sql_exprs), over the standard
+    per-doc pivot — one definition of the semantics, two executors."""
+    from cuvs_lucene_spark.booleanq import sql_exprs
+
+    tree = _boolean_gate_tree()
+    terms = tree.all_terms()
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        "ts.idf * tf.tf / (tf.tf + {k1} * ({omb} + {b} * d.dl_d / s.avgdl))"
+    ).format(k1=_BM25_K1, omb=1 - _BM25_B, b=_BM25_B)
+    match_sql, score_sql = sql_exprs(
+        tree,
+        lambda t: f"bool_or(tf.term = '{t}')",
+        lambda t: f"COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0.0)",
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({match_sql}) AS ok, ({score_sql}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores WHERE ok ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-side helpers
 # ---------------------------------------------------------------------------
@@ -348,6 +545,25 @@ def _fts_topk(
         filter_cond=filter_cond, prune=prune, float32=False, field=field,
         exclude=" ".join(exclude) if exclude else None, msm=msm,
     )
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        res.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col("score_r").alias("score"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _ranked(res: DataFrame) -> DataFrame:
+    """(doc_id, score, conv_id, turn_idx) → the gates' canonical output:
+    (rank, doc_id, conv_id, turn_idx, score) with score rounded to 4dp and
+    rank recomputed over the ROUNDED score (both sides rank identically)."""
     w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     return (
         res.withColumn("score_r", F.round("score", 4))
@@ -433,6 +649,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_multifield"] = multifield
 
+    def prefix_q(s: SparkSession, d: str) -> DataFrame:
+        # PrefixQuery (MultiTermQuery SCORING_BOOLEAN_REWRITE): dictionary-
+        # pruned expansion of 's*' → OR disjunction, per-term idf, weight 1
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        return _ranked(
+            search_multiterm(s, _index_for(s, d), prefix="s", k=10, float32=False)
+        )
+
+    q["fts_topk_prefix"] = prefix_q
+
+    def wildcard_q(s: SparkSession, d: str) -> DataFrame:
+        # WildcardQuery '*or*' (→ LIKE '%or%' over the term dictionary)
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        return _ranked(
+            search_multiterm(
+                s, _index_for(s, d), wildcard="*or*", k=10, float32=False
+            )
+        )
+
+    q["fts_topk_wildcard"] = wildcard_q
+
+    def fuzzy_q(s: SparkSession, d: str) -> DataFrame:
+        # FuzzyQuery 'sparc'~2 (classic Levenshtein, both engine and oracle)
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        return _ranked(
+            search_multiterm(
+                s, _index_for(s, d), fuzzy="sparc", max_edits=2, k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_fuzzy"] = fuzzy_q
+
+    def boolean_q(s: SparkSession, d: str) -> DataFrame:
+        # nested BooleanQuery with boosts:
+        # (scan AND (filter OR window^2.0)) NOT merge
+        from cuvs_lucene_spark.booleanq import search_boolean
+
+        return _ranked(
+            search_boolean(
+                s, _index_for(s, d), _boolean_gate_tree(), k=10, float32=False
+            )
+        )
+
+    q["fts_topk_boolean"] = boolean_q
+
     def phrase(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import search_phrase
 
@@ -456,10 +721,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_topk_phrase"] = phrase
 
     def phrase_slop(s: SparkSession, d: str) -> DataFrame:
-        # sloppy phrase (Lucene PhraseQuery slop>0). The SloppyPhraseMatcher
-        # sweep is inherently sequential per doc and has no reasonable ANSI-SQL
-        # twin, so this gate is rows-only at the driver; exact score parity is
-        # pinned by tests/test_phrase.py::TestSloppyPhrase against an
+        # sloppy phrase (Lucene PhraseQuery slop>0). The per-doc
+        # SloppyPhraseMatcher sweep now has a FULL DuckDB oracle — the
+        # two-slot state machine transliterated as a recursive CTE
+        # (_oracle_phrase_slop_sql), fuzz-pinned against the engine kernel —
+        # so this gate hash-matches like every other FTS gate; exact score
+        # parity is additionally pinned by tests/test_phrase.py against an
         # independent heapq transliteration of the published algorithm.
         from cuvs_lucene_spark.query import search_phrase
 
@@ -777,6 +1044,15 @@ def oracle_sql() -> dict[str, str]:
         ["call", "data"], 10, ["text", "tool"]
     )
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
+    o["fts_topk_prefix"] = _oracle_multiterm_sql("term LIKE 's%'", 10)
+    o["fts_topk_wildcard"] = _oracle_multiterm_sql("term LIKE '%or%'", 10)
+    o["fts_topk_fuzzy"] = _oracle_multiterm_sql(
+        "levenshtein(term, 'sparc') <= 2", 10
+    )
+    o["fts_topk_boolean"] = _oracle_boolean_sql(10)
+    # slop>0: the two-slot SloppyPhraseMatcher sweep as a recursive CTE —
+    # this gate was rows-only (`no_oracle`) through round 3; now hash-gated
+    o["fts_topk_phrase_slop"] = _oracle_phrase_slop_sql(["merge", "sort"], 2, 10)
 
     o["fts_topk_batch"] = "\nUNION ALL\n".join(
         f"SELECT cast({qi} AS bigint) AS qid, * FROM ({_oracle_topk_sql(terms, 10, m, None)})"

@@ -1,0 +1,264 @@
+"""Nested BooleanQuery AST with per-clause boosts (Lucene BooleanQuery).
+
+The flat search() surface covers one clause set (SHOULD + MUST_NOT + msm, or
+AND). Lucene's BooleanQuery nests arbitrarily with per-clause boosts
+[Lucene 10.2.0 BooleanQuery/BoostQuery — the query surface the reference's
+codec serves via its Lucene dependency, ``pom.xml:42-43``]. This module adds
+that: a small combinator AST (``Q.term`` / ``Q.boolean``) compiled onto the
+same shared-pivot machinery the batch executor uses (query.py
+``search_batch``): ONE postings scan over the union of the tree's terms, one
+pivot aggregation producing a per-term score column per doc, then the tree
+evaluates as pure JVM Column expressions (match predicate + float64 score).
+
+Scoring semantics (Lucene BooleanWeight):
+  * a TERM node matches where the doc contains the term; its score is
+    boost · BM25(term, doc).
+  * a BOOL node matches where (every MUST child matches) AND (no MUST_NOT
+    child matches) AND (#matching SHOULD children ≥ minimum_should_match,
+    which defaults to 1 when the node has only SHOULD clauses, else 0).
+  * a BOOL node's score is boost · (Σ MUST child scores + Σ matching SHOULD
+    child scores) — non-matching SHOULD children contribute 0; MUST_NOT
+    children never contribute score.
+  * float64 additions happen in clause-list order (MUST first, then SHOULD),
+    recursively — a deterministic association that the SQL oracle generator
+    below mirrors textually, so totals are bit-identical and exact ties at
+    the k boundary break the same way.
+
+``sql_exprs`` emits the ANSI-SQL twin of the compiled expressions for the
+DuckDB oracle: both walkers traverse the tree in the same order, so the
+engine and the oracle share one definition of the semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as _dfield
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.analysis import tokenize_py
+
+
+@dataclass(frozen=True)
+class Q:
+    """One BooleanQuery AST node. Build with Q.term / Q.boolean."""
+
+    kind: str  # "term" | "bool"
+    token: str | None = None
+    boost: float = 1.0
+    should: tuple = ()
+    must: tuple = ()
+    must_not: tuple = ()
+    msm: int = 0
+
+    @staticmethod
+    def term(token: str, boost: float = 1.0) -> "Q":
+        toks = tokenize_py(token)
+        if len(toks) != 1:
+            raise ValueError(
+                f"Q.term takes one analyzer token, got {token!r} -> {toks}"
+            )
+        return Q(kind="term", token=toks[0], boost=float(boost))
+
+    @staticmethod
+    def boolean(
+        should=(), must=(), must_not=(), msm: int = 0, boost: float = 1.0
+    ) -> "Q":
+        should, must, must_not = tuple(should), tuple(must), tuple(must_not)
+        for c in (*should, *must, *must_not):
+            if not isinstance(c, Q):
+                raise TypeError(f"clause {c!r} is not a Q node")
+        if not should and not must:
+            raise ValueError(
+                "a boolean node needs at least one SHOULD or MUST clause "
+                "(pure-negation queries match nothing scoreable)"
+            )
+        if msm < 0 or msm > len(should):
+            raise ValueError(f"msm={msm} out of range for {len(should)} SHOULD")
+        return Q(
+            kind="bool", should=should, must=must, must_not=must_not,
+            msm=int(msm), boost=float(boost),
+        )
+
+    # -- introspection ----------------------------------------------------
+    def all_terms(self) -> list[str]:
+        """Every distinct term in the tree (positive AND negative), sorted."""
+        out: set[str] = set()
+
+        def walk(n: Q) -> None:
+            if n.kind == "term":
+                out.add(n.token)
+            else:
+                for c in (*n.must, *n.should, *n.must_not):
+                    walk(c)
+
+        walk(self)
+        return sorted(out)
+
+
+def _effective_msm(n: Q) -> int:
+    if n.msm > 0:
+        return n.msm
+    # Lucene default: SHOULD-only queries need >=1 should match; with MUST
+    # clauses present, SHOULD clauses are purely optional scorers
+    return 0 if n.must else 1
+
+
+def compile_columns(
+    q: Q,
+    present: dict[str, Column],
+    score: dict[str, Column],
+) -> tuple[Column, Column]:
+    """(match, score) Column pair for the tree over a per-doc pivot row.
+
+    present[t] — boolean Column: doc contains t (absent terms omitted);
+    score[t]   — float64 Column: BM25 score of t for the doc (NULL-safe 0).
+    Terms missing from `present` (df = 0 in the index) never match."""
+    if q.kind == "term":
+        if q.token not in present:
+            return F.lit(False), F.lit(0.0)
+        return present[q.token], F.lit(q.boost) * score[q.token]
+    must_parts = [compile_columns(c, present, score) for c in q.must]
+    should_parts = [compile_columns(c, present, score) for c in q.should]
+    notm = [compile_columns(c, present, score)[0] for c in q.must_not]
+
+    match: Column = F.lit(True)
+    for m, _s in must_parts:
+        match = match & m
+    for nm in notm:
+        match = match & ~nm
+    need = _effective_msm(q)
+    if need > 0 or q.should:
+        n_sh = F.lit(0)
+        for m, _s in should_parts:
+            n_sh = n_sh + F.when(m, 1).otherwise(0)
+        if need > 0:
+            match = match & (n_sh >= F.lit(need))
+
+    total: Column = F.lit(0.0)
+    for _m, s in must_parts:  # clause-list order = the summation order
+        total = total + s
+    for m, s in should_parts:
+        total = total + F.when(m, s).otherwise(F.lit(0.0))
+    return match, F.lit(q.boost) * total
+
+
+def sql_exprs(
+    q: Q,
+    present_sql,
+    score_sql,
+) -> tuple[str, str]:
+    """(match_sql, score_sql) strings mirroring compile_columns exactly.
+
+    present_sql(t) / score_sql(t): SQL snippets for term presence (boolean)
+    and per-term float64 score over the oracle's per-doc pivot. The textual
+    additions associate left-to-right in the same clause order as the engine,
+    so DuckDB's float64 totals are bit-identical."""
+    if q.kind == "term":
+        return present_sql(q.token), f"({q.boost!r} * {score_sql(q.token)})"
+    must_parts = [sql_exprs(c, present_sql, score_sql) for c in q.must]
+    should_parts = [sql_exprs(c, present_sql, score_sql) for c in q.should]
+    notm = [sql_exprs(c, present_sql, score_sql)[0] for c in q.must_not]
+
+    conj = ["TRUE"]
+    conj += [m for m, _s in must_parts]
+    conj += [f"NOT ({m})" for m in notm]
+    need = _effective_msm(q)
+    if need > 0:
+        n_sh = " + ".join(f"(CASE WHEN {m} THEN 1 ELSE 0 END)" for m, _s in should_parts)
+        conj.append(f"(({n_sh}) >= {need})")
+    match = "(" + " AND ".join(conj) + ")"
+
+    total = "0.0"
+    for _m, s in must_parts:
+        total = f"({total} + {s})"
+    for m, s in should_parts:
+        total = f"({total} + (CASE WHEN {m} THEN {s} ELSE 0.0 END))"
+    return match, f"({q.boost!r} * {total})"
+
+
+def search_boolean(
+    spark: SparkSession,
+    index_dir: str,
+    q: Q,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader=None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a nested boolean tree: (doc_id, score, conv_id,
+    turn_idx).
+
+    Plan shape: ONE bucket+term-pruned postings scan over the union of the
+    tree's terms (negative terms included — their PRESENCE drives MUST_NOT,
+    their scores are never added) → narrow score kernel → one pivot
+    aggregation keyed by doc → the compiled (match, score) expressions →
+    TakeOrderedAndProject — the same cost envelope as one OR query over the
+    same terms, regardless of tree shape."""
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.query import (
+        SCORE_KERNEL_COLS,
+        SCORE_ROWS_SCHEMA,
+        IndexReader,
+        _accepted_doc_ids,
+        make_score_kernel,
+    )
+
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    if k <= 0 or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+    terms = q.all_terms()
+    stats = rd.term_stats(terms, fld)
+    active = sorted(t for t in terms if stats.get(t, (0, 0))[0] > 0)
+    if not active:
+        return empty
+    term_meta = {t: (rd.idf(stats[t][0], f_docs), 1) for t in active}
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in active}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(active)
+    )
+    score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
+        make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
+    )
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        score_rows = score_rows.join(
+            _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
+        )
+    per_term = [
+        F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
+        for i in range(len(active))
+    ]
+    agg = score_rows.groupBy("doc_id").agg(*per_term)
+    # the kernel's tidx is the term's rank in sorted(term_meta) == `active`
+    present = {t: F.col(f"_s{i}").isNotNull() for i, t in enumerate(active)}
+    score = {
+        t: F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        for i, t in enumerate(active)
+    }
+    match_c, score_c = compile_columns(q, present, score)
+    topk = (
+        agg.where(match_c)
+        .select("doc_id", score_c.cast(out_t).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -1,0 +1,175 @@
+"""MultiTermQuery family — prefix / wildcard / fuzzy term expansion.
+
+Lucene rewrites MultiTermQuery subclasses (PrefixQuery, WildcardQuery,
+FuzzyQuery) into a BooleanQuery over the terms the pattern matches in the
+term dictionary, capped at ``IndexSearcher.maxClauseCount`` (1024) with a
+loud ``TooManyClauses`` error [Lucene 10.2.0 MultiTermQuery /
+ScoringRewrite; the surface the reference's codec plugs into via its
+``pom.xml:42-43`` Lucene dependency]. We re-express exactly that shape:
+
+  dictionary-pruned term expansion (one tiny scan of the dictionary table,
+  with the pattern's literal prefix pushed into the parquet scan)
+    → the existing OR pipeline (query.search) with per-term idf, weight 1
+      — the SCORING_BOOLEAN_REWRITE semantics.
+
+The expansion scan is the analog of Lucene's TermsEnum seek over the term
+dictionary: our dictionary table is per-(field, term) rows with parquet
+min/max stats, so a prefix/bounded-length predicate prunes row groups the
+same way an FST seek prunes dictionary blocks. The scan is distributed
+(JVM-side predicates — ``startswith``/``like``/``levenshtein`` — never a
+driver-side vocabulary collect), so it holds at a 10^12-turn vocabulary.
+
+Fuzzy matching uses classic Levenshtein edit distance (Spark
+``F.levenshtein`` — the same function DuckDB's oracle exposes). Deviation
+from Lucene's FuzzyQuery default: no transposition moves (Lucene's
+``transpositions=true`` Damerau variant; Lucene itself supports
+transpositions=false), and no automaton — the dictionary scan IS the
+candidate enumeration.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.query import IndexReader, search
+
+# Lucene IndexSearcher.maxClauseCount default: a MultiTermQuery expanding to
+# more terms than this fails loudly instead of building a mega-disjunction.
+MAX_CLAUSE_COUNT = 1024
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+\Z")
+_WILDCARD_RE = re.compile(r"[a-z0-9*?]+\Z")
+
+
+class TooManyClauses(ValueError):
+    """The pattern expands past max_expansions terms (Lucene analog)."""
+
+
+def _check_token(s: str, what: str) -> str:
+    s = s.lower()
+    if not _TOKEN_RE.match(s):
+        raise ValueError(
+            f"{what} must be one analyzer token ([a-z0-9]+), got {s!r}"
+        )
+    return s
+
+
+def expand_terms(
+    rd: IndexReader,
+    field: str | None = None,
+    *,
+    prefix: str | None = None,
+    wildcard: str | None = None,
+    fuzzy: str | None = None,
+    max_edits: int = 2,
+    max_expansions: int = MAX_CLAUSE_COUNT,
+) -> list[str]:
+    """Terms of `field` matching exactly one of prefix/wildcard/fuzzy.
+
+    One dictionary-table scan; returns the sorted distinct matches. Raises
+    TooManyClauses past max_expansions (checked by fetching cap+1 rows, so
+    an over-wide pattern never collects an unbounded term list)."""
+    n_given = sum(x is not None for x in (prefix, wildcard, fuzzy))
+    if n_given != 1:
+        raise ValueError("give exactly one of prefix=, wildcard=, fuzzy=")
+    if not rd.manifest["segments"]:
+        return []
+    fld = rd.resolve_field(field)
+    d = rd.cat.read_dictionary(rd.spark).where(F.col("field") == fld)
+    if prefix is not None:
+        p = _check_token(prefix, "prefix")
+        cond = F.col("term").startswith(p)
+    elif wildcard is not None:
+        w = wildcard.lower()
+        if not _WILDCARD_RE.match(w):
+            raise ValueError(
+                f"wildcard pattern must be [a-z0-9*?]+, got {wildcard!r}"
+            )
+        if "*" not in w and "?" not in w:
+            cond = F.col("term") == w  # degenerate: plain TermQuery
+        else:
+            # terms are [a-z0-9]+ by analyzer contract, so * → % and ? → _
+            # need no LIKE-escaping; the literal prefix before the first
+            # wildcard additionally pushes a startswith range into the scan
+            cond = F.col("term").like(w.replace("*", "%").replace("?", "_"))
+            lit_prefix = re.split(r"[*?]", w, maxsplit=1)[0]
+            if lit_prefix:
+                cond = F.col("term").startswith(lit_prefix) & cond
+    else:
+        q = _check_token(fuzzy, "fuzzy")
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        # length band first (pushable range predicate — |len(a)-len(b)| is a
+        # Levenshtein lower bound), then the exact distance on survivors
+        cond = (
+            F.length("term").between(len(q) - max_edits, len(q) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+        )
+    rows = (
+        d.where(cond)
+        .select("term")
+        .distinct()
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise TooManyClauses(
+            f"pattern expands to more than {max_expansions} terms "
+            f"(maxClauseCount analog) — narrow it or raise max_expansions"
+        )
+    return sorted(r["term"] for r in rows)
+
+
+def search_multiterm(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    prefix: str | None = None,
+    wildcard: str | None = None,
+    fuzzy: str | None = None,
+    max_edits: int = 2,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    prune: bool | str = False,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    max_expansions: int = MAX_CLAUSE_COUNT,
+) -> DataFrame:
+    """Top-k BM25 for a prefix/wildcard/fuzzy query.
+
+    Expansion → query.search OR-mode disjunction: every matched term scores
+    with its OWN idf and weight 1 (SCORING_BOOLEAN_REWRITE), composing with
+    the full search surface (filter_cond pre-filter, block-max prune, deletes
+    masking, per-field stats). Returns (doc_id, score, conv_id, turn_idx)."""
+    rd = reader or IndexReader(spark, index_dir)
+    terms = expand_terms(
+        rd,
+        field,
+        prefix=prefix,
+        wildcard=wildcard,
+        fuzzy=fuzzy,
+        max_edits=max_edits,
+        max_expansions=max_expansions,
+    )
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            f"doc_id long, score {'float' if float32 else 'double'}, "
+            "conv_id string, turn_idx int",
+        )
+    return search(
+        spark,
+        index_dir,
+        " ".join(terms),
+        k=k,
+        mode="or",
+        filter_cond=filter_cond,
+        prune=prune,
+        reader=rd,
+        float32=float32,
+        field=field,
+    )

@@ -739,15 +739,52 @@ def detect_hot_terms(
     hot enough to skew a shuffle are, by definition, frequent enough to be
     visible in any few-% sample.
     """
-    src = docs if sample_fraction >= 1.0 else docs.sample(fraction=sample_fraction, seed=42)
+    return detect_hot_terms_multi(
+        docs, n_docs, hot_df_ratio, sample_fraction, (field,)
+    )
+
+
+def detect_hot_terms_multi(
+    docs: DataFrame,
+    n_docs: int,
+    hot_df_ratio: float = 0.05,
+    sample_fraction: float = 0.05,
+    fields: tuple[str, ...] = ("text",),
+) -> list[str]:
+    """Union of hot terms across ALL indexed fields in ONE sampled job.
+
+    One job per field would re-scan the sampled corpus F times (the sample
+    read dominates the job); instead every field of a row is tokenized from
+    the same scan — each row emits one flattened array of (field-ordinal,
+    term) structs — and a single groupBy counts per-(field, term) df
+    estimates. The df threshold is per field (a term hot in ANY field gets
+    salted: salting affects only block layout, never correctness, so the
+    union over-salts harmlessly — same policy as compaction)."""
+    src = (
+        docs
+        if sample_fraction >= 1.0
+        else docs.sample(fraction=sample_fraction, seed=42)
+    )
     eff = min(sample_fraction, 1.0)
     thresh = hot_df_ratio * n_docs * eff
+    empty = F.array().cast("array<string>")
+    per_field = [
+        F.transform(
+            # NULL text tokenizes to a NULL array, and flatten() of an array
+            # CONTAINING a null element is NULL — which would silently drop
+            # the row's OTHER fields' terms; coalesce each field to [] first
+            F.coalesce(F.array_distinct(tokenize_col(fld)), empty),
+            lambda t, _i=i: F.struct(F.lit(_i).alias("fi"), t.alias("term")),
+        )
+        for i, fld in enumerate(fields)
+    ]
     rows = (
-        src.select(F.explode(F.array_distinct(tokenize_col(field))).alias("term"))
-        .groupBy("term")
+        src.select(F.explode(F.flatten(F.array(*per_field))).alias("p"))
+        .groupBy("p.fi", "p.term")
         .agg(F.count(F.lit(1)).alias("df_est"))
         .where(F.col("df_est") > F.lit(thresh))
         .select("term")
+        .distinct()
         .collect()
     )
     return sorted(r["term"] for r in rows)
@@ -859,15 +896,14 @@ def build_segment(
     n_rows = transcripts.count()
     timings["doc_ids_count"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # hot terms are the union over indexed fields: salting a term that is hot
-    # in ANY field only affects block layout, never correctness, so one shared
-    # set is safe and keeps the shuffle key (bucket, salt) field-agnostic
-    hot_set: set[str] = set()
-    for fld in fields:
-        hot_set.update(
-            detect_hot_terms(docs, n_rows, hot_df_ratio, hot_sample_fraction, fld)
-        )
-    hot = sorted(hot_set)
+    # hot terms are the union over indexed fields, estimated in ONE sampled
+    # job (all fields tokenized from the same scan — hot_detect cost is flat
+    # in field count): salting a term that is hot in ANY field only affects
+    # block layout, never correctness, so one shared set is safe and keeps
+    # the shuffle key (bucket, salt) field-agnostic
+    hot = detect_hot_terms_multi(
+        docs, n_rows, hot_df_ratio, hot_sample_fraction, fields
+    )
     timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # Warm executor Python workers (imports + package zipimport + first

@@ -92,12 +92,16 @@ def oracle_search(
     k: int = 10,
     mode: str = "or",
     accept: np.ndarray | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) with Lucene float semantics.
 
     accept: optional boolean mask over doc index positions (pre-filter,
     the analog of Bits acceptDocs — ``CuVS2510GPUVectorsReader.java:313``).
     mode='and' keeps only docs matching ALL distinct query terms.
+    exclude: terms whose presence disqualifies a doc (BooleanQuery MUST_NOT).
+    msm: minimum distinct matching terms for mode='or' (minimum_should_match).
     """
     q_terms = tokenize_py(query)
     if k <= 0 or not q_terms or idx.n_docs == 0:
@@ -130,10 +134,17 @@ def oracle_search(
         if n_present < len(distinct):
             return []
         hit = matched == len(distinct)
+    elif msm is not None and msm > 1:
+        hit = matched >= msm
     else:
         hit = matched > 0
+    if exclude:
+        for term in set(tokenize_py(exclude)):
+            if term in idx.postings:
+                hit = hit.copy()
+                hit[idx.postings[term][0]] = False
     if accept is not None:
-        hit &= accept
+        hit = hit & accept
     cand = np.flatnonzero(hit)
     if len(cand) == 0:
         return []

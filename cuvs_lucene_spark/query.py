@@ -67,7 +67,11 @@ PRUNE_MIN_POSTINGS = 2_000_000
 
 # Observability for the last pruned query on this driver: total candidate
 # blocks, blocks kept after the θ cut, and θ itself. Populated by
-# _prune_blocks; read by bench/tests to report the prune ratio.
+# _prune_blocks; read by bench/tests to report the prune ratio. The
+# kept-block count costs one extra driver action per pruned query (a
+# scheduling round-trip that matters at interactive QPS), so it is gated
+# behind PRUNE_OBSERVE — flip it on for debugging/bench analysis only.
+PRUNE_OBSERVE = False
 LAST_PRUNE_STATS: dict = {}
 
 RESULT_SCHEMA = StructType(
@@ -130,11 +134,18 @@ class IndexReader:
         )
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
         # snapshot identity for the driver-side term-stats cache: the segment
-        # set (ids + run lineage) IS the dictionary's content identity —
-        # deletes are tombstones and do not alter df (Lucene likewise keeps
-        # df of deleted docs until merge), compaction replaces segment ids
+        # set (ids + run lineage) plus the manifest COMMIT identity (version
+        # counter + commit timestamp). The commit identity matters because
+        # run_id is caller-suppliable: deleting and rebuilding an index at the
+        # same path with a fixed run_id reproduces (id, run_id) exactly and
+        # would otherwise serve stale df/bucket values from the process-global
+        # cache. Deletes are tombstones and do not alter df (Lucene likewise
+        # keeps df of deleted docs until merge); compaction replaces segment
+        # ids AND bumps the manifest version.
         self._snap_key = (
             self.cat.index_dir,
+            self.manifest.get("version"),
+            self.manifest.get("committed_at"),
             tuple(
                 (s["id"], s.get("run_id")) for s in self.manifest["segments"]
             ),
@@ -1296,8 +1307,16 @@ def _prune_blocks(
     top_blocks = bounded.withColumn("_rk", F.row_number().over(w)).where(
         F.col("_rk") <= m_per_term
     ).drop("_rk")
+    # float32 phase-1 arithmetic is fine for the cursorless θ (phase 2
+    # subtracts an absolute slack and pruned==exhaustive is pytest-pinned),
+    # but the PAGE-LOCAL θ's membership test compares partial sums against
+    # the cursor score: above |score|≈8 a float32 ULP exceeds a 1e-6 slack
+    # and a boundary doc could be misclassified as a provable page member,
+    # overshooting θ by ~1 ULP. searchAfter therefore runs phase 1 in
+    # float64 and uses a RELATIVE slack below.
     phase1 = top_blocks.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, avgdl), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, avgdl, float32=(after is None)),
+        SCORE_ROWS_SCHEMA,
     )
     if del_ids is not None:
         phase1 = phase1.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -1317,9 +1336,11 @@ def _prune_blocks(
     else:
         # page-local θ: keep only docs PROVABLY past the cursor — total upper
         # bound (partial + unmatched terms' global bounds) strictly below the
-        # cursor score (1e-6 float slack). See docstring for the soundness
-        # argument; tidx is the term's rank in sorted(term_meta), the same
-        # mapping make_score_kernel emits.
+        # cursor score, with a slack RELATIVE to the cursor magnitude
+        # (1e-6·max(1,|cursor|)) so the safety margin tracks the float ULP at
+        # any score scale. See docstring for the soundness argument; tidx is
+        # the term's rank in sorted(term_meta), the same mapping
+        # make_score_kernel emits.
         ub_of_tidx = F.create_map(
             *[
                 x
@@ -1333,7 +1354,7 @@ def _prune_blocks(
             .agg(F.sum("score").alias("s"), F.sum("_tub").alias("_mub"))
             .where(
                 F.col("s") + (F.lit(sum_ub) - F.col("_mub"))
-                < F.lit(float(after[0]) - 1e-6)
+                < F.lit(float(after[0]) - 1e-6 * max(1.0, abs(float(after[0]))))
             )
             .orderBy(F.desc("s"))
             .limit(k)
@@ -1364,21 +1385,25 @@ def _prune_blocks(
         / (F.col("max_tf").cast("double") + kf)
     )
     kept = postings.where(ub + slack_map[F.col("term")] >= F.lit(theta - 1e-9))
-    # prune-ratio observability: the kept-count scan touches only the small
-    # block-stat columns (term, max_tf, min_dl_d), never the payload.
-    n_kept = int(kept.select(F.count(F.lit(1))).collect()[0][0])
-    LAST_PRUNE_STATS.clear()
-    LAST_PRUNE_STATS.update(
-        {
-            "total_blocks": n_total_blocks,
-            "kept_blocks": n_kept,
-            "theta": theta,
-            "prune_ratio": 1.0 - (n_kept / n_total_blocks if n_total_blocks else 0.0),
-        }
-    )
-    log.info(
-        "block-max prune: kept %d/%d blocks (theta=%.4f, pruned %.1f%%)",
-        n_kept, n_total_blocks, theta, 100.0 * LAST_PRUNE_STATS["prune_ratio"],
-    )
+    if PRUNE_OBSERVE:
+        # prune-ratio observability (opt-in — one extra driver action): the
+        # kept-count scan touches only the small block-stat columns
+        # (term, max_tf, min_dl_d), never the payload.
+        n_kept = int(kept.select(F.count(F.lit(1))).collect()[0][0])
+        LAST_PRUNE_STATS.clear()
+        LAST_PRUNE_STATS.update(
+            {
+                "total_blocks": n_total_blocks,
+                "kept_blocks": n_kept,
+                "theta": theta,
+                "prune_ratio": 1.0
+                - (n_kept / n_total_blocks if n_total_blocks else 0.0),
+            }
+        )
+        log.info(
+            "block-max prune: kept %d/%d blocks (theta=%.4f, pruned %.1f%%)",
+            n_kept, n_total_blocks, theta,
+            100.0 * LAST_PRUNE_STATS["prune_ratio"],
+        )
     return kept
 

@@ -86,8 +86,14 @@ class IndexCatalog:
     # the same write-data → write-file-list → swap-pointer shape as
     # Iceberg/Delta snapshots, and of the reference's finish() end-marker
     # commit (``CuVS2510GPUVectorsWriter.java:521-537``). Orphans on disk are
-    # thereby invisible to every reader. Single-writer per index is the
-    # documented contract (Lucene IndexWriter lock analog).
+    # thereby invisible to readers of the three PINNED tables (doc_dim,
+    # postings, dictionary). The tombstone table (operators/deletes.py) is
+    # deliberately NOT pinned: it is an append-only ledger read by directory
+    # scan, so a dead delete attempt's partial part-file may surface extra
+    # tombstones — safe in the masking direction (deletes are idempotent and
+    # deduped at read; a torn parquet file fails loudly at scan, it cannot
+    # silently un-delete). Single-writer per index is the documented contract
+    # (Lucene IndexWriter lock analog).
 
     _TABLE_DIRS = ("doc_dim", "postings", "dictionary")
 
@@ -163,11 +169,21 @@ class IndexCatalog:
         return report
 
     def _data_files(self, sid: int, table: str) -> list[str] | None:
-        """Committed file list for one segment table (absolute paths), or
-        None when the segment predates file enumeration (legacy dir scan)."""
+        """Committed file list for one segment table (absolute paths).
+
+        A missing files.json is a hard CorruptIndexError — the format version
+        that introduced file pinning also bumped INDEX_FORMAT_VERSION, so no
+        readable index legitimately lacks it, and a silent dir-scan fallback
+        would reintroduce the orphan-visibility hazard for callers that reach
+        read_postings/read_doc_dim/read_dictionary without validate_for_read.
+        Returns None (caller falls back to the table dir) only for the benign
+        empty-listing case: a committed segment whose table produced zero
+        data files (e.g. an empty-input build)."""
         p = self.files_path(sid)
         if not fs.exists(p):
-            return None
+            raise CorruptIndexError(
+                f"segment {sid}: missing committed file list {p}"
+            )
         listing = json.loads(fs.read_bytes(p))
         base = self._table_dir(sid, table)
         files = [fs.join(base, f["path"]) for f in listing.get(table, [])]

@@ -6,6 +6,16 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--regen-golden",
+        action="store_true",
+        default=False,
+        help="rewrite tests/golden/*.json from current engine output "
+        "(FIXTURES.md §4: regeneration is explicit and reviewed)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cuvs_lucene_spark.session import get_spark

@@ -1,0 +1,232 @@
+"""MultiTermQuery family (prefix/wildcard/fuzzy) + nested BooleanQuery AST.
+
+Expansion is pinned against a pure-Python enumeration of the corpus
+vocabulary (startswith / fnmatch / DP Levenshtein — independent of the
+engine's dictionary-scan predicates); the rewritten disjunction is pinned
+against the numpy oracle (oracle_search over the same expanded terms), the
+same rank-identity + 1e-5 score bar as the flat query suite. The boolean AST
+is pinned against an independent numpy tree evaluator implementing the
+documented Lucene BooleanWeight semantics.
+"""
+
+import fnmatch
+
+import numpy as np
+import pytest
+
+from cuvs_lucene_spark.analysis import tokenize_py
+from cuvs_lucene_spark.booleanq import Q, search_boolean
+from cuvs_lucene_spark.multiterm import (
+    TooManyClauses,
+    expand_terms,
+    search_multiterm,
+)
+from cuvs_lucene_spark.oracle import oracle_idf, oracle_search
+from cuvs_lucene_spark.query import IndexReader
+
+
+@pytest.fixture(scope="module")
+def vocab(oracle_tiny):
+    return sorted(oracle_tiny.postings)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestExpansion:
+    def test_prefix_expansion_matches_vocab(self, spark, tiny_index, vocab):
+        rd = IndexReader(spark, tiny_index)
+        # NOT "w": the synthetic w##### vocabulary tail makes that prefix
+        # trip the maxClauseCount cap (pinned in test_too_many_clauses)
+        for p in ["th", "wo", "sch", "zzzz"]:
+            exp = sorted(t for t in vocab if t.startswith(p))
+            got = expand_terms(rd, prefix=p)
+            assert got == exp, p
+
+    def test_wildcard_expansion_matches_vocab(self, spark, tiny_index, vocab):
+        rd = IndexReader(spark, tiny_index)
+        for pat in ["w*k", "*ork", "s?y", "t*e*e"]:
+            exp = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+            got = expand_terms(rd, wildcard=pat)
+            assert got == exp, pat
+
+    def test_fuzzy_expansion_matches_vocab(self, spark, tiny_index, vocab):
+        rd = IndexReader(spark, tiny_index)
+        for q, d in [("worl", 1), ("scool", 2), ("believ", 1)]:
+            exp = sorted(t for t in vocab if _lev(q, t) <= d)
+            got = expand_terms(rd, fuzzy=q, max_edits=d)
+            assert got == exp, (q, d)
+
+    def test_too_many_clauses(self, spark, tiny_index):
+        rd = IndexReader(spark, tiny_index)
+        with pytest.raises(TooManyClauses):
+            expand_terms(rd, prefix="wo", max_expansions=2)
+        # the default cap trips on the full synthetic w##### tail
+        with pytest.raises(TooManyClauses):
+            expand_terms(rd, prefix="w")
+
+    def test_validation(self, spark, tiny_index):
+        rd = IndexReader(spark, tiny_index)
+        with pytest.raises(ValueError, match="exactly one"):
+            expand_terms(rd, prefix="a", fuzzy="b")
+        with pytest.raises(ValueError, match="exactly one"):
+            expand_terms(rd)
+        with pytest.raises(ValueError, match="one analyzer token"):
+            expand_terms(rd, prefix="two words")
+        with pytest.raises(ValueError, match="wildcard"):
+            expand_terms(rd, wildcard="a%b")
+
+
+class TestMultiTermSearch:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            {"prefix": "th"},
+            {"prefix": "sch"},
+            {"wildcard": "w*k"},
+            {"wildcard": "*ork"},
+            {"fuzzy": "worl", "max_edits": 1},
+            {"fuzzy": "scool", "max_edits": 2},
+        ],
+    )
+    def test_matches_oracle_over_expansion(
+        self, spark, tiny_index, oracle_tiny, vocab, kwargs
+    ):
+        # independent expansion → the numpy oracle scores the disjunction
+        if "prefix" in kwargs:
+            terms = [t for t in vocab if t.startswith(kwargs["prefix"])]
+        elif "wildcard" in kwargs:
+            terms = [t for t in vocab if fnmatch.fnmatchcase(t, kwargs["wildcard"])]
+        else:
+            terms = [
+                t for t in vocab if _lev(kwargs["fuzzy"], t) <= kwargs["max_edits"]
+            ]
+        assert terms, kwargs  # the picked patterns must be non-degenerate
+        exp = oracle_search(oracle_tiny, " ".join(sorted(terms)), k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_multiterm(spark, tiny_index, k=10, **kwargs).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], kwargs
+        for (gd, gs), (_ed, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5, (kwargs, gd)
+
+    def test_absent_pattern_returns_empty(self, spark, tiny_index):
+        assert search_multiterm(spark, tiny_index, prefix="zzzz").count() == 0
+
+
+def _eval_tree_numpy(q: Q, idx) -> list[tuple[int, float]]:
+    """Independent evaluator: per-term float32 BM25 arrays (the oracle's
+    arithmetic), tree walked with float64 adds in clause-list order."""
+    from cuvs_lucene_spark.analysis import BM25_B, BM25_K1
+
+    n = len(idx.doc_ids)
+
+    def term_arrays(t: str):
+        present = np.zeros(n, dtype=bool)
+        score = np.zeros(n, dtype=np.float64)
+        if t in idx.postings:
+            d, tf = idx.postings[t]
+            idf = np.float32(oracle_idf(idx, t))
+            dl32 = idx.dl_d[d].astype(np.float32)
+            tf32 = tf.astype(np.float32)
+            kf = np.float32(BM25_K1) * (
+                np.float32(1.0 - BM25_B)
+                + np.float32(BM25_B) * dl32 / np.float32(idx.avgdl)
+            )
+            present[d] = True
+            score[d] = (idf * tf32 / (tf32 + kf)).astype(np.float32).astype(np.float64)
+        return present, score
+
+    def walk(node: Q):
+        if node.kind == "term":
+            p, s = term_arrays(node.token)
+            return p, node.boost * s
+        musts = [walk(c) for c in node.must]
+        shoulds = [walk(c) for c in node.should]
+        nots = [walk(c)[0] for c in node.must_not]
+        match = np.ones(n, dtype=bool)
+        for m, _s in musts:
+            match &= m
+        for m in nots:
+            match &= ~m
+        need = node.msm if node.msm > 0 else (0 if node.must else 1)
+        if need > 0:
+            n_sh = np.zeros(n, dtype=np.int32)
+            for m, _s in shoulds:
+                n_sh += m
+            match &= n_sh >= need
+        total = np.zeros(n, dtype=np.float64)
+        for _m, s in musts:
+            total = total + s
+        for m, s in shoulds:
+            total = total + np.where(m, s, 0.0)
+        return match, node.boost * total
+
+    match, total = walk(q)
+    cand = np.flatnonzero(match)
+    sc = total[cand].astype(np.float32)
+    order = np.lexsort((idx.doc_ids[cand], -sc))
+    return [(int(idx.doc_ids[cand[i]]), float(sc[i])) for i in order[:10]]
+
+
+class TestBooleanAST:
+    TREES = [
+        # (A AND (B OR C^2)) NOT D — the verdict's canonical nested shape
+        Q.boolean(
+            must=[Q.term("the"), Q.boolean(should=[Q.term("work"), Q.term("world", boost=2.0)])],
+            must_not=[Q.term("school")],
+        ),
+        # SHOULD-only with msm=2 and a boosted sub-boolean
+        Q.boolean(
+            should=[Q.term("time"), Q.term("people"), Q.boolean(should=[Q.term("year"), Q.term("good")], boost=0.5)],
+            msm=2,
+        ),
+        # must + optional should scorers (Lucene default: should optional)
+        Q.boolean(must=[Q.term("know")], should=[Q.term("take"), Q.term("way")]),
+        # term with absent token inside a disjunction
+        Q.boolean(should=[Q.term("zzzzabsent"), Q.term("think")]),
+    ]
+
+    @pytest.mark.parametrize("tree", TREES)
+    def test_matches_numpy_evaluator(self, spark, tiny_index, oracle_tiny, tree):
+        exp = _eval_tree_numpy(tree, oracle_tiny)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_boolean(spark, tiny_index, tree, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (gd, gs), (_ed, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5, (gd, gs, es)
+
+    def test_flat_or_equals_search(self, spark, tiny_index):
+        """A flat SHOULD tree must equal the plain OR surface exactly."""
+        from cuvs_lucene_spark.query import search
+
+        tree = Q.boolean(should=[Q.term("merge"), Q.term("people"), Q.term("time")])
+        a = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in search_boolean(spark, tiny_index, tree, k=10).collect()
+        ]
+        b = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in search(spark, tiny_index, "merge people time", k=10).collect()
+        ]
+        assert a == b
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="SHOULD or MUST"):
+            Q.boolean(must_not=[Q.term("a")])
+        with pytest.raises(ValueError, match="one analyzer token"):
+            Q.term("two words")
+        with pytest.raises(ValueError, match="msm"):
+            Q.boolean(should=[Q.term("a")], msm=5)
+        with pytest.raises(TypeError):
+            Q.boolean(should=["a"])

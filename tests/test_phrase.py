@@ -393,3 +393,39 @@ class TestPhraseLifecycle:
     def test_positionless_index_refuses(self, spark, tiny_index):
         with pytest.raises(ValueError, match="positions=True"):
             search_phrase(spark, tiny_index, "world school", k=5)
+
+
+def test_duckdb_sweep_matches_engine():
+    """Fuzz-pin the production DuckDB recursive-CTE sweep (the
+    fts_topk_phrase_slop oracle, __spark_entry__.sloppy_sweep_cte) against
+    the engine kernel (_lucene_sloppy_freq) over random adjusted-position
+    list pairs — the same independence the other gates get from their
+    ANSI-SQL twins, applied to the sweep state machine itself."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from cuvs_lucene_spark.query import _lucene_sloppy_freq
+
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    for _trial in range(40):
+        slop = int(rng.integers(0, 6))
+        rows, expected = [], {}
+        for d in range(int(rng.integers(1, 6))):
+            na, nb = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+            la = np.sort(rng.integers(-1, 30, na)).astype(np.int64)
+            lb = np.sort(rng.integers(-1, 30, nb)).astype(np.int64)
+            expected[d] = _lucene_sloppy_freq([la, lb], slop)
+            rows.append(f"({d}, {la.tolist()}::bigint[], {lb.tolist()}::bigint[])")
+        con.execute(
+            "CREATE OR REPLACE TABLE pairs AS SELECT * FROM (VALUES "
+            + ", ".join(rows) + ") t(doc_id, la, lb)"
+        )
+        got = dict(
+            con.execute(
+                "WITH RECURSIVE " + entry.sloppy_sweep_cte(slop)
+                + " SELECT doc_id, freq FROM sweep WHERE done"
+            ).fetchall()
+        )
+        for d, exp in expected.items():
+            assert got[d] == pytest.approx(exp, abs=1e-12), (d, slop)
