@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v011"  # v011: committed file list (files.json) joins the layout
+_IDX_VERSION = "v012"  # v012: doc_dim range-clustered by (role, ts)
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -95,17 +95,18 @@ def _oracle_prefix(field_expr: str = "text", sfx: str = "", lead: str = "WITH ")
          cast(doc_id // 50 AS int) AS turn_idx,
          CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
          text,
-         CASE WHEN cast(doc_id % 3 AS int) = 2 THEN 'call ' || substr(text, 1, 90) ELSE NULL END AS tool
+         CASE WHEN cast(doc_id % 3 AS int) = 2 THEN 'call ' || substr(text, 1, 90) ELSE NULL END AS tool,
+         TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS ts
   FROM documents
 ),
 docs{sfx} AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
-         conv_id, turn_idx, role,
+         conv_id, turn_idx, role, ts,
          list_filter(regexp_split_to_array(lower(coalesce({field_expr},'')), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM base{sfx}
 ),
 dlq{sfx} AS (
-  SELECT doc_id, conv_id, turn_idx, role, len(toks) AS dl, toks,
+  SELECT doc_id, conv_id, turn_idx, role, ts, len(toks) AS dl, toks,
          CASE WHEN len(toks) < 8 THEN len(toks)
               ELSE ((len(toks) >> (length(format('{{:b}}', len(toks))) - 4))
                     << (length(format('{{:b}}', len(toks))) - 4)) END AS dl_d
@@ -617,6 +618,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_topk_filtered"] = lambda s, d: _fts_topk(
         s, d, ["query", "data", "batch"], filter_cond=F.col("role") == "user"
     )
+    # selective ts-range + role filter: exercises doc_dim's (role, ts)
+    # range-clustering — the `_accepted_doc_ids` scan prunes whole files /
+    # row-groups on parquet footer stats instead of reading the dim table
+    q["fts_topk_filtered_ts"] = lambda s, d: _fts_topk(
+        s, d, ["merge", "query"],
+        filter_cond=(F.col("role") == "user")
+        & (F.col("ts") < F.lit("2026-01-01 02:00:00").cast("timestamp")),
+    )
     q["fts_topk_hot"] = lambda s, d: _fts_topk(s, d, ["batch"], k=20)
     # second-field query (multi-field index): BM25 over the `tool` field with
     # THAT field's docCount/avgdl (per-field entries,
@@ -1035,6 +1044,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fts_topk_filtered"] = _oracle_topk_sql(
         ["query", "data", "batch"], 10, "or", "role = 'user'"
+    )
+    o["fts_topk_filtered_ts"] = _oracle_topk_sql(
+        ["merge", "query"], 10, "or",
+        "role = 'user' AND d.ts < TIMESTAMP '2026-01-01 02:00:00'",
     )
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
     o["fts_topk_field"] = _oracle_topk_sql(

@@ -400,6 +400,67 @@ def _doc_dim_schema(extra_fields: tuple[str, ...] = ()):
     ])
 
 
+# Filter-pruning cluster order for the committed doc_dim. Filtered search
+# (`query._accepted_doc_ids`) evaluates arbitrary predicates over doc_dim;
+# the common interactive filters are role equality and ts ranges, so the
+# committed table is range-clustered on (role, ts): every output parquet
+# file covers one narrow (role, ts) slice and parquet footer min/max stats
+# let Spark skip whole files/row-groups. At 10^11 docs this makes a
+# `role='user' AND ts BETWEEN ...` filter scan proportional to the selected
+# slice instead of the full multi-TB dim table.
+DOC_DIM_CLUSTER_ROWS_PER_FILE = 4_000_000
+
+
+def _doc_dim_tmp_path(cat, sid: int) -> str:
+    from cuvs_lucene_spark.sources import fs
+
+    return fs.join(cat.seg_dir(sid), "doc_dim.clustering")
+
+
+def _recover_doc_dim_swap(cat, sid: int) -> None:
+    """Finish (or discard) a clustering swap a dead attempt left half-done:
+    tmp present + final missing → complete the rename; tmp present + final
+    present → stale tmp from a dead attempt, drop it. Pre-commit only — a
+    committed segment's files.json already pins the clustered files."""
+    from cuvs_lucene_spark.sources import fs
+
+    tmp = _doc_dim_tmp_path(cat, sid)
+    if fs.isdir(tmp):
+        if fs.isdir(cat.doc_dim_path(sid)):
+            fs.delete_dir(tmp)
+        else:
+            fs.move(tmp, cat.doc_dim_path(sid))
+
+
+def cluster_doc_dim(
+    spark: SparkSession,
+    cat,
+    sid: int,
+    n_rows: int,
+    rows_per_file: int = DOC_DIM_CLUSTER_ROWS_PER_FILE,
+) -> None:
+    """Rewrite the segment's doc_dim range-clustered by (role, ts) — see
+    DOC_DIM_CLUSTER_ROWS_PER_FILE note. One narrow shuffle over the dim
+    table (a few small columns, ~1/50th of corpus bytes). Crash-safe swap:
+    write tmp → delete raw → rename; `_recover_doc_dim_swap` completes an
+    interrupted swap on the next attempt."""
+    from cuvs_lucene_spark.sources import fs
+
+    raw = cat.doc_dim_path(sid)
+    tmp = _doc_dim_tmp_path(cat, sid)
+    fs.delete_dir(tmp)
+    n_parts = max(1, min(32768, -(-max(1, n_rows) // rows_per_file)))
+    (
+        spark.read.parquet(raw)
+        .repartitionByRange(n_parts, F.col("role"), F.col("ts"))
+        .sortWithinPartitions("role", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs.delete_dir(raw)
+    fs.move(tmp, raw)
+
+
 def make_flush_kernel(
     buckets: int,
     salt_buckets: int,
@@ -936,6 +997,7 @@ def build_segment(
         if bucket_groups > 1
         else set()
     )
+    _recover_doc_dim_swap(cat, segment_id)
     if not done:
         # fresh attempt (not a bucket-level resume): clear any stale doc_dim
         # parts from a differently-partitioned dead attempt
@@ -1066,7 +1128,13 @@ def build_segment(
     timings["dict_lineage"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     st = _stats()
-    timings["stats"] = _time.perf_counter() - _t
+    timings["stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    # range-cluster the committed doc_dim by (role, ts) so filtered search
+    # prunes on parquet footer stats instead of full-scanning the dim table
+    # (must run AFTER _stats() reads the raw parts, BEFORE files.json pins
+    # the final file set)
+    cluster_doc_dim(spark, cat, segment_id, st["total_rows"])
+    timings["doc_dim_cluster"] = _time.perf_counter() - _t
     seg_meta = {
         "id": segment_id,
         "doc_base": doc_base,

@@ -157,7 +157,19 @@ def compact(
     n_docs = field_stats[fields[0]]["n_docs"]
     sum_dl = field_stats[fields[0]]["sum_dl"]
     avgdl = sum_dl / n_docs if n_docs else 1.0
-    dd.write.mode("overwrite").parquet(cat.doc_dim_path(new_id))
+    # range-cluster by (role, ts) — same filter-pruning layout as the build
+    # path (build.cluster_doc_dim): filtered search prunes on footer stats
+    from cuvs_lucene_spark.operators.build import DOC_DIM_CLUSTER_ROWS_PER_FILE
+
+    _n_parts = max(
+        1, min(32768, -(-max(1, int(stats["total_rows"])) // DOC_DIM_CLUSTER_ROWS_PER_FILE))
+    )
+    (
+        dd.repartitionByRange(_n_parts, F.col("role"), F.col("ts"))
+        .sortWithinPartitions("role", "ts")
+        .write.mode("overwrite")
+        .parquet(cat.doc_dim_path(new_id))
+    )
 
     # live postings, decoded (blocks are self-contained: no source table read)
     tf = decode_postings(

@@ -807,10 +807,35 @@ def count_matches(
     return int(rows.select("doc_id").distinct().count())
 
 
+# Accepted-id cache for repeated interactive filters: the same (snapshot,
+# filter) pair re-scans doc_dim on every query otherwise. Keyed by the
+# reader's snapshot identity (so any commit invalidates) + the filter's
+# resolved expression string; values are persisted id DataFrames
+# (MEMORY_AND_DISK — spills, never OOMs), small LRU with unpersist-on-evict.
+_ACCEPTED_IDS_CACHE: dict[tuple, DataFrame] = {}
+_ACCEPTED_IDS_MAX = 8
+
+
 def _accepted_doc_ids(rd: IndexReader, filter_cond: Column | str) -> DataFrame:
-    dd = rd.cat.read_doc_dim(rd.spark)
     cond = F.expr(filter_cond) if isinstance(filter_cond, str) else filter_cond
-    return dd.where(cond).select("doc_id")
+    key = (rd._snap_key, str(cond))
+    hit = _ACCEPTED_IDS_CACHE.get(key)
+    if hit is not None:
+        # LRU touch
+        _ACCEPTED_IDS_CACHE[key] = _ACCEPTED_IDS_CACHE.pop(key)
+        return hit
+    from pyspark import StorageLevel
+
+    ids = (
+        rd.cat.read_doc_dim(rd.spark)
+        .where(cond)
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    while len(_ACCEPTED_IDS_CACHE) >= _ACCEPTED_IDS_MAX:
+        _ACCEPTED_IDS_CACHE.pop(next(iter(_ACCEPTED_IDS_CACHE))).unpersist()
+    _ACCEPTED_IDS_CACHE[key] = ids
+    return ids
 
 
 def _finish(

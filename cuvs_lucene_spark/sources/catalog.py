@@ -168,6 +168,34 @@ class IndexCatalog:
             report[sid] = {"files": n, "bytes": total, "orphans": orphans}
         return report
 
+    def gc_orphans(
+        self, grace_seconds: float = 24 * 3600, seg_ids: list[int] | None = None
+    ) -> dict:
+        """Reclaim orphan data files (present on disk, absent from the
+        committed files.json — left by dead/zombie attempts; readers already
+        ignore them). Safety window: only files whose mtime is older than
+        ``grace_seconds`` are deleted — an in-flight concurrent attempt's
+        fresh part-files survive; files with no reported mtime are kept
+        (conservative). Returns {segment: {"deleted": [...], "kept": [...]}}.
+        Analog of Lucene's IndexFileDeleter reclaiming unreferenced files."""
+        import time as _time
+
+        report = self.check_files(seg_ids)
+        now = _time.time()
+        out: dict = {}
+        for sid, info in report.items():
+            deleted, kept = [], []
+            for orphan in info["orphans"]:
+                path = fs.join(self.seg_dir(sid), orphan)
+                mt = fs.mtime(path)
+                if mt is not None and now - mt > grace_seconds:
+                    fs.delete_file(path)
+                    deleted.append(orphan)
+                else:
+                    kept.append(orphan)
+            out[sid] = {"deleted": deleted, "kept": kept}
+        return out
+
     def _data_files(self, sid: int, table: str) -> list[str] | None:
         """Committed file list for one segment table (absolute paths).
 

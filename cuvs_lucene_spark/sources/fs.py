@@ -114,6 +114,23 @@ def delete_dir(path: str) -> None:
         pass
 
 
+def delete_file(path: str) -> None:
+    fs, p = resolve(path)
+    try:
+        fs.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def mtime(path: str) -> float | None:
+    """Modification time as a unix timestamp, or None when the filesystem
+    does not report one (callers treating None conservatively)."""
+    info = _info(path)
+    if info.type == pafs.FileType.NotFound or info.mtime is None:
+        return None
+    return info.mtime.timestamp()
+
+
 def write_parquet_atomic(table, path: str, compression: str = "snappy") -> None:
     """Executor-safe parquet part write: temp name + move to the final name.
 

@@ -490,3 +490,89 @@ class TestTieredCompact:
         for q in self.QS:
             got = {doc for doc, _s in _topk(spark, d, q)}
             assert not (got & deleted_ids)
+
+
+class TestDocDimClusteringAndGC:
+    def test_doc_dim_is_role_ts_clustered(self, spark, tiny_index):
+        """The committed doc_dim is range-clustered by (role, ts): rows are
+        sorted within each file, so parquet footer min/max stats prune
+        filtered search's `_accepted_doc_ids` scan (role equality + ts
+        ranges push down to file/row-group skipping at 10^11-doc scale)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        cat = IndexCatalog(tiny_index)
+        parts = sorted(glob.glob(os.path.join(cat.doc_dim_path(0), "*.parquet")))
+        assert parts
+        for p in parts:
+            t = pq.read_table(p, columns=["role", "ts"]).to_pandas()
+            keys = list(zip(t["role"], t["ts"]))
+            assert keys == sorted(keys)
+
+    def test_filtered_search_on_clustered_doc_dim(self, spark, tiny_df, tiny_index):
+        """Clustering is layout-only: filtered results equal a driver-side
+        recomputation of the accepted doc set."""
+        from cuvs_lucene_spark.query import _accepted_doc_ids
+
+        rd = IndexReader(spark, tiny_index)
+        cond = F.col("role") == "user"
+        got = {r["doc_id"] for r in _accepted_doc_ids(rd, cond).collect()}
+        want = {
+            r["doc_id"]
+            for r in rd.cat.read_doc_dim(spark).where(cond).select("doc_id").collect()
+        }
+        assert got == want and got
+        res = search(spark, tiny_index, "world school", k=10, filter_cond=cond)
+        roles = {r["doc_id"] for r in res.collect()}
+        assert roles <= want
+
+    def test_accepted_ids_cache_invalidated_by_rebuild(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        """The accepted-id cache is keyed by snapshot identity: rebuilding
+        the index at the same path must not serve the old snapshot's ids."""
+        from cuvs_lucene_spark.query import _accepted_doc_ids
+        from cuvs_lucene_spark.sources import fs
+
+        d = str(tmp_path_factory.mktemp("idx") / "acccache")
+        half = tiny_df.where(F.col("conv_id") < "conv-00000100")
+        build_index(spark, half, d, buckets=4, salt_buckets=2, run_id="fixed")
+        rd1 = IndexReader(spark, d)
+        cond = F.col("role") == "user"
+        n1 = _accepted_doc_ids(rd1, cond).count()
+        fs.delete_dir(d)
+        build_index(spark, tiny_df, d, buckets=4, salt_buckets=2, run_id="fixed")
+        rd2 = IndexReader(spark, d)
+        n2 = _accepted_doc_ids(rd2, cond).count()
+        assert n2 > n1  # full corpus has strictly more accepted docs
+        # repeated lookup hits the cache (same object back)
+        assert _accepted_doc_ids(rd2, cond) is _accepted_doc_ids(rd2, cond)
+
+    def test_gc_orphans_respects_grace_window(self, spark, tiny_df, tmp_path_factory):
+        """gc_orphans (IndexFileDeleter analog): an orphan younger than the
+        grace window is kept; with grace 0 it is deleted; committed files are
+        never touched and the index still answers queries afterwards."""
+        import glob
+        import os
+        import shutil
+
+        d = str(tmp_path_factory.mktemp("idx") / "gc")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4, hot_df_ratio=0.10)
+        cat = IndexCatalog(d)
+        dd_part = sorted(glob.glob(os.path.join(cat.doc_dim_path(0), "*.parquet")))[0]
+        orphan = os.path.join(cat.doc_dim_path(0), "orphan.parquet")
+        shutil.copy(dd_part, orphan)
+
+        kept = cat.gc_orphans(grace_seconds=3600)
+        assert kept[0]["deleted"] == [] and any(
+            "orphan.parquet" in o for o in kept[0]["kept"]
+        )
+        assert os.path.exists(orphan)
+
+        gone = cat.gc_orphans(grace_seconds=0)
+        assert any("orphan.parquet" in o for o in gone[0]["deleted"])
+        assert not os.path.exists(orphan)
+        assert cat.check_files()[0]["orphans"] == []
+        assert len(_topk(spark, d, "world school")) > 0

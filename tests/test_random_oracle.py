@@ -1,0 +1,135 @@
+"""Randomized engine == oracle property gate (SURVEY §5.2 item 3).
+
+Reference analog: ``TestCuVSRandomizedVectorSearch.java`` builds random
+corpora (random sizes/dims at :87-88,124-127) and bounds the engine against
+exhaustively-computed expected results (``generateExpectedResults``,
+:154-183). BM25 is deterministic, so our bar is stricter: EXACT rank
+identity and <1e-5 score agreement against the numpy oracle, over seeded
+random corpora varying n_docs, vocabulary size, Zipf skew, NULL/empty text
+density, and index layout (buckets / salt / hot ratio), for or / and / msm /
+exclude / filtered queries with k spanning {0, 1, 3, 10, N+5} — plus
+pruned == exhaustive on every corpus (the Block-Max WAND losslessness
+property under arbitrary layouts)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cuvs_lucene_spark.operators.build import build_index
+from cuvs_lucene_spark.oracle import build_oracle_index, oracle_search
+from cuvs_lucene_spark.query import search
+
+# (seed, n_docs, vocab, zipf_a, p_null, p_empty, buckets, salt, hot_ratio)
+CASES = [
+    (101, 1, 5, 1.3, 0.0, 0.0, 2, 1, 0.5),
+    (102, 7, 3, 1.1, 0.2, 0.2, 3, 2, 0.2),
+    (103, 40, 12, 1.2, 0.05, 0.05, 4, 2, 0.10),
+    (104, 80, 200, 2.0, 0.0, 0.0, 8, 4, 0.05),
+    (105, 150, 30, 1.05, 0.1, 0.1, 5, 3, 0.30),
+    (106, 300, 60, 1.5, 0.02, 0.02, 8, 4, 0.10),
+    (107, 500, 8, 1.1, 0.0, 0.3, 2, 8, 0.05),   # tiny vocab → everything hot
+    (108, 700, 400, 3.0, 0.01, 0.01, 16, 2, 0.05),
+    (109, 900, 100, 1.2, 0.15, 0.0, 7, 5, 0.15),
+    (110, 1500, 50, 1.1, 0.005, 0.01, 8, 4, 0.05),
+    (111, 2500, 250, 1.4, 0.0, 0.0, 12, 4, 0.08),
+    (112, 60, 15, 1.0, 0.5, 0.2, 4, 2, 0.10),   # half the texts NULL
+]
+
+
+def _gen_corpus(seed, n_docs, vocab, zipf_a, p_null, p_empty) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    words = np.array([f"t{i:03d}" for i in range(vocab)])
+    # Zipf-weighted draw over the vocab (clipped rank)
+    conv = rng.integers(0, max(1, n_docs // 4) + 1, n_docs)
+    texts = []
+    for _ in range(n_docs):
+        r = rng.random()
+        if r < p_null:
+            texts.append(None)
+        elif r < p_null + p_empty:
+            texts.append("")
+        else:
+            n_tok = int(rng.integers(1, 40))
+            ranks = np.minimum(rng.zipf(zipf_a, n_tok), vocab) - 1
+            texts.append(" ".join(words[ranks]))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{c:06d}" for c in conv],
+            "turn_idx": np.zeros(n_docs, dtype=np.int32),
+            "role": rng.choice(["user", "assistant", "tool"], n_docs),
+            "text": texts,
+            "tool": [None] * n_docs,
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n_docs), unit="s"),
+        }
+    )
+    # unique (conv_id, turn_idx): turn_idx = rank within conv
+    pdf["turn_idx"] = pdf.groupby("conv_id").cumcount().astype(np.int32)
+    return pdf
+
+
+def _queries(rng, vocab_words, n_docs):
+    """Random query specs mixing present/absent terms and every clause."""
+    def pick(n):
+        return " ".join(
+            rng.choice(vocab_words + ["zzabsent"], size=n, replace=True)
+        )
+
+    ks = [0, 1, 3, 10, n_docs + 5]
+    specs = [
+        {"q": pick(1), "k": 10, "mode": "or"},
+        {"q": pick(3), "k": int(rng.choice(ks)), "mode": "or"},
+        {"q": pick(5), "k": 10, "mode": "or"},
+        {"q": pick(2), "k": 10, "mode": "and"},
+        {"q": pick(4), "k": 10, "mode": "or", "msm": 2},
+        {"q": pick(3), "k": 10, "mode": "or", "exclude": pick(1)},
+        {"q": pick(3), "k": 10, "mode": "or", "role": "user"},
+    ]
+    return specs
+
+
+@pytest.mark.parametrize(
+    "seed,n_docs,vocab,zipf_a,p_null,p_empty,buckets,salt,hot", CASES
+)
+def test_random_corpus_engine_equals_oracle(
+    spark, tmp_path, seed, n_docs, vocab, zipf_a, p_null, p_empty,
+    buckets, salt, hot,
+):
+    from pyspark.sql import functions as F
+
+    pdf = _gen_corpus(seed, n_docs, vocab, zipf_a, p_null, p_empty)
+    sdf = spark.createDataFrame(pdf)
+    d = str(tmp_path / f"idx{seed}")
+    build_index(
+        spark, sdf, d, buckets=buckets, salt_buckets=salt, hot_df_ratio=hot,
+        hot_sample_fraction=1.0,
+    )
+    oracle = build_oracle_index(pdf)
+    rng = np.random.default_rng(seed + 7)
+    vocab_words = sorted({t for toks in oracle.postings for t in [toks]})
+    for spec in _queries(rng, vocab_words, n_docs):
+        accept = None
+        cond = None
+        if "role" in spec:
+            cond = F.col("role") == spec["role"]
+            accept = (oracle.meta["role"] == spec["role"]).to_numpy()
+        exp = oracle_search(
+            oracle, spec["q"], k=spec["k"], mode=spec["mode"],
+            accept=accept, exclude=spec.get("exclude"), msm=spec.get("msm"),
+        )
+        for prune in (False, True):
+            if prune and spec.get("msm"):
+                continue  # unsound combination is rejected by design
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, d, spec["q"], k=spec["k"], mode=spec["mode"],
+                    filter_cond=cond, prune=prune,
+                    exclude=spec.get("exclude"), msm=spec.get("msm"),
+                ).collect()
+            ]
+            assert [x[0] for x in got] == [x[0] for x in exp], (
+                seed, spec, prune, got, exp
+            )
+            for (gd, gs), (_ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-5, (seed, spec, prune, gd, gs, es)
