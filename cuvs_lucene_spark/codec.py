@@ -227,16 +227,30 @@ def pack_u64_blocks(
         padded[np.repeat(pstart[:-1], cnt_s) + within] = rel[
             np.repeat(block_starts[sel], cnt_s) + within
         ]
-        # bit matrix built column-wise into preallocated uint8 — avoids an
-        # n×w uint64 intermediate (~1 GB at 5M values × 20 bits)
-        bits = np.empty((len(padded), width), dtype=np.uint8)
-        for j in range(width):
-            np.bitwise_and(
-                (padded >> np.uint64(width - 1 - j)).astype(np.uint8),
-                np.uint8(1),
-                out=bits[:, j],
+        # bit matrix built column-wise into preallocated uint8 (avoids an
+        # n×w uint64 intermediate), and CHUNKED so the matrix stays
+        # cache-resident (≤ ~1 MB) instead of round-tripping an n×w byte
+        # temp through DRAM: per value the memory traffic drops to one
+        # streaming read (padded) + one streaming write (packed). Chunks are
+        # multiples of 8 values, and every padded block length is too (c8),
+        # so each chunk's bitstream is byte-aligned at any width — per-chunk
+        # packbits outputs concatenate byte-identically to one global call.
+        total = len(padded)
+        packed = np.empty(total * width // 8, dtype=np.uint8)
+        chunk = 1 << 17
+        bits = np.empty((min(chunk, total), width), dtype=np.uint8)
+        for c0 in range(0, total, chunk):
+            seg = padded[c0:c0 + chunk]
+            b = bits[: len(seg)]
+            for j in range(width):
+                np.bitwise_and(
+                    (seg >> np.uint64(width - 1 - j)).astype(np.uint8),
+                    np.uint8(1),
+                    out=b[:, j],
+                )
+            packed[c0 * width // 8: (c0 + len(seg)) * width // 8] = (
+                np.packbits(b.ravel())
             )
-        packed = np.packbits(bits.ravel())
         # copy each block's payload slice (truncated to pay_len) into buf
         pb_start = (pstart[:-1] // 8) * width
         pl = pay_len[sel]

@@ -525,25 +525,60 @@ def _pair_cos_udf():
     return pair_cos
 
 
+# per-worker-process cache of the near-dup reference matrix: every task on a
+# worker reuses one (ids, normalized-matrix) load instead of re-reading the
+# snapshot. One entry — a new snapshot path evicts the old matrix.
+_NEARDUP_REF_CACHE: dict = {}
+
+
+def _load_neardup_ref(path: str):
+    hit = _NEARDUP_REF_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads
+
+    from cuvs_lucene_spark.sources import fs as _fs
+
+    f, p = _fs.resolve(path)
+    tbl = pads.dataset(p, filesystem=f, format="parquet").to_table()
+    ids = tbl["id"].to_numpy().astype(np.int64)
+    X = np.stack(tbl["v"].to_pandas().to_numpy()).astype(np.float64, copy=False)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    _NEARDUP_REF_CACHE.clear()
+    _NEARDUP_REF_CACHE[path] = (ids, Xn)
+    return ids, Xn
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int = 200_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """EXACT embedding near-dup: all (id_a < id_b, cos) with round(cos,6) ≥
     threshold — the small-N verification oracle (`embedding_lsh_pairs` is
     the 100 TB path, which examines only hyperplane-bucket candidates).
 
-    Shape: blocked brute force. The (cosine-normalized) corpus matrix is a
-    Spark broadcast; ONE narrow scan gives each partition a (block × N) BLAS
-    matmul and emits only above-threshold upper-triangle entries. All-pairs
-    compute is inherent to exactness; what the broadcast bounds is memory —
-    N·dim float64 per executor (≈0.5 GB at 10^6×64), the ceiling ENFORCED by
-    max_rows: corpora above it raise rather than silently collecting the
-    whole corpus to the driver — switch to embedding_lsh_pairs (the scale
-    path) or raise max_rows deliberately."""
+    Shape: blocked brute force. The corpus is snapshotted to a scratch
+    parquet by the EXECUTORS (never routed through the driver), and each
+    worker process lazily reads + cosine-normalizes it once, cached for all
+    its tasks; ONE narrow scan then gives each partition a (block × N) BLAS
+    matmul emitting only above-threshold upper-triangle entries. All-pairs
+    compute is inherent to exactness; what max_rows bounds is WORKER memory
+    — N·dim float64 per worker (≈0.5 GB at 10^6×64): corpora above it raise
+    rather than silently OOMing — switch to embedding_lsh_pairs (the scale
+    path) or raise max_rows deliberately.
+
+    scratch_dir must be reachable by every executor (defaults to the Spark
+    warehouse dir — on a cluster that is the shared store); the snapshot
+    under it is needed as long as the returned DataFrame may recompute, and
+    safe to delete afterwards."""
+    import uuid as _uuid
+
+    from cuvs_lucene_spark.sources import fs as _fs
+
     spark = embeddings.sparkSession
     src = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
@@ -553,18 +588,18 @@ def embedding_neardup_pairs(
     if n_rows > max_rows:
         raise ValueError(
             f"embedding_neardup_pairs is the exact small-N verifier: corpus "
-            f"has {n_rows} rows > max_rows={max_rows} (driver would collect "
+            f"has {n_rows} rows > max_rows={max_rows} (every worker holds "
             f"~{n_rows}·dim·8 bytes). Use embedding_lsh_pairs for large "
             f"corpora, or pass a higher max_rows deliberately."
         )
-    pdf = src.toPandas()
-    ids_all = pdf["id"].to_numpy(dtype=np.int64)
-    X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, Xn))
+    scratch = scratch_dir or spark.conf.get(
+        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+    )
+    ref_dir = _fs.join(scratch, f"neardup-ref-{_uuid.uuid4().hex[:12]}")
+    src.write.parquet(ref_dir)
 
     def kernel(batches):
-        ids_r, Xn_r = bc.value
+        ids_r, Xn_r = _load_neardup_ref(ref_dir)
         for b in batches:
             if not len(b):
                 continue

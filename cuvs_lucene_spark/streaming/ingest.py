@@ -30,6 +30,7 @@ def make_batch_sink(
     index_dir: str,
     compact_every: int | None = None,
     tiered_max_segments: int | None = None,
+    segment_id_offset: int = 0,
     **build_kwargs,
 ):
     """Returns a foreachBatch(batch_df, batch_id) callable that builds one
@@ -40,13 +41,33 @@ def make_batch_sink(
       proportional to the tail, segment count bounded at N)
     - compact_every=N — full forceMerge(1) once N segments accumulate
       (rewrites the whole index each time; fine for short backfills)
-    """
+
+    segment_id = segment_id_offset + batch_id. When the stream targets an
+    index that ALREADY holds batch-built segments, pass an offset above
+    their ids: build_segment is idempotent BY id (that idempotence IS the
+    exactly-once ledger on micro-batch replay), so a colliding id would
+    silently drop the micro-batch — the sink raises instead. The offset
+    must be a constant for the stream's lifetime (a value derived from the
+    manifest at sink-construction time would change across restarts and
+    break replay idempotence)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        build_segment(spark, batch_df, index_dir, segment_id=int(batch_id), **build_kwargs)
+        sid = segment_id_offset + int(batch_id)
+        existing = IndexCatalog(index_dir).read_manifest()["segments"]
+        clash = next((s for s in existing if s["id"] == sid), None)
+        if clash is not None and clash.get("run_id") != f"stream-{sid}":
+            raise ValueError(
+                f"segment id {sid} already committed by a non-stream build "
+                f"(run_id={clash.get('run_id')!r}); pass segment_id_offset "
+                f"above the existing ids"
+            )
+        build_segment(
+            spark, batch_df, index_dir, segment_id=sid,
+            run_id=f"stream-{sid}", **build_kwargs,
+        )
         if tiered_max_segments:
             tiered_compact(spark, index_dir, max_segments=tiered_max_segments)
         elif compact_every:
