@@ -320,6 +320,20 @@ def main() -> None:
     ]
     eff_best = max(pair_effs)
     cpu_ratio = cpu_lo / cpu_hi
+    # matched-CPU pair: the interleaved rep whose hi leg did (closest to) the
+    # SAME total CPU work as its lo leg — i.e. the rep least distorted by
+    # co-tenant steal. Its wall ratio is the single-box number that best
+    # predicts cluster efficiency (round-2 methodology, now first-class).
+    match_idx = min(
+        range(len(pair_effs)),
+        key=lambda i: abs(
+            runs[n_hi][i]["build_cpu_s"] / runs[n_lo][i]["build_cpu_s"] - 1.0
+        ),
+    )
+    cpu_match = (
+        runs[n_lo][match_idx]["build_cpu_s"] / runs[n_hi][match_idx]["build_cpu_s"]
+    )
+    eff_match = pair_effs[match_idx]
     eff_cpu_ctrl = med(ctrl["cpu"][n_lo]) / (ratio * med(ctrl["cpu"][n_hi]))
     eff_bw_ctrl = med(ctrl["bw"][n_lo]) / (ratio * med(ctrl["bw"][n_hi]))
     eff_norm = eff_wall / eff_cpu_ctrl
@@ -360,6 +374,9 @@ process-tree CPU-seconds recorded per run.
 
 - **Wall-clock efficiency (median of {REPS}) = T_{n_lo}/({ratio}·T_{n_hi}) = {eff_wall:.3f}**
 - Best interleaved pair (least host contention): **{eff_best:.3f}** (all pairs: {[round(e, 3) for e in pair_effs]})
+- **Matched-CPU pair** (rep {match_idx + 1}: the hi leg whose total CPU is closest
+  to its lo leg's, i.e. least co-tenant steal; cpu ratio there = {cpu_match:.3f}):
+  wall efficiency = **{eff_match:.3f}** — the cluster-predictive number.
 - **CPU-seconds ratio cpu_{n_lo}/cpu_{n_hi} = {cpu_ratio:.3f}** — the {ratio}× job
   consumes {"the same total CPU (wall gap = shared-box contention, not algorithmic overhead)" if 0.85 <= cpu_ratio <= 1.18 else "a different total CPU"};
   on per-node hardware wall ≈ CPU/cores ⇒ cluster efficiency ≈ this ratio.
