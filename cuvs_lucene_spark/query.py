@@ -1409,7 +1409,15 @@ def _prune_blocks(
         * F.col("max_tf").cast("double")
         / (F.col("max_tf").cast("double") + kf)
     )
-    kept = postings.where(ub + slack_map[F.col("term")] >= F.lit(theta - 1e-9))
+    # Slack must be RELATIVE to θ: phase 1 scores in float32 (Lucene parity),
+    # so θ can exceed the float64 block bound by ~1 float32 ULP (1.2e-7
+    # relative) whenever the θ-doc's tf == max_tf and dl == min_dl of its own
+    # block — guaranteed in degenerate corpora (caught by the n_docs=1
+    # randomized-oracle case, where a fixed 1e-9 slack pruned the only block).
+    kept = postings.where(
+        ub + slack_map[F.col("term")]
+        >= F.lit(theta - 1e-6 * max(1.0, abs(theta)))
+    )
     if PRUNE_OBSERVE:
         # prune-ratio observability (opt-in — one extra driver action): the
         # kept-count scan touches only the small block-stat columns

@@ -32,7 +32,7 @@ CASES = [
     (109, 900, 100, 1.2, 0.15, 0.0, 7, 5, 0.15),
     (110, 1500, 50, 1.1, 0.005, 0.01, 8, 4, 0.05),
     (111, 2500, 250, 1.4, 0.0, 0.0, 12, 4, 0.08),
-    (112, 60, 15, 1.0, 0.5, 0.2, 4, 2, 0.10),   # half the texts NULL
+    (112, 60, 15, 1.01, 0.5, 0.2, 4, 2, 0.10),  # half the texts NULL (zipf needs a>1)
 ]
 
 
