@@ -860,6 +860,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_components(s, d):
+        """Near-dup pairs → transitive dedup GROUPS (the stage a training
+        pipeline needs to actually drop duplicates): min-label propagation
+        with pointer jumping, O(log n) join rounds over the pair list only.
+        canonical_id = min doc id of the group = the deterministic survivor.
+        """
+        from cuvs_lucene_spark.pipeline.dedup import dedup_groups, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            _docs(s, d), n=3, n_hashes=32, bands=16, threshold=0.5
+        )
+        return dedup_groups(pairs).select(
+            F.col("id").cast("long"),
+            F.col("canonical_id").cast("long"),
+            F.col("group_size").cast("long"),
+        )
+
+    q["dedup_components"] = dedup_components
+
     def fts_topk_batch(s, d):
         """Q queries in ONE job (query.search_batch): shared postings scan +
         pivot, per-query totals as expressions, one ranking window."""
@@ -1117,6 +1136,12 @@ FROM sigs
         "documents", n=3, threshold=0.5
     )
     o["dedup_simhash"] = _dd.simhash_pairs_sql("documents", n=3, max_hamming=3)
+    # LSH pairs == exact Jaccard pairs on this corpus (pinned by the
+    # dedup_minhash_lsh gate above), so the closure over the exact pair set
+    # is the closure over the LSH pair set.
+    o["dedup_components"] = _dd.dedup_groups_sql(
+        _dd.ngram_jaccard_pairs_sql("documents", n=3, threshold=0.5)
+    )
 
     from cuvs_lucene_spark.pipeline import similarity as _sim
 
