@@ -922,6 +922,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_count_and"] = fts_count_and
 
+    def fts_facet_role(s, d):
+        """Facet counts (Lucene facets-module analog): per-role live-doc
+        match counts over an OR query's match set — match-set distinct +
+        one facet hash aggregate, no scoring."""
+        from cuvs_lucene_spark.query import facet_counts
+
+        return facet_counts(
+            s, _index_for(s, d), "merge sort join", facet="role", mode="or"
+        ).select("facet", F.col("n_docs").cast("long"))
+
+    q["fts_facet_role"] = fts_facet_role
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -1099,6 +1111,12 @@ SELECT cast(count(*) AS bigint) AS n FROM (
   SELECT doc_id FROM tf WHERE term IN ('merge', 'sort')
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
 )
+"""
+    o["fts_facet_role"] = f"""{_ORACLE_PREFIX}
+SELECT d.role AS facet, cast(count(DISTINCT t.doc_id) AS bigint) AS n_docs
+FROM tf t JOIN dlq d ON t.doc_id = d.doc_id
+WHERE t.term IN ('merge', 'sort', 'join')
+GROUP BY d.role ORDER BY n_docs DESC, facet ASC
 """
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf

@@ -731,52 +731,48 @@ def explain(
     return out
 
 
-def count_matches(
+def _match_doc_ids_df(
     spark: SparkSession,
-    index_dir: str,
+    rd: IndexReader,
     query: str,
     mode: str = "or",
     filter_cond: Column | str | None = None,
-    reader: IndexReader | None = None,
     field: str | None = None,
     exclude: str | None = None,
     msm: int | None = None,
-) -> int:
-    """Number of live docs matching the query (IndexSearcher.count analog):
-    mode='or' counts docs containing ≥1 query term (or ≥`msm` distinct terms
-    when given — minimum_should_match), mode='and' docs containing every
-    distinct query term; tombstoned docs, `exclude`d docs (MUST_NOT) and
-    filter_cond rejects never count — the same clause surface as search().
+) -> DataFrame | None:
+    """Distinct LIVE doc_ids matching the full clause surface (or/and/msm/
+    exclude/filter_cond), or None when provably empty without any job.
 
     Plan shape: the same bucket+term-pruned postings scan as search, decoded
     to (term, doc_id) and reduced by a map-side-combinable distinct — no
-    scoring, no norms, no top-k machinery."""
+    scoring, no norms, no top-k machinery. Shared by count_matches and
+    facet_counts."""
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
     from cuvs_lucene_spark.operators.merge import decode_postings
 
     if msm is not None and (mode != "or" or msm < 1):
         raise ValueError("msm requires mode='or' and msm >= 1")
-    rd = reader or IndexReader(spark, index_dir)
     q_terms = tokenize_py(query)
     if not q_terms or not rd.manifest["segments"]:
-        return 0
+        return None
     fld = rd.resolve_field(field)
     if rd.field_stats_of(fld)[0] == 0:
-        return 0
+        return None
     distinct_terms = sorted(set(q_terms))
     stats = rd.term_stats(distinct_terms, fld)
     present = [t for t in distinct_terms if stats.get(t, (0, 0))[0] > 0]
     if not present or (mode == "and" and len(present) < len(distinct_terms)):
-        return 0
+        return None
     if msm is not None and len(present) < msm:
-        return 0
+        return None
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
         & (F.col("field") == fld)
         & F.col("term").isin(present)
     )
     rows = decode_postings(postings).select("term", "doc_id")
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat.index_dir)
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if exclude:
@@ -798,13 +794,84 @@ def count_matches(
         rows = rows.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
     need = len(present) if mode == "and" else (msm or 1)
     if need > 1:
-        return int(
+        return (
             rows.groupBy("doc_id")
             .agg(F.count_distinct("term").alias("nt"))
             .where(F.col("nt") >= need if mode != "and" else F.col("nt") == need)
-            .count()
+            .select("doc_id")
         )
-    return int(rows.select("doc_id").distinct().count())
+    return rows.select("doc_id").distinct()
+
+
+def count_matches(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+) -> int:
+    """Number of live docs matching the query (IndexSearcher.count analog):
+    mode='or' counts docs containing ≥1 query term (or ≥`msm` distinct terms
+    when given — minimum_should_match), mode='and' docs containing every
+    distinct query term; tombstoned docs, `exclude`d docs (MUST_NOT) and
+    filter_cond rejects never count — the same clause surface as search()."""
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    return 0 if ids is None else int(ids.count())
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    facet: Column | str = "role",
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Per-category live-doc match counts over the query's match set — the
+    Lucene facets-module analog (FastTaxonomyFacetCounts over a drill-down
+    query; the facets module sits beside the codec surface the reference
+    plugs into via its Lucene dependency, ``pom.xml:42-43``).
+
+    `facet` is a doc_dim column name or Column expression (e.g.
+    ``F.to_date("ts")`` for a date histogram). Returns (facet, n_docs)
+    ordered by n_docs DESC, facet ASC (deterministic ties); `top_n` caps the
+    returned categories.
+
+    Plan shape at scale: the match set is the bucket+term-pruned postings
+    scan reduced to distinct doc_ids (map-side combinable), semi-joined into
+    a (doc_id, facet)-projected doc_dim scan, then ONE hash aggregate on the
+    facet value — no row ever carries text or postings payload, and the agg
+    output is bounded by category cardinality, not corpus size."""
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    facet_col = F.col(facet) if isinstance(facet, str) else facet
+    if ids is None:
+        if not rd.manifest["segments"]:
+            # no doc_dim exists to type the facet column from
+            return spark.createDataFrame([], "facet string, n_docs long")
+        ids = spark.createDataFrame([], "doc_id long")
+    dd = rd.cat.read_doc_dim(spark)
+    out = (
+        dd.join(ids, "doc_id", "left_semi")
+        .groupBy(facet_col.alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("facet"))
+    )
+    return out.limit(top_n) if top_n is not None else out
 
 
 # Accepted-id cache for repeated interactive filters: the same (snapshot,

@@ -290,6 +290,46 @@ def test_count_matches_equals_exhaustive(spark, tiny_index):
     assert count_matches(spark, tiny_index, q, msm=4) == 0
 
 
+def test_facet_counts_match_search_partition(spark, tiny_index):
+    """Facet counts == exhaustive match set grouped by the facet column;
+    per-facet totals sum to count_matches; clause surface and ordering
+    (n_docs DESC, facet ASC) pinned; absent term → empty."""
+    from collections import Counter
+
+    from cuvs_lucene_spark.query import (
+        IndexReader,
+        count_matches,
+        facet_counts,
+        search,
+    )
+
+    q = "world school student"
+    rows = facet_counts(spark, tiny_index, q, facet="role").collect()
+    got = {r["facet"]: r["n_docs"] for r in rows}
+    full = search(spark, tiny_index, q, k=10**9).collect()
+    rd = IndexReader(spark, tiny_index)
+    dd = {
+        r["doc_id"]: r["role"]
+        for r in rd.cat.read_doc_dim(spark).select("doc_id", "role").collect()
+    }
+    assert got == dict(Counter(dd[r["doc_id"]] for r in full))
+    assert sum(got.values()) == count_matches(spark, tiny_index, q)
+    assert rows == sorted(rows, key=lambda r: (-r["n_docs"], r["facet"]))
+    # clause surface composes (filter + exclude), top_n caps categories
+    f = F.col("role") != "tool"
+    rows_f = facet_counts(
+        spark, tiny_index, q, facet="role", filter_cond=f, exclude="the"
+    ).collect()
+    full_f = search(
+        spark, tiny_index, q, k=10**9, filter_cond=f, exclude="the"
+    ).collect()
+    assert {r["facet"]: r["n_docs"] for r in rows_f} == dict(
+        Counter(dd[r["doc_id"]] for r in full_f)
+    )
+    assert len(facet_counts(spark, tiny_index, q, facet="role", top_n=1).collect()) == 1
+    assert facet_counts(spark, tiny_index, "zzzzqqqq", facet="role").count() == 0
+
+
 def test_search_batch_equals_per_query(spark, tiny_index):
     """One-job batch == the per-query search results (same docs, same
     rounded scores, same order), absent-term queries silently empty, and an
