@@ -1026,6 +1026,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_probe"] = sim_ivf_probe
 
+    def _ivfpq_dir(s, d):
+        from cuvs_lucene_spark.pipeline.similarity import ivfpq_build
+
+        pq_dir = _index_dir(d) + "_ivfpq"
+        if not os.path.exists(os.path.join(pq_dir, "vectors", "_SUCCESS")):
+            ivfpq_build(_emb(s, d), pq_dir, n_centroids=16, m=8, ks=16, iters=2)
+        return pq_dir
+
+    def sim_ivfpq_exact(s, d):
+        """IVF-PQ degenerate-exact config (nprobe=C, refine covers the
+        corpus): candidates flow through the codes column + ADC kernel +
+        rerank join, and the result is provably the exact cosine top-k —
+        the hash-match gate for the PQ plumbing."""
+        from cuvs_lucene_spark.pipeline.similarity import ivfpq_search
+
+        return ivfpq_search(
+            s, _ivfpq_dir(s, d), _SIM_QUERY_VEC, k=10, nprobe=16, refine=10**6
+        )
+
+    q["sim_ivfpq_exact"] = sim_ivfpq_exact
+
+    def sim_ivfpq_probe(s, d):
+        """IVF-PQ serving config: nprobe=4 of 16 lists, ADC over the codes
+        column only (m=8 bytes/vector scanned vs 512 for raw float64),
+        exact rerank of k·4 candidates. Approximate by design → rows-only
+        gate; ADC identity, degenerate-exactness, and recall-to-coarse-
+        ceiling are pinned by pytest."""
+        from cuvs_lucene_spark.pipeline.similarity import ivfpq_search
+
+        return ivfpq_search(
+            s, _ivfpq_dir(s, d), _SIM_QUERY_VEC, k=10, nprobe=4, refine=4
+        )
+
+    q["sim_ivfpq_probe"] = sim_ivfpq_probe
+
     def multimodal_features(s, d):
         from cuvs_lucene_spark.pipeline.multimodal import (
             derive_assets,
@@ -1200,6 +1235,9 @@ FROM documents
     )
     # nprobe == n_centroids degrades IVF to exact search — same oracle
     o["sim_ivf_exact"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
+    # degenerate-exact IVF-PQ == exact cosine top-k (sim_ivfpq_probe stays
+    # rows-only: approximate by design, pytest-pinned)
+    o["sim_ivfpq_exact"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
     o["multimodal_features"] = f"""
 WITH feats AS ({_mm.features_sql("documents")})
 SELECT asset_id, kind, features[1] AS f0, features[2] AS f1,

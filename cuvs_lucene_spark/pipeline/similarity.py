@@ -757,3 +757,248 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes inside the IVF layout (ADC scoring)
+# ---------------------------------------------------------------------------
+# Product quantization per Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011, public literature), the same index
+# family cuVS itself ships as IVF-PQ beside IVF-Flat. Raw-vector variant
+# (codes quantize the vector, not the coarse residual — faiss's
+# by_residual=false mode): simpler, deterministic, and the rerank step reads
+# the stored raw vectors anyway.
+#
+# Why this is THE 100 TB path: the stored rows keep (id, v, codes) but ADC
+# scans project ONLY the codes column (parquet columnar pruning) — m bytes
+# per vector instead of 8·dim. At dim=64, m=8 that is a 64× scan-byte
+# reduction on top of the nprobe/C partition pruning; the raw `v` column is
+# touched only for the k·refine candidate rows of the rerank join.
+
+_PQ_BOOKS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pq_assign(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """codes[i, m] = argmin_k |x_i[sub_m] - books[m, k]|  (first-min ties)."""
+    n_sub, ks, dsub = books.shape
+    codes = np.empty((len(x), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        sub = x[:, m * dsub:(m + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks; returns (m, ks', dsub) float64 with
+    ks' = min(ks, N). Same deterministic-Lloyd shape as ivf_train (init =
+    lowest-id vectors, no RNG), but ALL m subspaces train in ONE kernel per
+    round — one corpus scan regardless of m, partials merged driver-side
+    (m·ks tiny rows per partition). Empty codes keep their previous centroid
+    (deterministic; Lloyd's natural behavior under a fixed init).
+    """
+    if ks > 256:
+        raise ValueError("ks must fit a uint8 code (<= 256)")
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = emb.orderBy("id").limit(ks).collect()
+    x0 = np.array([r["v"] for r in init], dtype=np.float64)
+    dim = x0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ks_eff = len(x0)
+    books = np.stack(
+        [x0[:, j * dsub:(j + 1) * dsub].copy() for j in range(m)]
+    )  # (m, ks_eff, dsub)
+
+    for _ in range(iters):
+        b = books.copy()
+
+        def partials(batches):
+            sums = np.zeros_like(b)
+            counts = np.zeros((m, ks_eff), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+                for j in range(m):
+                    sub = x[:, j * dsub:(j + 1) * dsub]
+                    d2 = ((sub[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+                    a = np.argmin(d2, axis=1)
+                    np.add.at(sums[j], a, sub)
+                    counts[j] += np.bincount(a, minlength=ks_eff)
+            nz = np.argwhere(counts > 0)
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "m": nz[:, 0],
+                        "code": nz[:, 1],
+                        "s": [sums[j, c].tolist() for j, c in nz],
+                        "n": [int(counts[j, c]) for j, c in nz],
+                    }
+                )
+
+        acc_s = np.zeros_like(books)
+        acc_n = np.zeros((m, ks_eff), dtype=np.int64)
+        for r in emb.mapInPandas(
+            partials, "m int, code int, s array<double>, n long"
+        ).collect():
+            acc_s[r["m"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+            acc_n[r["m"], r["code"]] += int(r["n"])
+        upd = acc_n > 0
+        books[upd] = acc_s[upd] / acc_n[upd][:, None]
+    return books
+
+
+def pq_encode_col(books: np.ndarray, vec_col: str) -> Column:
+    """BinaryType column of per-row PQ codes (m bytes each)."""
+    b = books
+
+    @F.pandas_udf("binary")
+    def enc(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series(np.empty(0, dtype=object))
+        x = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+        codes = _pq_assign(x, b)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc(F.col(vec_col))
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    ivfpq_dir: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train coarse (IVF) + fine (PQ) quantizers and materialize:
+
+        <dir>/centroids/              (cid, centroid)           — tiny
+        <dir>/pq_codebooks/           (m, code, centroid)       — tiny
+        <dir>/vectors/cid=<c>/        (id, v, codes binary)     — corpus
+
+    One assignment scan writes both the coarse partition key and the fine
+    codes; every later ADC probe reads only `codes` of nprobe/C partitions.
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    books = pq_train(embeddings, m, ks, iters, id_col, vec_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{ivfpq_dir}/centroids")
+    n_sub, ks_eff, _ = books.shape
+    spark.createDataFrame(
+        [
+            (j, c, books[j, c].tolist())
+            for j in range(n_sub)
+            for c in range(ks_eff)
+        ],
+        "m int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{ivfpq_dir}/pq_codebooks")
+    (
+        emb.withColumn("cid", _nearest_cid_expr(_collect_centroids(cents), "v"))
+        .withColumn("codes", pq_encode_col(books, "v"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{ivfpq_dir}/vectors")
+    )
+    _CENTROIDS_CACHE.pop(ivfpq_dir, None)
+    _PQ_BOOKS_CACHE.pop(ivfpq_dir, None)
+
+
+def _load_pq_books(spark, ivfpq_dir: str) -> np.ndarray:
+    if ivfpq_dir not in _PQ_BOOKS_CACHE:
+        rows = spark.read.parquet(f"{ivfpq_dir}/pq_codebooks").collect()
+        n_sub = 1 + max(int(r["m"]) for r in rows)
+        ks = 1 + max(int(r["code"]) for r in rows)
+        dsub = len(rows[0]["centroid"])
+        books = np.zeros((n_sub, ks, dsub), dtype=np.float64)
+        for r in rows:
+            books[int(r["m"]), int(r["code"])] = r["centroid"]
+        _PQ_BOOKS_CACHE[ivfpq_dir] = books
+    return _PQ_BOOKS_CACHE[ivfpq_dir]
+
+
+def ivfpq_search(
+    spark,
+    ivfpq_dir: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int | None = 4,
+    filter_cond: Column | str | None = None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over the nprobe nearest inverted lists, optionally reranked
+    exactly. Returns (rank, id, score) like cosine_topk.
+
+    Driver computes the query's (m × ks) lookup tables once — dot(q_m, c) and
+    |c|² per sub-centroid — so executor work per vector is m byte-gathers +
+    a sum: cos_ADC(q, x) = Σ_m LUTdot[m, codes_m] / (|q|·√Σ_m LUTn2[m, codes_m])
+    (exactly cos(q, x̂) for the reconstruction x̂ — pinned by pytest).
+    refine=r: the k·r best ADC candidates are joined back to the raw `v`
+    column (broadcast of k·r ids into the same partition-pruned scan) and
+    reranked with exact cosine; refine=None returns raw ADC scores.
+    nprobe ≥ C with refine covering the corpus degrades to EXACT search —
+    the hash-match gate config. filter_cond/deletes: the usual acceptDocs
+    surface, applied before ranking."""
+    cids, mat = _load_centroids(spark, ivfpq_dir)
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((mat - q) ** 2).sum(axis=1)
+    probe_ids = [int(c) for c in cids[np.lexsort((cids, d2))[:nprobe]]]
+    books = _load_pq_books(spark, ivfpq_dir)
+    n_sub, ks, dsub = books.shape
+    lut_dot = np.einsum("mkd,md->mk", books, q.reshape(n_sub, dsub))
+    lut_n2 = (books ** 2).sum(axis=2)
+    qn = float(np.sqrt((q ** 2).sum()))
+
+    vecs = spark.read.parquet(f"{ivfpq_dir}/vectors").where(
+        F.col("cid").isin(probe_ids)
+    )
+    vecs = _apply_vector_mask(vecs, "id", filter_cond, deletes)
+
+    @F.pandas_udf("double")
+    def adc(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        codes = np.frombuffer(b"".join(col.to_numpy()), dtype=np.uint8).reshape(
+            len(col), n_sub
+        ).astype(np.int64)
+        mi = np.arange(n_sub)[None, :]
+        dots = lut_dot[mi, codes].sum(axis=1)
+        n2 = lut_n2[mi, codes].sum(axis=1)
+        denom = qn * np.sqrt(n2)
+        out = np.zeros(len(col), dtype=np.float64)
+        ok = denom > 0
+        out[ok] = dots[ok] / denom[ok]
+        return pd.Series(out)
+
+    ranked = (
+        vecs.select("id", adc(F.col("codes")).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("id"))
+    )
+    if refine is None:
+        topk = ranked.limit(k).withColumn("score", F.round("adc", 6))
+        w = Window.orderBy(F.desc("score"), F.asc("id"))
+        return topk.withColumn("rank", F.row_number().over(w)).select(
+            F.col("rank").cast("long"), F.col("id").cast("long"), "score"
+        )
+    cand = ranked.limit(int(k) * int(refine)).select("id")
+    return cosine_topk(
+        vecs.join(F.broadcast(cand), "id", "left_semi"),
+        query, k, id_col="id", vec_col="v",
+    )

@@ -133,6 +133,70 @@ class TestSimilarity:
         # deterministic corpus+algorithm → fixed recall; floor it loosely
         assert len(got & exact_ids) >= 5
 
+    def test_ivfpq_adc_equals_reconstruction_cosine(self, spark, emb, tmp_path):
+        """ADC identity: the kernel's score for every vector == cos(q, x̂)
+        where x̂ is the decoded (sub-centroid-concatenated) reconstruction —
+        the defining property of asymmetric distance computation."""
+        d = str(tmp_path / "ivfpq")
+        S.ivfpq_build(emb, d, n_centroids=4, m=8, ks=16, iters=2)
+        books = S._load_pq_books(spark, d)
+        rows = spark.read.parquet(f"{d}/vectors").select("id", "v", "codes").collect()
+        got = {
+            r["id"]: r["score"]
+            for r in S.ivfpq_search(
+                spark, d, self.QV, k=len(rows), nprobe=4, refine=None
+            ).collect()
+        }
+        q = np.asarray(self.QV)
+        n_sub, _, dsub = books.shape
+        for r in rows:
+            codes = np.frombuffer(r["codes"], dtype=np.uint8)
+            xhat = np.concatenate([books[m, codes[m]] for m in range(n_sub)])
+            exp = float(xhat @ q / (np.linalg.norm(xhat) * np.linalg.norm(q)))
+            assert abs(got[r["id"]] - round(exp, 6)) < 1e-9, r["id"]
+
+    def test_ivfpq_degenerate_config_is_exact(self, spark, emb, tmp_path):
+        """nprobe=C + refine covering the corpus == exact cosine top-k (the
+        hash-match gate configuration)."""
+        d = str(tmp_path / "ivfpq")
+        S.ivfpq_build(emb, d, n_centroids=4, m=8, ks=16, iters=2)
+        exact = [
+            (r["id"], r["score"]) for r in S.cosine_topk(emb, self.QV, 10).collect()
+        ]
+        got = [
+            (r["id"], r["score"])
+            for r in S.ivfpq_search(
+                spark, d, self.QV, k=10, nprobe=4, refine=10**6
+            ).collect()
+        ]
+        assert got == exact
+
+    def test_ivfpq_probe_recall_and_rerank_scores(self, spark, emb, tmp_path):
+        """Approximate config: with enough refine, PQ recall reaches the
+        COARSE probe ceiling — every exact-top-10 id that IVF-flat finds at
+        the same nprobe (the probed-partition pool is identical and the
+        rerank is exact) — and reranked scores are EXACT cosines."""
+        d = str(tmp_path / "ivfpq")
+        S.ivfpq_build(emb, d, n_centroids=8, m=8, ks=16, iters=2)
+        exact = {
+            r["id"]: r["score"] for r in S.cosine_topk(emb, self.QV, 10).collect()
+        }
+        cents = spark.read.parquet(f"{d}/centroids")
+        flat_hits = {
+            r["id"]
+            for r in S.ivf_search(emb, cents, self.QV, 10, nprobe=4).collect()
+        } & set(exact)
+        got = {
+            r["id"]: r["score"]
+            for r in S.ivfpq_search(
+                spark, d, self.QV, k=10, nprobe=4, refine=16
+            ).collect()
+        }
+        hits = set(got) & set(exact)
+        assert hits >= flat_hits and len(hits) >= 5
+        for i in hits:
+            assert got[i] == exact[i]
+
     def test_ivf_persisted_probe_matches_inmemory(self, spark, emb, tmp_path):
         """ivf_build + ivf_probe_search == the in-memory ivf_search for the
         same (centroids, nprobe), and the probe's scan is partition-pruned."""
