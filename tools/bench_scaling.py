@@ -285,10 +285,13 @@ def main() -> None:
         while f.read(1 << 24):
             pass
 
+    local_mode = os.environ.get("SCALING_MASTER") == "local"
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for rep in range(REPS):
         for n in (n_lo, n_hi):  # interleaved to spread host-load noise
-            r = _run_leg(["--worker", str(n), tier])
+            # local mode: ONE JVM uses all its cores — pinning the driver to
+            # the reserved 4-core set would cap the whole job at 4 cores
+            r = _run_leg(["--worker", str(n), tier], pin_driver=not local_mode)
             runs[n].append(r)
             print(json.dumps(r))
 
@@ -353,19 +356,32 @@ def main() -> None:
         cs = [r["build_cpu_s"] for r in runs[n]]
         w = med(ws)
         qmed = {q: med([r["query_s"][q] for r in runs[n]]) for q, _, _ in QUERY_SET}
+        label = (
+            f"local[{n * CORES_PER_EXEC}]" if local_mode
+            else f"{n}×{CORES_PER_EXEC}c JVMs"
+        )
         return (
-            f"| {n}×{CORES_PER_EXEC}c JVMs | {c['turns']} | {w} (all: {ws}) | "
+            f"| {label} | {c['turns']} | {w} (all: {ws}) | "
             f"{med(cs)} (all: {cs}) | {round(c['turns'] / w, 1)} | "
             + " | ".join(str(round(qmed[q], 3)) for q, _, _ in QUERY_SET) + " |"
         )
 
+    proto = (
+        f"`local[{n_lo * CORES_PER_EXEC}]` vs `local[{n_hi * CORES_PER_EXEC}]` "
+        f"threads in one unpinned JVM (the driver-blessed N-vs-4N-cores "
+        f"surrogate); {REPS} interleaved reps; page-cache prewarmed; "
+        f"process-tree CPU-seconds recorded per run."
+        if local_mode
+        else f"`local-cluster[n,{CORES_PER_EXEC},·]` separate executor JVMs, "
+        f"each\npinned to its own disjoint {CORES_PER_EXEC}-core cpuset; "
+        f"driver pinned to cores\n{DRIVER_CORES} in both legs; {REPS} "
+        f"interleaved reps; page-cache prewarmed;\nprocess-tree CPU-seconds "
+        f"recorded per run."
+    )
     block = f"""
-## Scaling run v2 — {time.strftime('%Y-%m-%d %H:%M:%S')} UTC, git {sha}, tier={tier}
+## Scaling run {"(local-mode)" if local_mode else "v2"} — {time.strftime('%Y-%m-%d %H:%M:%S')} UTC, git {sha}, tier={tier}
 
-Protocol: `local-cluster[n,{CORES_PER_EXEC},·]` separate executor JVMs, each
-pinned to its own disjoint {CORES_PER_EXEC}-core cpuset; driver pinned to cores
-{DRIVER_CORES} in both legs; {REPS} interleaved reps; page-cache prewarmed;
-process-tree CPU-seconds recorded per run.
+Protocol: {proto}
 
 | config | turns | build wall s | build CPU s | turns/sec | {qhdr} |
 |---|---|---|---|---|{'---|' * len(QUERY_SET)}
