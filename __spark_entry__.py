@@ -408,6 +408,74 @@ ORDER BY rank
 """
 
 
+def _oracle_dismax_sql(
+    terms: list[str], k: int, field_exprs: list[str], tiebreak: float
+) -> str:
+    """DisjunctionMaxQuery oracle twin of query.search_fields(combine=
+    'dismax'): per-field CTE chains as in _oracle_multifield_sql, but the
+    full-outer chain CARRIES each field's subtotal column, and the final
+    combine is GREATEST(s_f…) + tiebreak · (Σ s_f − GREATEST(s_f…)) with the
+    Σ added left-to-right in field order — the engine's exact float64 ops."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    chains = "".join(
+        _oracle_prefix(fe, sfx=f"_f{i}", lead="WITH " if i == 0 else ",")
+        for i, fe in enumerate(field_exprs)
+    )
+    score_ctes = []
+    for i in range(len(field_exprs)):
+        s = f"_f{i}"
+        per = (
+            f"ts{s}.idf * tf{s}.tf / (tf{s}.tf + {_BM25_K1} * "
+            f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / st.avgdl))"
+        )
+        pivot = " + ".join(
+            f"{terms.count(t)} * COALESCE(max(CASE WHEN tf{s}.term = '{t}' THEN {per} END), 0)"
+            for t in sorted(set(terms))
+        )
+        score_ctes.append(f"""
+sc{s} AS (
+  SELECT tf{s}.doc_id, ({pivot}) AS score
+  FROM tf{s}
+  JOIN qt ON tf{s}.term = qt.term
+  JOIN (SELECT term, count(*) AS df,
+               ln(1 + ((SELECT n_docs FROM stats{s}) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+        FROM tf{s} WHERE term IN (SELECT term FROM qt) GROUP BY term) ts{s}
+    ON tf{s}.term = ts{s}.term
+  JOIN dlq{s} d ON tf{s}.doc_id = d.doc_id
+  CROSS JOIN stats{s} st
+  GROUP BY tf{s}.doc_id
+)""")
+    # full-outer chain carrying PER-FIELD subtotal columns s0..s_{n-1}
+    union_ctes = ["u0 AS (SELECT doc_id, COALESCE(score, 0) AS s0 FROM sc_f0)"]
+    for i in range(1, len(field_exprs)):
+        carried = ", ".join(f"COALESCE(a.s{j}, 0) AS s{j}" for j in range(i))
+        union_ctes.append(f"""
+u{i} AS (
+  SELECT doc_id, {carried}, COALESCE(b.score, 0) AS s{i}
+  FROM u{i - 1} a FULL OUTER JOIN sc_f{i} b USING (doc_id)
+)""")
+    last = f"u{len(field_exprs) - 1}"
+    cols = [f"s{j}" for j in range(len(field_exprs))]
+    best = f"GREATEST({', '.join(cols)})" if len(cols) > 1 else cols[0]
+    total = " + ".join(cols)
+    return f"""{chains},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+{", ".join(score_ctes)},
+{", ".join(union_ctes)},
+topk AS (
+  SELECT doc_id,
+         round({best} + {tiebreak!r} * (({total}) - {best}), 4) AS score_r,
+         {best} + {tiebreak!r} * (({total}) - {best}) AS score
+  FROM {last} ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq_f0 d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_multiterm_sql(term_pred: str, k: int) -> str:
     """Dynamic-term-set BM25 top-k oracle (MultiTermQuery rewrite twin).
 
@@ -658,6 +726,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_multifield"] = multifield
 
+    def dismax(s: SparkSession, d: str) -> DataFrame:
+        # DisjunctionMaxQuery across (text, tool): best field wins, other
+        # fields contribute tiebreak=0.3 of their subtotal
+        from cuvs_lucene_spark.query import search_fields
+
+        res = search_fields(
+            s, _index_for(s, d), "call data", k=10, float32=False,
+            combine="dismax", tiebreak=0.3,
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_topk_dismax"] = dismax
+
     def prefix_q(s: SparkSession, d: str) -> DataFrame:
         # PrefixQuery (MultiTermQuery SCORING_BOOLEAN_REWRITE): dictionary-
         # pruned expansion of 's*' → OR disjunction, per-term idf, weight 1
@@ -693,6 +786,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_fuzzy"] = fuzzy_q
+
+    def regexp_q(s: SparkSession, d: str) -> DataFrame:
+        # RegexpQuery 's[a-z]*n' (anchored whole-term, Lucene RegExp
+        # semantics; literal prefix 's' pushed into the dictionary scan)
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        return _ranked(
+            search_multiterm(
+                s, _index_for(s, d), regexp="s[a-z]*n", k=10, float32=False
+            )
+        )
+
+    q["fts_topk_regexp"] = regexp_q
 
     def boolean_q(s: SparkSession, d: str) -> DataFrame:
         # nested BooleanQuery with boosts:
@@ -1122,11 +1228,17 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_multifield"] = _oracle_multifield_sql(
         ["call", "data"], 10, ["text", "tool"]
     )
+    o["fts_topk_dismax"] = _oracle_dismax_sql(
+        ["call", "data"], 10, ["text", "tool"], 0.3
+    )
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
     o["fts_topk_prefix"] = _oracle_multiterm_sql("term LIKE 's%'", 10)
     o["fts_topk_wildcard"] = _oracle_multiterm_sql("term LIKE '%or%'", 10)
     o["fts_topk_fuzzy"] = _oracle_multiterm_sql(
         "levenshtein(term, 'sparc') <= 2", 10
+    )
+    o["fts_topk_regexp"] = _oracle_multiterm_sql(
+        "regexp_matches(term, '^(?:s[a-z]*n)$')", 10
     )
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
     # slop>0: the two-slot SloppyPhraseMatcher sweep as a recursive CTE —

@@ -1,7 +1,7 @@
-"""MultiTermQuery family — prefix / wildcard / fuzzy term expansion.
+"""MultiTermQuery family — prefix / wildcard / fuzzy / regexp term expansion.
 
 Lucene rewrites MultiTermQuery subclasses (PrefixQuery, WildcardQuery,
-FuzzyQuery) into a BooleanQuery over the terms the pattern matches in the
+FuzzyQuery, RegexpQuery) into a BooleanQuery over the terms the pattern matches in the
 term dictionary, capped at ``IndexSearcher.maxClauseCount`` (1024) with a
 loud ``TooManyClauses`` error [Lucene 10.2.0 MultiTermQuery /
 ScoringRewrite; the surface the reference's codec plugs into via its
@@ -64,17 +64,18 @@ def expand_terms(
     prefix: str | None = None,
     wildcard: str | None = None,
     fuzzy: str | None = None,
+    regexp: str | None = None,
     max_edits: int = 2,
     max_expansions: int = MAX_CLAUSE_COUNT,
 ) -> list[str]:
-    """Terms of `field` matching exactly one of prefix/wildcard/fuzzy.
+    """Terms of `field` matching exactly one of prefix/wildcard/fuzzy/regexp.
 
     One dictionary-table scan; returns the sorted distinct matches. Raises
     TooManyClauses past max_expansions (checked by fetching cap+1 rows, so
     an over-wide pattern never collects an unbounded term list)."""
-    n_given = sum(x is not None for x in (prefix, wildcard, fuzzy))
+    n_given = sum(x is not None for x in (prefix, wildcard, fuzzy, regexp))
     if n_given != 1:
-        raise ValueError("give exactly one of prefix=, wildcard=, fuzzy=")
+        raise ValueError("give exactly one of prefix=, wildcard=, fuzzy=, regexp=")
     if not rd.manifest["segments"]:
         return []
     fld = rd.resolve_field(field)
@@ -98,6 +99,27 @@ def expand_terms(
             lit_prefix = re.split(r"[*?]", w, maxsplit=1)[0]
             if lit_prefix:
                 cond = F.col("term").startswith(lit_prefix) & cond
+    elif regexp is not None:
+        # RegexpQuery analog: the pattern is anchored whole-term, exactly
+        # Lucene's RegExp semantics (a term matches iff the ENTIRE term is in
+        # the language). The regex's literal prefix (maximal run of plain
+        # [a-z0-9] chars at the start, stopping before any metacharacter)
+        # additionally pushes a startswith range into the parquet scan — the
+        # analog of Lucene's CompiledAutomaton common-prefix seek.
+        try:
+            re.compile(regexp)
+        except re.error as e:
+            raise ValueError(f"invalid regexp {regexp!r}: {e}") from e
+        anchored = f"\\A(?:{regexp})\\Z"
+        cond = F.col("term").rlike(anchored)
+        m = re.match(r"[a-z0-9]+", regexp)
+        # a literal char before a quantifier (*, ?, +, {) is NOT a fixed
+        # prefix char — trim the last literal when one follows
+        lit = m.group(0) if m else ""
+        if lit and len(lit) < len(regexp) and regexp[len(lit)] in "*?+{":
+            lit = lit[:-1]
+        if lit:
+            cond = F.col("term").startswith(lit) & cond
     else:
         q = _check_token(fuzzy, "fuzzy")
         if max_edits < 0:
@@ -130,6 +152,7 @@ def search_multiterm(
     prefix: str | None = None,
     wildcard: str | None = None,
     fuzzy: str | None = None,
+    regexp: str | None = None,
     max_edits: int = 2,
     k: int = 10,
     filter_cond: Column | str | None = None,
@@ -139,7 +162,7 @@ def search_multiterm(
     field: str | None = None,
     max_expansions: int = MAX_CLAUSE_COUNT,
 ) -> DataFrame:
-    """Top-k BM25 for a prefix/wildcard/fuzzy query.
+    """Top-k BM25 for a prefix/wildcard/fuzzy/regexp query.
 
     Expansion → query.search OR-mode disjunction: every matched term scores
     with its OWN idf and weight 1 (SCORING_BOOLEAN_REWRITE), composing with
@@ -152,6 +175,7 @@ def search_multiterm(
         prefix=prefix,
         wildcard=wildcard,
         fuzzy=fuzzy,
+        regexp=regexp,
         max_edits=max_edits,
         max_expansions=max_expansions,
     )

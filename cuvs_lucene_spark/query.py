@@ -543,6 +543,8 @@ def search_fields(
     filter_cond: Column | str | None = None,
     reader: IndexReader | None = None,
     float32: bool = True,
+    combine: str = "sum",
+    tiebreak: float = 0.0,
 ) -> DataFrame:
     """Cross-field disjunctive top-k BM25 — the Lucene MultiFieldQueryParser
     / BooleanQuery-of-per-field-TermQueries analog: every query term scores
@@ -554,6 +556,15 @@ def search_fields(
     fields — indexed fields to search (default: all of them, index order).
     weights — per-field boosts aligned with `fields` (default all 1.0),
         folded into each field's idf exactly like a Lucene query boost.
+    combine — 'sum' (BooleanQuery SHOULD across fields, above) or 'dismax'
+        (Lucene DisjunctionMaxQuery over the per-field subqueries):
+            max_f(sub_f) + tiebreak · (Σ_f sub_f − max_f(sub_f)),
+        i.e. the best field wins and every other matching field contributes
+        a tiebreak fraction (DisjunctionMaxQuery's tieBreakerMultiplier).
+        A field the doc doesn't match contributes sub_f = 0 — BM25 scores
+        are strictly positive, so the max is over matched fields only,
+        exactly Lucene's semantics.
+    tiebreak — DisMax tieBreakerMultiplier in [0, 1]; only with 'dismax'.
 
     Determinism: per-field subtotals are summed in sorted-term order and
     then added in field order ((f0 terms…) + (f1 terms…) + …), and the
@@ -566,6 +577,12 @@ def search_fields(
     aggregation; TakeOrderedAndProject. Deletes and filter_cond apply to
     the unioned rows once.
     """
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be 'sum' or 'dismax', got {combine!r}")
+    if combine == "sum" and tiebreak:
+        raise ValueError("tiebreak only applies to combine='dismax'")
+    if not 0.0 <= tiebreak <= 1.0:
+        raise ValueError(f"tiebreak must be in [0, 1], got {tiebreak}")
     rd = reader or IndexReader(spark, index_dir)
     out_t = "float" if float32 else "double"
     empty = spark.createDataFrame(
@@ -635,14 +652,20 @@ def search_fields(
         for i in range(offset)
     ]
     agg = score_rows.groupBy("doc_id").agg(*per_term)
-    total = None
+    subs: list[Column] = []
     i = 0
     for n_present, _r in branches:
         sub = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
         for j in range(i + 1, i + n_present):
             sub = sub + F.coalesce(F.col(f"_s{j}"), F.lit(0.0))
-        total = sub if total is None else total + sub
+        subs.append(sub)
         i += n_present
+    total = subs[0]
+    for sub in subs[1:]:
+        total = total + sub
+    if combine == "dismax":
+        best = subs[0] if len(subs) == 1 else F.greatest(*subs)
+        total = best + F.lit(float(tiebreak)) * (total - best)
     ranked = agg.select("doc_id", total.cast(out_t).alias("score"))
     topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")

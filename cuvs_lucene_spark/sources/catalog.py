@@ -87,13 +87,12 @@ class IndexCatalog:
     # Iceberg/Delta snapshots, and of the reference's finish() end-marker
     # commit (``CuVS2510GPUVectorsWriter.java:521-537``). Orphans on disk are
     # thereby invisible to readers of the three PINNED tables (doc_dim,
-    # postings, dictionary). The tombstone table (operators/deletes.py) is
-    # deliberately NOT pinned: it is an append-only ledger read by directory
-    # scan, so a dead delete attempt's partial part-file may surface extra
-    # tombstones — safe in the masking direction (deletes are idempotent and
-    # deduped at read; a torn parquet file fails loudly at scan, it cannot
-    # silently un-delete). Single-writer per index is the documented contract
-    # (Lucene IndexWriter lock analog).
+    # postings, dictionary). The tombstone table (operators/deletes.py)
+    # carries its OWN pin — deletes/ledger.json, atomically replaced per
+    # delete batch — so a dead delete attempt's partial part-file is equally
+    # invisible; every table a query touches is file-list-committed.
+    # Single-writer per index is the documented contract (Lucene IndexWriter
+    # lock analog).
 
     _TABLE_DIRS = ("doc_dim", "postings", "dictionary")
 

@@ -106,6 +106,69 @@ class TestDeletes:
         survivors = [(d, s) for d, s in before if d not in victims]
         assert after[: len(survivors)] == survivors
 
+    def test_zombie_tombstone_file_invisible_and_gcable(
+        self, spark, tiny_df, del_index
+    ):
+        """The deletes table is ledger-pinned (deletes/ledger.json): a part
+        file written by a dead/zombie delete attempt — present on disk but
+        never committed to the ledger — must not mask any doc, must be
+        reported as an orphan by check_delete_files, and must be reclaimed
+        by gc_orphan_deletes. Same commit shape as the segment tables'
+        files.json (sources/catalog.py)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cuvs_lucene_spark.operators.deletes import (
+            _read_ledger,
+            check_delete_files,
+            deletes_path,
+            gc_orphan_deletes,
+        )
+        from cuvs_lucene_spark.sources import fs as xfs
+
+        before = _topk(spark, del_index, "world school", k=5)
+        victim, survivor = before[0][0], before[1][0]
+        rd = IndexReader(spark, del_index)
+        dd = rd.cat.read_doc_dim(spark)
+        keys = dd.where(F.col("doc_id") == victim).select("conv_id", "turn_idx")
+        assert delete_docs(spark, del_index, keys) == 1
+
+        # zombie attempt: a tombstone for `survivor`, on disk, NOT in ledger
+        srow = dd.where(F.col("doc_id") == survivor).select(
+            "conv_id", "turn_idx"
+        ).collect()[0]
+        zdir = xfs.join(deletes_path(del_index), "batch-zombie")
+        xfs.mkdirs(zdir)
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": [srow["conv_id"]],
+                    "turn_idx": pa.array([srow["turn_idx"]], type=pa.int32()),
+                    "deleted_at": pa.array([0], type=pa.timestamp("us")),
+                }
+            ),
+            xfs.join(zdir, "part-zombie.parquet"),
+        )
+
+        after = {d for d, _ in _topk(spark, del_index, "world school", k=5)}
+        assert victim not in after  # committed tombstone applies
+        assert survivor in after  # zombie tombstone is invisible
+
+        rep = check_delete_files(del_index)
+        assert rep["files"] >= 1
+        assert rep["orphans"] == ["batch-zombie/part-zombie.parquet"]
+        assert gc_orphan_deletes(del_index) == ["batch-zombie/part-zombie.parquet"]
+        assert check_delete_files(del_index)["orphans"] == []
+
+        # truncation of a COMMITTED tombstone file is caught loudly
+        committed = xfs.join(
+            deletes_path(del_index), _read_ledger(del_index)[0]["path"]
+        )
+        data = xfs.read_bytes(committed)
+        xfs.write_bytes_atomic(committed, data[: len(data) // 2])
+        with pytest.raises(IOError, match="size mismatch"):
+            check_delete_files(del_index)
+
     def test_compact_purges_and_matches_filtered_rebuild(
         self, spark, tiny_df, del_index, tmp_path_factory
     ):

@@ -163,6 +163,57 @@ def test_search_fields_matches_combined_oracle(
             assert gs == pytest.approx(ws, rel=1e-12), q
 
 
+def _dismax_topk(accs: list[dict[int, float]], k: int, tiebreak: float):
+    """Independent DisMax evaluator: per-field subtotals from the numpy
+    oracle accumulators, combined as best + tiebreak·(sum − best)."""
+    docs = sorted(set().union(*[a.keys() for a in accs]))
+    totals = []
+    for d in docs:
+        subs = [a.get(d, 0.0) for a in accs]
+        t = 0.0
+        for s in subs:
+            t = t + s
+        best = max(subs)
+        totals.append((d, best + tiebreak * (t - best)))
+    totals.sort(key=lambda r: (-r[1], r[0]))
+    return totals[:k]
+
+
+@pytest.mark.parametrize("tiebreak", [0.0, 0.3, 1.0])
+def test_search_fields_dismax(spark, mf_index, oracle_tiny, oracle_tool, tiebreak):
+    """DisjunctionMaxQuery analog: combine='dismax' must equal the
+    independent per-field max + tiebreak combination; tiebreak=1.0
+    degenerates to the sum combiner exactly."""
+    from cuvs_lucene_spark.query import search_fields
+
+    for q in ["bash merge", "call data", "python sql school"]:
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in search_fields(
+                spark, mf_index, q, k=10, float32=False,
+                combine="dismax", tiebreak=tiebreak,
+            ).collect()
+        ]
+        want = _dismax_topk(
+            [_field_acc(oracle_tiny, q), _field_acc(oracle_tool, q)],
+            10, tiebreak,
+        )
+        assert [d for d, _ in got] == [d for d, _ in want], (q, tiebreak)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), (q, tiebreak)
+
+
+def test_dismax_validation(spark, mf_index):
+    from cuvs_lucene_spark.query import search_fields
+
+    with pytest.raises(ValueError, match="combine"):
+        search_fields(spark, mf_index, "bash", combine="max")
+    with pytest.raises(ValueError, match="tiebreak"):
+        search_fields(spark, mf_index, "bash", combine="sum", tiebreak=0.5)
+    with pytest.raises(ValueError, match="tiebreak"):
+        search_fields(spark, mf_index, "bash", combine="dismax", tiebreak=1.5)
+
+
 def test_search_fields_boost(spark, mf_index, oracle_tiny, oracle_tool):
     from cuvs_lucene_spark.query import search_fields
 

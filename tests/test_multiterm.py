@@ -1,4 +1,4 @@
-"""MultiTermQuery family (prefix/wildcard/fuzzy) + nested BooleanQuery AST.
+"""MultiTermQuery family (prefix/wildcard/fuzzy/regexp) + nested BooleanQuery AST.
 
 Expansion is pinned against a pure-Python enumeration of the corpus
 vocabulary (startswith / fnmatch / DP Levenshtein — independent of the
@@ -64,6 +64,17 @@ class TestExpansion:
             got = expand_terms(rd, fuzzy=q, max_edits=d)
             assert got == exp, (q, d)
 
+    def test_regexp_expansion_matches_vocab(self, spark, tiny_index, vocab):
+        import re
+
+        rd = IndexReader(spark, tiny_index)
+        # anchored whole-term semantics (Lucene RegExp): Python fullmatch is
+        # the independent enumeration
+        for pat in ["s[a-z]*n", "w.rld?", "(work|world)s?", "t[eo]+l"]:
+            exp = sorted(t for t in vocab if re.fullmatch(pat, t))
+            got = expand_terms(rd, regexp=pat)
+            assert got == exp, pat
+
     def test_too_many_clauses(self, spark, tiny_index):
         rd = IndexReader(spark, tiny_index)
         with pytest.raises(TooManyClauses):
@@ -94,6 +105,8 @@ class TestMultiTermSearch:
             {"wildcard": "*ork"},
             {"fuzzy": "worl", "max_edits": 1},
             {"fuzzy": "scool", "max_edits": 2},
+            {"regexp": "s[a-z]*n"},
+            {"regexp": "w.rld?"},
         ],
     )
     def test_matches_oracle_over_expansion(
@@ -104,6 +117,10 @@ class TestMultiTermSearch:
             terms = [t for t in vocab if t.startswith(kwargs["prefix"])]
         elif "wildcard" in kwargs:
             terms = [t for t in vocab if fnmatch.fnmatchcase(t, kwargs["wildcard"])]
+        elif "regexp" in kwargs:
+            import re
+
+            terms = [t for t in vocab if re.fullmatch(kwargs["regexp"], t)]
         else:
             terms = [
                 t for t in vocab if _lev(kwargs["fuzzy"], t) <= kwargs["max_edits"]
