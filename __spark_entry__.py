@@ -516,6 +516,68 @@ ORDER BY rank
 """
 
 
+def _oracle_mlt_sql(
+    like_text: str,
+    k: int,
+    max_query_terms: int,
+    min_term_freq: int,
+    min_doc_freq: int,
+) -> str:
+    """MoreLikeThis oracle twin (mlt.more_like_this): tokenize the example
+    text with the SAME analyzer expression as the corpus CTE, select
+    candidates by the integer key (tf_like DESC, df ASC, term ASC) capped at
+    max_query_terms, then the dynamic-term BM25 fold of
+    _oracle_multiterm_sql over the selected set."""
+    lit = like_text.replace("'", "''")
+    return f"""{_ORACLE_PREFIX},
+lt AS (
+  SELECT term, count(*) AS tf_like
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower('{lit}'), '[^a-z0-9]+'), x -> x <> '')) AS term)
+  GROUP BY term
+  HAVING count(*) >= {min_term_freq}
+),
+cdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (
+  SELECT l.term
+  FROM lt l JOIN cdf c USING (term)
+  WHERE c.df >= {min_doc_freq}
+  ORDER BY l.tf_like DESC, c.df ASC, l.term ASC
+  LIMIT {max_query_terms}
+),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ts.idf * tf.tf / (tf.tf + {_BM25_K1} *
+           ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS s
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+  FROM per GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
+# the MLT gate's example text: >5 distinct corpus terms so the
+# max_query_terms=5 cut is exercised; 'world' repeated so tf ranking matters
+_MLT_TEXT = "the world of world data and the school student country help"
+
+
 # the boolean-AST gate's query tree: (scan AND (filter OR window^2.0)) NOT merge
 def _boolean_gate_tree():
     from cuvs_lucene_spark.booleanq import Q
@@ -799,6 +861,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_regexp"] = regexp_q
+
+    def mlt_q(s: SparkSession, d: str) -> DataFrame:
+        # MoreLikeThis: example text → candidate selection (tf DESC, df ASC,
+        # term ASC; min_term_freq=1, min_doc_freq=2, max_query_terms=5) →
+        # OR disjunction
+        from cuvs_lucene_spark.mlt import more_like_this
+
+        return _ranked(
+            more_like_this(
+                s, _index_for(s, d), _MLT_TEXT, k=10, float32=False,
+                max_query_terms=5, min_term_freq=1, min_doc_freq=2,
+            )
+        )
+
+    q["fts_topk_mlt"] = mlt_q
 
     def boolean_q(s: SparkSession, d: str) -> DataFrame:
         # nested BooleanQuery with boosts:
@@ -1240,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_regexp"] = _oracle_multiterm_sql(
         "regexp_matches(term, '^(?:s[a-z]*n)$')", 10
     )
+    o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
     # slop>0: the two-slot SloppyPhraseMatcher sweep as a recursive CTE —
     # this gate was rows-only (`no_oracle`) through round 3; now hash-gated

@@ -167,6 +167,22 @@ class IndexCatalog:
             report[sid] = {"files": n, "bytes": total, "orphans": orphans}
         return report
 
+    def check_index(self) -> dict:
+        """The complete CheckIndex analog: manifest open-time validation
+        (format version, codec tag, table dirs, bucket layout) + deep file
+        verification of every committed segment table + the tombstone
+        ledger. Raises CorruptIndexError/IOError on the first problem;
+        returns {"segments": check_files report, "deletes": ledger report}.
+        """
+        # lazy import: operators.deletes imports this module
+        from cuvs_lucene_spark.operators.deletes import check_delete_files
+
+        self.validate_for_read()
+        return {
+            "segments": self.check_files(),
+            "deletes": check_delete_files(self.index_dir),
+        }
+
     def gc_orphans(
         self, grace_seconds: float = 24 * 3600, seg_ids: list[int] | None = None
     ) -> dict:

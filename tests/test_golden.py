@@ -3,7 +3,7 @@
 ``tests/golden/topk_seed42.json`` freezes the engine's exact top-k
 ``(doc_id, score)`` results for ~20 queries spanning every query surface
 (OR/AND/NOT/msm/filtered/pruned/searchAfter/phrase/slop/field/multifield/
-prefix/wildcard/fuzzy/boolean) over the deterministic tiny tier — the analog
+prefix/wildcard/fuzzy/regexp/boolean/dismax/mlt) over the deterministic tiny tier — the analog
 of the reference's frozen expected-docID set
 (``TestCagraToHnswSerializationAndSearch.java:133-151``). Any silent drift in
 the analyzer, codec, norms quantization, idf, summation order, or tie-break
@@ -48,6 +48,7 @@ def golden_queries() -> dict:
     Every query text uses terms verified present in the tiny tier (hot-head
     words, two w-tail rare terms, tool names on the `tool` field)."""
     from cuvs_lucene_spark.booleanq import Q, search_boolean
+    from cuvs_lucene_spark.mlt import more_like_this as _mlt
     from cuvs_lucene_spark.multiterm import search_multiterm
     from cuvs_lucene_spark.query import search, search_fields, search_phrase
 
@@ -90,6 +91,14 @@ def golden_queries() -> dict:
             s, d, fuzzy="scool", max_edits=2, k=10
         ),
         "boolean_nested": lambda s, d: search_boolean(s, d, tree, k=10),
+        "regexp_stn": lambda s, d: search_multiterm(s, d, regexp="s[a-z]*l", k=10),
+        "dismax_tb03": lambda s, d: search_fields(
+            s, d, "sql the", k=10, combine="dismax", tiebreak=0.3
+        ),
+        "mlt_cut5": lambda s, d: _mlt(
+            s, d, "the world of world data and the school student country help",
+            k=10, max_query_terms=5, min_term_freq=1, min_doc_freq=2,
+        ),
     }
 
 

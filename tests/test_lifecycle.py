@@ -160,6 +160,10 @@ class TestDeletes:
         assert gc_orphan_deletes(del_index) == ["batch-zombie/part-zombie.parquet"]
         assert check_delete_files(del_index)["orphans"] == []
 
+        # combined CheckIndex analog covers manifest + segments + ledger
+        full = IndexCatalog(del_index).check_index()
+        assert full["deletes"]["files"] >= 1 and full["segments"]
+
         # truncation of a COMMITTED tombstone file is caught loudly
         committed = xfs.join(
             deletes_path(del_index), _read_ledger(del_index)[0]["path"]

@@ -139,6 +139,71 @@ class TestMultiTermSearch:
         assert search_multiterm(spark, tiny_index, prefix="zzzz").count() == 0
 
 
+class TestMoreLikeThis:
+    LIKE = (
+        "the world of world data and the school student country help "
+        "world school zzzznotaterm"
+    )
+
+    def _independent_selection(self, vocab, oracle, text, mqt, mtf, mdf):
+        import re as _re
+
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cands = []
+        for t, c in tf.items():
+            if c < mtf or t not in oracle.postings:
+                continue
+            df = len(oracle.postings[t][0])
+            if df < mdf:
+                continue
+            cands.append((-c, df, t))
+        cands.sort()
+        return [t for _c, _d, t in cands[:mqt]]
+
+    @pytest.mark.parametrize("mqt,mtf,mdf", [(5, 1, 2), (3, 2, 1), (25, 1, 1)])
+    def test_mlt_matches_oracle_over_selection(
+        self, spark, tiny_index, oracle_tiny, vocab, mqt, mtf, mdf
+    ):
+        from cuvs_lucene_spark.mlt import more_like_this, select_like_terms
+        from cuvs_lucene_spark.query import IndexReader
+
+        rd = IndexReader(spark, tiny_index)
+        want_terms = self._independent_selection(
+            vocab, oracle_tiny, self.LIKE, mqt, mtf, mdf
+        )
+        assert want_terms, (mqt, mtf, mdf)
+        got_terms = select_like_terms(
+            rd, self.LIKE, max_query_terms=mqt,
+            min_term_freq=mtf, min_doc_freq=mdf,
+        )
+        assert got_terms == want_terms, (mqt, mtf, mdf)
+        exp = oracle_search(oracle_tiny, " ".join(sorted(want_terms)), k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in more_like_this(
+                spark, tiny_index, self.LIKE, k=10, max_query_terms=mqt,
+                min_term_freq=mtf, min_doc_freq=mdf,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (gd, gs), (_ed, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5, gd
+
+    def test_mlt_nothing_qualifies_returns_empty(self, spark, tiny_index):
+        from cuvs_lucene_spark.mlt import more_like_this
+
+        # every candidate below min_term_freq → empty result, no job planned
+        assert (
+            more_like_this(
+                spark, tiny_index, "world school data", min_term_freq=5
+            ).count()
+            == 0
+        )
+
+
 def _eval_tree_numpy(q: Q, idx) -> list[tuple[int, float]]:
     """Independent evaluator: per-term float32 BM25 arrays (the oracle's
     arithmetic), tree walked with float64 adds in clause-list order."""
