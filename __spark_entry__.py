@@ -346,6 +346,107 @@ ORDER BY rank
 """
 
 
+def _oracle_group_topk_sql(terms: list[str], k: int, group_col: str) -> str:
+    """Grouped top-k oracle: the same pivoted-BM25 scores CTE as
+    _oracle_topk_sql, ranked per group with a window instead of a global
+    ORDER BY/LIMIT — the DuckDB twin of search(group_by=...)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+grp AS (
+  SELECT d.{group_col} AS {group_col}, s.doc_id, s.score, d.conv_id, d.turn_idx,
+         row_number() OVER (
+           PARTITION BY d.{group_col} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS grp_rank
+  FROM scores s JOIN dlq d USING (doc_id)
+)
+SELECT {group_col}, cast(grp_rank AS bigint) AS grp_rank, doc_id, conv_id,
+       cast(turn_idx AS bigint) AS turn_idx, round(score, 4) AS score
+FROM grp WHERE grp_rank <= {k}
+ORDER BY {group_col}, grp_rank
+"""
+
+
+def _oracle_collapse_sql(terms: list[str], k: int, key_col: str) -> str:
+    """Field-collapsing oracle (CollapsingTopDocsCollector twin): the same
+    pivoted-BM25 scores CTE, one best hit per key value (row_number = 1),
+    then the global top-k of the representatives."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+reps AS (
+  SELECT s.doc_id, s.score, d.conv_id, d.turn_idx,
+         row_number() OVER (
+           PARTITION BY d.{key_col} ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, conv_id, turn_idx, round(score, 4) AS score_r, score
+  FROM reps WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank,
+       doc_id, conv_id, cast(turn_idx AS bigint) AS turn_idx,
+       score_r AS score
+FROM topk
+ORDER BY rank
+"""
+
+
+def _oracle_sorted_sql(terms: list[str], k: int, desc: bool = True) -> str:
+    """Field-sorted search oracle: match set (no scoring) ordered by ts."""
+    vals = ", ".join(f"'{t}'" for t in terms)
+    d = "DESC" if desc else "ASC"
+    return f"""{_ORACLE_PREFIX}
+SELECT d.doc_id, d.conv_id, cast(d.turn_idx AS bigint) AS turn_idx,
+       cast(epoch(d.ts) AS bigint) AS ts_epoch
+FROM dlq d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term IN ({vals}))
+ORDER BY d.ts {d}, d.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _oracle_multifield_sql(terms: list[str], k: int, field_exprs: list[str]) -> str:
     """Cross-field BM25 top-k in DuckDB SQL — the oracle twin of
     query.search_fields: each field gets its own full CTE chain (per-field
@@ -1117,6 +1218,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_facet_role"] = fts_facet_role
 
+    def fts_group_topk(s, d):
+        """Grouped search (Lucene grouping-module analog, TopGroups): the 3
+        best BM25 hits per role over an OR query — full scored match set,
+        one doc_dim join, one window shuffle on the group key."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=3, mode="or",
+            float32=False, group_by="role",
+        )
+        return res.select(
+            "role",
+            F.col("grp_rank").cast("long").alias("grp_rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.round("score", 4).alias("score"),
+        ).orderBy("role", "grp_rank")
+
+    q["fts_group_topk"] = fts_group_topk
+
+    def fts_sorted_ts(s, d):
+        """Field-sorted search (IndexSearcher.search(query, k, Sort) analog):
+        newest-first matches of an OR query — scoring skipped entirely,
+        match-set semi-join + TakeOrderedAndProject on (ts desc, doc_id)."""
+        from cuvs_lucene_spark.query import search_sorted
+
+        res = search_sorted(
+            s, _index_for(s, d), "merge sort join", sort_by="ts",
+            ascending=False, k=10,
+        )
+        return res.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col("ts").cast("long").alias("ts_epoch"),
+        ).orderBy(F.desc("ts_epoch"), F.asc("doc_id"))
+
+    q["fts_sorted_ts"] = fts_sorted_ts
+
+    def fts_collapse_conv(s, d):
+        """Field collapsing (CollapsingTopDocsCollector / Solr collapse
+        analog): global top-k with at most one hit per conversation —
+        full scored match set, one window shuffle on the collapse key,
+        TakeOrderedAndProject of the representatives."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            collapse_by="conv_id", float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_collapse_conv"] = fts_collapse_conv
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -1343,6 +1499,9 @@ FROM tf t JOIN dlq d ON t.doc_id = d.doc_id
 WHERE t.term IN ('merge', 'sort', 'join')
 GROUP BY d.role ORDER BY n_docs DESC, facet ASC
 """
+    o["fts_group_topk"] = _oracle_group_topk_sql(["merge", "sort", "join"], 3, "role")
+    o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
+    o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20

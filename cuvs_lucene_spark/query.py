@@ -287,6 +287,8 @@ def search(
     field: str | None = None,
     exclude: str | None = None,
     msm: int | None = None,
+    group_by: str | None = None,
+    collapse_by: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -320,13 +322,80 @@ def search(
         phase 1 then derives a PAGE-LOCAL θ from docs provably past the
         cursor (doc's total upper bound < cursor score), so pruning never
         drops a page-2 hit — see _prune_blocks.
+    group_by — a doc_dim column name: return the top-k hits PER GROUP instead
+        of globally (the Lucene grouping-module analog — TopGroups over a
+        first-pass GroupingSearch). Output gains a leading `group` column and
+        a per-group `grp_rank`; k means k-per-group; ordered (group asc,
+        score desc, doc_id asc). Incompatible with `after` (Lucene grouping
+        has no searchAfter either) and with prune=True: a global θ from the
+        overall k-th best is unsound per group — a sparse group's k-th best
+        can sit far below it — so prune="auto" silently stays exhaustive.
+    collapse_by — a doc_dim column name: FIELD COLLAPSING (the Lucene
+        CollapsingTopDocsCollector / Solr collapse analog). Keep only the
+        single best-scoring hit per distinct value of the column (tie-break
+        doc_id asc), then return the global top-k of those representatives —
+        "one result per conversation". Output gains a trailing column named
+        after the collapse key. Composes with `after` (the cursor addresses
+        the COLLAPSED ranking, so the filter applies post-collapse).
+        prune=True raises: the block-max θ derives from the UNcollapsed
+        ranking, whose k-th best ≥ the collapsed k-th best, so pruning could
+        drop a representative; prune="auto" silently stays exhaustive.
     """
     rd = reader or IndexReader(spark, index_dir)
-    empty = spark.createDataFrame(
-        [],
-        f"doc_id long, score {'float' if float32 else 'double'}, "
-        "conv_id string, turn_idx int",
-    )
+    if group_by is not None and collapse_by is not None:
+        raise ValueError("group_by and collapse_by are mutually exclusive")
+    if group_by is not None:
+        if after is not None:
+            raise ValueError("group_by does not compose with after= pagination")
+        if prune is True:
+            raise ValueError(
+                "prune=True with group_by is unsound (global θ vs per-group "
+                "top-k); use prune='auto' or prune=False"
+            )
+        prune = False
+    if collapse_by is not None:
+        if prune is True:
+            raise ValueError(
+                "prune=True with collapse_by is unsound (θ from the "
+                "uncollapsed ranking can prune a group representative); use "
+                "prune='auto' or prune=False"
+            )
+        prune = False
+    score_t = "float" if float32 else "double"
+    if group_by is None and collapse_by is None:
+        empty = spark.createDataFrame(
+            [], f"doc_id long, score {score_t}, conv_id string, turn_idx int"
+        )
+    elif collapse_by is not None:
+        # the collapse key is appended unless it is already a base column
+        # (collapsing by conv_id — "one hit per conversation" — is the
+        # canonical use and must not duplicate the column)
+        extra = ""
+        if collapse_by not in ("doc_id", "conv_id", "turn_idx"):
+            col_t = (
+                dict(rd.cat.read_doc_dim(spark).dtypes)[collapse_by]
+                if rd.manifest["segments"]
+                else "string"
+            )
+            extra = f", `{collapse_by}` {col_t}"
+        empty = spark.createDataFrame(
+            [],
+            f"doc_id long, score {score_t}, conv_id string, turn_idx int"
+            + extra,
+        )
+    else:
+        # grouped output carries the group column under its own name; its
+        # type comes from doc_dim's schema (metadata-only when segments exist)
+        grp_t = (
+            dict(rd.cat.read_doc_dim(spark).dtypes)[group_by]
+            if rd.manifest["segments"]
+            else "string"
+        )
+        empty = spark.createDataFrame(
+            [],
+            f"`{group_by}` {grp_t}, grp_rank int, doc_id long, "
+            f"score {score_t}, conv_id string, turn_idx int",
+        )
     q_terms = tokenize_py(query)
     if k <= 0 or not q_terms or not rd.manifest["segments"]:
         return empty
@@ -411,6 +480,7 @@ def search(
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
         del_ids, n_present_terms=len(present), after=after, msm=eff_msm,
+        group_by=group_by, collapse_by=collapse_by,
     )
 
 
@@ -897,6 +967,78 @@ def facet_counts(
     return out.limit(top_n) if top_n is not None else out
 
 
+def search_sorted(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    sort_by: str = "ts",
+    ascending: bool = False,
+    k: int = 10,
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+    after: tuple | None = None,
+) -> DataFrame:
+    """Top-k matches ordered by a doc_dim FIELD instead of relevance — the
+    Lucene ``IndexSearcher.search(query, k, Sort)`` analog. Exactly like
+    Lucene with a non-score Sort, SCORING IS SKIPPED entirely: no norms, no
+    idf, no BM25 kernel — the match set comes from the same bucket+term-pruned
+    postings scan as count_matches/facet_counts (``_match_doc_ids_df``),
+    honoring the full clause surface (or/and/msm/exclude/filter_cond) and
+    liveDocs.
+
+    Returns (doc_id, conv_id, turn_idx, <sort_by>) in (<sort_by> asc|desc,
+    doc_id asc) order — doc_id is the deterministic tie-break, mirroring
+    Lucene's implicit docID tie-break in SortField comparators.
+
+    Plan shape at scale: distinct match ids semi-joined into a doc_dim scan
+    projected to 3+1 columns, then TakeOrderedAndProject (per-partition k-heap
+    + driver merge of ≤ k·partitions rows) — never a global sort. The
+    clustered doc_dim layout (build-time (role, ts) ordering) gives the scan
+    parquet min/max locality on the common sort keys.
+
+    after=(sort_value, doc_id) — deep-pagination cursor (the searchAfter
+    analog for sorted results): pass the last row of the previous page; the
+    result is the next k matches strictly past it in the sort order. The
+    cursor predicate composes with the doc_dim scan, so parquet min/max
+    stats on a clustered sort key (ts) also PRUNE row groups wholly before
+    the cursor — deep pages get cheaper, not more expensive."""
+    ids = _match_doc_ids_df(
+        spark, rd := (reader or IndexReader(spark, index_dir)), query, mode,
+        filter_cond, field, exclude, msm,
+    )
+    sort_col = F.col(sort_by)
+    order = [sort_col.asc(), F.asc("doc_id")] if ascending else [
+        sort_col.desc(), F.asc("doc_id")
+    ]
+    dd_cols = ["doc_id", "conv_id", "turn_idx"]
+    if sort_by not in dd_cols:
+        dd_cols.append(sort_by)
+    if ids is None:
+        if not rd.manifest["segments"]:
+            return spark.createDataFrame(
+                [], "doc_id long, conv_id string, turn_idx int"
+            )
+        return (
+            rd.cat.read_doc_dim(spark).select(*dd_cols).limit(0)
+        )
+    out = rd.cat.read_doc_dim(spark).select(*dd_cols)
+    if after is not None:
+        a_v, a_d = after
+        past = sort_col > F.lit(a_v) if ascending else sort_col < F.lit(a_v)
+        out = out.where(
+            past | ((sort_col == F.lit(a_v)) & (F.col("doc_id") > int(a_d)))
+        )
+    return (
+        out.join(ids, "doc_id", "left_semi")
+        .orderBy(*order)
+        .limit(max(int(k), 0))
+    )
+
+
 # Accepted-id cache for repeated interactive filters: the same (snapshot,
 # filter) pair re-scans doc_dim on every query otherwise. Keyed by the
 # reader's snapshot identity (so any commit invalidates) + the filter's
@@ -941,6 +1083,8 @@ def _finish(
     n_present_terms: int = 1,
     after: tuple[float, int] | None = None,
     msm: int = 1,
+    group_by: str | None = None,
+    collapse_by: str | None = None,
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -973,7 +1117,7 @@ def _finish(
         agg = agg.where(F.col("nt") >= F.lit(msm))
     out_t = "float" if float32 else "double"
     ranked = agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
-    if after is not None:
+    if after is not None and collapse_by is None:
         # strictly after the cursor in (score desc, doc_id asc) order; the
         # comparison runs on the OUTPUT-typed score so a cursor taken from a
         # previous page's rows matches exactly (float32-safe)
@@ -982,6 +1126,65 @@ def _finish(
         ranked = ranked.where(
             (F.col("score") < a_s)
             | ((F.col("score") == a_s) & (F.col("doc_id") > a_d))
+        )
+    if group_by is not None:
+        # Lucene grouping-module analog (TopGroups): k best hits per group.
+        # Plan shape at scale: the full scored match set (already one row per
+        # doc after the groupBy agg above) joins doc_dim on doc_id — a plain
+        # shuffle join, NOT broadcast: the match set is unbounded here —
+        # then one window shuffle on the group key; output is bounded by
+        # (#groups × k), never corpus size. No global sort anywhere.
+        dd = rd.cat.read_doc_dim(spark).select(
+            "doc_id", "conv_id", "turn_idx", group_by
+        )
+        w = Window.partitionBy(group_by).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            ranked.join(dd, "doc_id")
+            .withColumn("grp_rank", F.row_number().over(w))
+            .where(F.col("grp_rank") <= F.lit(k))
+            .select(
+                group_by, "grp_rank", "doc_id", "score", "conv_id", "turn_idx"
+            )
+            .orderBy(F.asc(group_by), F.asc("grp_rank"))
+        )
+    if collapse_by is not None:
+        # Field collapsing (CollapsingTopDocsCollector analog): keep the best
+        # hit per collapse-key value, then global top-k of representatives.
+        # Plan shape at scale: match-set join to doc_dim (shuffle join — the
+        # match set is unbounded), ONE window shuffle on the collapse key to
+        # pick rn=1 per key, then TakeOrderedAndProject — no global sort; the
+        # post-collapse set is ≤ #distinct-keys rows and the limit bounds the
+        # driver collect at k. `after` cursors address the COLLAPSED ranking,
+        # so the filter runs here, after representative selection.
+        dd_cols = ["doc_id", "conv_id", "turn_idx"]
+        if collapse_by not in dd_cols:
+            dd_cols.append(collapse_by)
+        dd = rd.cat.read_doc_dim(spark).select(*dd_cols)
+        w = Window.partitionBy(collapse_by).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        reps = (
+            ranked.join(dd, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if after is not None:
+            a_s = F.lit(float(after[0])).cast(out_t)
+            reps = reps.where(
+                (F.col("score") < a_s)
+                | ((F.col("score") == a_s) & (F.col("doc_id") > int(after[1])))
+            )
+        out_cols = ["doc_id", "score", "conv_id", "turn_idx"] + (
+            [collapse_by] if collapse_by not in ("doc_id", "conv_id", "turn_idx")
+            else []
+        )
+        return (
+            reps.select(*out_cols)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
     topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")

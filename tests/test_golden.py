@@ -50,7 +50,9 @@ def golden_queries() -> dict:
     from cuvs_lucene_spark.booleanq import Q, search_boolean
     from cuvs_lucene_spark.mlt import more_like_this as _mlt
     from cuvs_lucene_spark.multiterm import search_multiterm
-    from cuvs_lucene_spark.query import search, search_fields, search_phrase
+    from cuvs_lucene_spark.query import (
+        search, search_fields, search_phrase, search_sorted,
+    )
 
     def after_page2(s, d):
         page1 = search(s, d, "world school still try", k=10).collect()
@@ -99,6 +101,16 @@ def golden_queries() -> dict:
             s, d, "the world of world data and the school student country help",
             k=10, max_query_terms=5, min_term_freq=1, min_doc_freq=2,
         ),
+        "collapse_conv": lambda s, d: search(
+            s, d, "world school student", k=10, collapse_by="conv_id"
+        ),
+        "group_role_k2": lambda s, d: search(
+            s, d, "world school student", k=2, group_by="role"
+        ),
+        # sorted search has no score column; freeze (doc_id, ts-epoch) pairs
+        "sorted_ts_desc": lambda s, d: search_sorted(
+            s, d, "world school student", sort_by="ts", k=10
+        ).select("doc_id", F.col("ts").cast("double").alias("score")),
     }
 
 

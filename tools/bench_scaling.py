@@ -48,7 +48,13 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CORES_PER_EXEC = 4
+# Cores per executor "node". Default 4; override with SCALING_CORES_PER_EXEC.
+# Rationale for smaller values: the 8→32-thread pair is DRAM-bandwidth-capped
+# on this box (even the pure-copy control scales at ~0.26 there, see
+# BENCH/BASELINE.md) — a 2-core-executor 1-vs-4 pair (2 vs 8 cores) measures
+# the same N→4N executor scaling in a regime the single box can actually
+# offer, which is exactly what per-node cluster hardware provides.
+CORES_PER_EXEC = int(os.environ.get("SCALING_CORES_PER_EXEC", "4"))
 DRIVER_CORES = "28-31"
 REPS = int(os.environ.get("SCALING_REPS", "5"))
 CONTROL_REPS = int(os.environ.get("SCALING_CONTROL_REPS", "2"))
