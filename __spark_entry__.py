@@ -433,6 +433,75 @@ ORDER BY rank
 """
 
 
+def _oracle_highlight_sql(
+    terms: list[str], k: int, window_size: int = 12, lead: int = 3,
+    pre: str = "<em>", post: str = "</em>",
+) -> str:
+    """Highlighter oracle (Lucene Highlighter twin): the pivoted-BM25 topk
+    CTE, then the pinned fragment semantics over the token stream —
+    start = max(0, first-match − lead), fixed window, matches tag-wrapped,
+    snippet reproduced via ordered string_agg (the analyzed-token snippet;
+    the engine's original-text snippet column is pytest-pinned instead)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    tset = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+tokpos AS (
+  SELECT d.doc_id, unnest(d.toks) AS term,
+         generate_subscripts(d.toks, 1) - 1 AS pos
+  FROM dlq d JOIN topk t USING (doc_id)
+),
+wb AS (
+  SELECT doc_id, greatest(cast(min(pos) AS bigint) - {lead}, 0) AS start_pos
+  FROM tokpos WHERE term IN ({tset}) GROUP BY doc_id
+),
+frag AS (
+  SELECT tp.doc_id, w.start_pos,
+         string_agg(
+           CASE WHEN tp.term IN ({tset})
+                THEN '{pre}' || tp.term || '{post}' ELSE tp.term END,
+           ' ' ORDER BY tp.pos) AS snippet_tokens,
+         count(*) FILTER (WHERE tp.term IN ({tset})) AS n_match
+  FROM tokpos tp
+  JOIN wb w ON tp.doc_id = w.doc_id
+      AND tp.pos >= w.start_pos AND tp.pos < w.start_pos + {window_size}
+  GROUP BY tp.doc_id, w.start_pos
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score,
+       cast(f.start_pos AS bigint) AS start_pos,
+       cast(f.n_match AS bigint) AS n_match,
+       f.snippet_tokens AS snippet_tokens
+FROM topk t JOIN dlq d USING (doc_id) JOIN frag f USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_sorted_sql(terms: list[str], k: int, desc: bool = True) -> str:
     """Field-sorted search oracle: match set (no scoring) ordered by ts."""
     vals = ", ".join(f"'{t}'" for t in terms)
@@ -1273,6 +1342,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_collapse_conv"] = fts_collapse_conv
 
+    def fts_highlight(s, d):
+        """Highlighter (Lucene Highlighter analog): top-k hits joined back
+        to the source transcripts (k-key IN-filter pushed into the scan),
+        fragment anchored at the first query-term occurrence, matches
+        tag-wrapped. The analyzed-token snippet is hash-matched against the
+        DuckDB oracle; the original-text snippet is pytest-pinned."""
+        from cuvs_lucene_spark.highlight import highlight
+
+        res = highlight(
+            s, _index_for(s, d), derive_transcripts(s, d),
+            "merge sort join", k=10, window_size=12, lead=3, float32=False,
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+                F.col("start_pos").cast("long").alias("start_pos"),
+                F.col("n_match").cast("long").alias("n_match"),
+                "snippet_tokens",
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_highlight"] = fts_highlight
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -1502,6 +1602,7 @@ GROUP BY d.role ORDER BY n_docs DESC, facet ASC
     o["fts_group_topk"] = _oracle_group_topk_sql(["merge", "sort", "join"], 3, "role")
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
+    o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20
