@@ -433,6 +433,43 @@ ORDER BY rank
 """
 
 
+def _oracle_classic_sql(terms: list[str], k: int) -> str:
+    """TFIDFSimilarity ("classic") top-k oracle: per-term score
+    idf'² · √tf · 1/√dl_d with idf' = 1 + ln((N+1)/(df+1)), same pivoted
+    fixed-order float64 sum as the BM25 oracle."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        "ts.idfsq * sqrt(cast(tf.tf AS double)) / sqrt(d.dl_d)"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              power(1 + ln(((SELECT n_docs FROM stats) + 1.0)/(count(*) + 1.0)), 2) AS idfsq
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_highlight_sql(
     terms: list[str], k: int, window_size: int = 12, lead: int = 3,
     pre: str = "<em>", post: str = "</em>",
@@ -1373,6 +1410,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_highlight"] = fts_highlight
 
+    def fts_topk_classic(s, d):
+        """Pluggable Similarity (IndexSearcher.setSimilarity analog):
+        the same OR query scored with TFIDFSimilarity instead of BM25 —
+        same postings scan, same kernel shape, different per-term math."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            similarity="classic", float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_classic"] = fts_topk_classic
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -1603,6 +1654,7 @@ GROUP BY d.role ORDER BY n_docs DESC, facet ASC
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
+    o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20

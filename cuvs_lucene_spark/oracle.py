@@ -86,6 +86,19 @@ def oracle_idf(idx: OracleIndex, term: str) -> float:
     return float(np.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
 
 
+def oracle_term_weight(idx: OracleIndex, term: str, similarity: str) -> float:
+    """Similarity-parametrized term weight (engine twin of
+    IndexReader.term_weight): bm25 idf, or classic idf'² with
+    idf' = 1 + ln((N+1)/(df+1))."""
+    if similarity == "bm25":
+        return oracle_idf(idx, term)
+    df = len(idx.postings.get(term, ((), ()))[0])
+    if df == 0:
+        return 0.0
+    i = 1.0 + float(np.log((idx.n_docs + 1) / (df + 1)))
+    return i * i
+
+
 def oracle_search(
     idx: OracleIndex,
     query: str,
@@ -94,6 +107,7 @@ def oracle_search(
     accept: np.ndarray | None = None,
     exclude: str | None = None,
     msm: int | None = None,
+    similarity: str = "bm25",
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) with Lucene float semantics.
 
@@ -120,13 +134,17 @@ def oracle_search(
         if term not in idx.postings:
             continue
         d, tf = idx.postings[term]
-        idf = np.float32(oracle_idf(idx, term))
+        idf = np.float32(oracle_term_weight(idx, term, similarity))
         dl32 = idx.dl_d[d].astype(np.float32)
         tf32 = tf.astype(np.float32)
-        kf = np.float32(BM25_K1) * (
-            np.float32(1.0 - BM25_B) + np.float32(BM25_B) * dl32 / np.float32(idx.avgdl)
-        )
-        s = (idf * tf32 / (tf32 + kf)).astype(np.float32)
+        if similarity == "classic":
+            s = (idf * np.sqrt(tf32) / np.sqrt(dl32)).astype(np.float32)
+        else:
+            kf = np.float32(BM25_K1) * (
+                np.float32(1.0 - BM25_B)
+                + np.float32(BM25_B) * dl32 / np.float32(idx.avgdl)
+            )
+            s = (idf * tf32 / (tf32 + kf)).astype(np.float32)
         acc[d] += s.astype(np.float64) * weights[term]
         matched[d] += 1
     n_present = sum(1 for t in distinct if t in idx.postings)

@@ -204,8 +204,29 @@ class IndexReader:
         n = self.n_docs if n_docs is None else n_docs
         return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
 
+    def term_weight(
+        self, df: int, n_docs: int | None = None, similarity: str = "bm25"
+    ) -> float:
+        """Per-term query weight under the chosen Similarity.
+
+        bm25    — the BM25 idf (Lucene BM25Similarity).
+        classic — idf'² with idf' = 1 + ln((N+1)/(df+1)): Lucene
+            TFIDFSimilarity ("ClassicSimilarity") squares the idf because it
+            appears in both the query weight and the field weight (coord and
+            queryNorm were removed in Lucene 7+, so the modern classic score
+            is boost · idf'² · √tf · 1/√dl).
+        """
+        if similarity == "bm25":
+            return self.idf(df, n_docs)
+        if similarity == "classic":
+            n = self.n_docs if n_docs is None else n_docs
+            i = 1.0 + float(np.log((n + 1) / (df + 1)))
+            return i * i
+        raise ValueError(f"unknown similarity {similarity!r}")
+
 def make_score_kernel(
-    term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True
+    term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True,
+    similarity: str = "bm25",
 ):
     """mapInPandas kernel: posting blocks → (doc_id, tidx, per-term score).
 
@@ -257,10 +278,18 @@ def make_score_kernel(
             ftype = np.float32 if float32 else np.float64
             tff = tfs.astype(ftype)
             dlf = dl_d.astype(ftype)
-            kf = ftype(BM25_K1) * (
-                ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
-            )
-            s = (idf_v.astype(ftype) * tff / (tff + kf)).astype(ftype)
+            if similarity == "classic":
+                # TFIDFSimilarity: weight(=idf'²·boost, precomputed) · √tf ·
+                # 1/√dl — same quantized norms as BM25 (Lucene stores ONE
+                # norm per doc; both sims dequantize it identically)
+                s = (
+                    idf_v.astype(ftype) * np.sqrt(tff) / np.sqrt(dlf)
+                ).astype(ftype)
+            else:
+                kf = ftype(BM25_K1) * (
+                    ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
+                )
+                s = (idf_v.astype(ftype) * tff / (tff + kf)).astype(ftype)
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
@@ -289,6 +318,7 @@ def search(
     msm: int | None = None,
     group_by: str | None = None,
     collapse_by: str | None = None,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -340,6 +370,13 @@ def search(
         prune=True raises: the block-max θ derives from the UNcollapsed
         ranking, whose k-th best ≥ the collapsed k-th best, so pruning could
         drop a representative; prune="auto" silently stays exhaustive.
+    similarity — per-search Similarity (the Lucene
+        IndexSearcher.setSimilarity analog): "bm25" (default,
+        BM25Similarity) or "classic" (TFIDFSimilarity: idf'² · √tf · 1/√dl
+        with idf' = 1 + ln((N+1)/(df+1)), over the SAME stored quantized
+        norms). Composes with pruning: the block upper bound
+        idf'² · √max_tf / √min_dl_d is monotone in the same per-block stats
+        BM25's bound uses, so block-max pruning stays lossless.
     """
     rd = reader or IndexReader(spark, index_dir)
     if group_by is not None and collapse_by is not None:
@@ -419,7 +456,10 @@ def search(
         return empty
     if msm is not None and len(present) < msm:
         return empty  # fewer present terms than the match minimum
-    term_meta = {t: (rd.idf(stats[t][0], f_docs), weights[t]) for t in present}
+    term_meta = {
+        t: (rd.term_weight(stats[t][0], f_docs, similarity), weights[t])
+        for t in present
+    }
 
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
@@ -469,11 +509,12 @@ def search(
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
             prune_blocks_per_term, del_ids, avgdl=f_avgdl, after=after,
-            ex_ids=ex_ids,
+            ex_ids=ex_ids, similarity=similarity,
         )
 
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, f_avgdl, float32, similarity),
+        SCORE_ROWS_SCHEMA,
     )
     if ex_ids is not None:
         score_rows = score_rows.join(ex_ids, "doc_id", "left_anti")
@@ -1553,12 +1594,15 @@ def _prune_blocks(
     avgdl: float | None = None,
     after: tuple[float, int] | None = None,
     ex_ids: DataFrame | None = None,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Bound-safe distributed block-max pruning.
 
     Upper bound of any posting in a block for term t:
-        ub_t(block) = w_t * idf_t * max_tf / (max_tf + K(min_dl_d))
-    (score increases in tf, decreases in dl — SURVEY §4.3.6). A doc's total
+        bm25:    ub_t(block) = w_t * idf_t * max_tf / (max_tf + K(min_dl_d))
+        classic: ub_t(block) = w_t * idf'² * √max_tf / √min_dl_d
+    (either score increases in tf, decreases in dl — SURVEY §4.3.6, so the
+    same stored per-block (max_tf, min_dl_d) stats bound both Similarities). A doc's total
     score ≤ ub_t(its block) + Σ_{t'≠t} UB(t') with UB(t') the term-global max
     block bound. Phase 1: exactly score the union of the top-m blocks per
     term → θ = k-th best total. Phase 2: keep blocks whose relaxed bound
@@ -1588,10 +1632,22 @@ def _prune_blocks(
     idf_map = F.create_map(
         *[x for t, (idf, w) in term_meta.items() for x in (F.lit(t), F.lit(idf * w))]
     )
-    kf = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B)
-        + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(avgdl)
-    )
+    if similarity == "classic":
+        ub_expr = (
+            idf_map[F.col("term")]
+            * F.sqrt(F.col("max_tf").cast("double"))
+            / F.sqrt(F.col("min_dl_d").cast("double"))
+        )
+    else:
+        kf = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(avgdl)
+        )
+        ub_expr = (
+            idf_map[F.col("term")]
+            * F.col("max_tf").cast("double")
+            / (F.col("max_tf").cast("double") + kf)
+        )
     # project to the phase-1 working set BEFORE persisting: `_ub` for the
     # bound agg + window, (block_id, salt) for the deterministic window order,
     # and the score-kernel inputs — NOT `pos` or the remaining block stats,
@@ -1600,11 +1656,7 @@ def _prune_blocks(
         *SCORE_KERNEL_COLS,
         "block_id",
         "salt",
-        (
-            idf_map[F.col("term")]
-            * F.col("max_tf").cast("double")
-            / (F.col("max_tf").cast("double") + kf)
-        ).alias("_ub"),
+        ub_expr.alias("_ub"),
     ).persist()
 
     # term-global max block bound + per-term block counts (one tiny agg; the
@@ -1633,7 +1685,9 @@ def _prune_blocks(
     # overshooting θ by ~1 ULP. searchAfter therefore runs phase 1 in
     # float64 and uses a RELATIVE slack below.
     phase1 = top_blocks.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, avgdl, float32=(after is None)),
+        make_score_kernel(
+            term_meta, avgdl, float32=(after is None), similarity=similarity
+        ),
         SCORE_ROWS_SCHEMA,
     )
     if del_ids is not None:
@@ -1697,11 +1751,7 @@ def _prune_blocks(
             for x in (F.lit(t), F.lit(sum_ub - term_ub[t]))
         ]
     )
-    ub = (
-        idf_map[F.col("term")]
-        * F.col("max_tf").cast("double")
-        / (F.col("max_tf").cast("double") + kf)
-    )
+    ub = ub_expr  # same similarity-specific bound as phase 1
     # Slack must be RELATIVE to θ: phase 1 scores in float32 (Lucene parity),
     # so θ can exceed the float64 block bound by ~1 float32 ULP (1.2e-7
     # relative) whenever the θ-doc's tf == max_tf and dl == min_dl of its own
