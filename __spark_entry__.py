@@ -1424,6 +1424,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_classic"] = fts_topk_classic
 
+    def fts_suggest(s, d):
+        """Spell-check suggestion (DirectSpellChecker analog): dictionary
+        terms within 2 edits of a misspelling, (distance asc, df desc,
+        term asc) — one bucket-pruned dictionary scan, no postings read."""
+        from cuvs_lucene_spark.multiterm import suggest_terms
+
+        return (
+            suggest_terms(s, _index_for(s, d), "bat", max_edits=2, top_n=8)
+            .select(
+                "term",
+                F.col("distance").cast("long").alias("distance"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        )
+
+    q["fts_suggest"] = fts_suggest
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -1655,6 +1673,17 @@ GROUP BY d.role ORDER BY n_docs DESC, facet ASC
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
     o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
+    o["fts_suggest"] = f"""{_ORACLE_PREFIX}
+SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,
+       cast(count(*) AS bigint) AS df
+FROM tf
+WHERE term <> 'bat'
+  AND length(term) BETWEEN length('bat') - 2 AND length('bat') + 2
+  AND levenshtein(term, 'bat') <= 2
+GROUP BY term
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 8
+"""
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20

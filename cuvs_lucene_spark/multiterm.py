@@ -197,3 +197,64 @@ def search_multiterm(
         float32=float32,
         field=field,
     )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    word: str,
+    max_edits: int = 2,
+    top_n: int = 5,
+    min_df: int = 1,
+    max_query_df_ratio: float | None = None,
+    field: str | None = None,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """Spell-check suggestions — the Lucene DirectSpellChecker analog.
+
+    Candidates = dictionary terms within ``max_edits`` Levenshtein edits of
+    ``word`` (the input itself excluded), with df ≥ ``min_df``; ordered by
+    the pinned comparator (distance asc, df desc, term asc) — the
+    DirectSpellChecker shape (closer edits first, then more frequent), made
+    fully deterministic by the trailing term tie-break. Returns
+    (term, distance, df) limited to ``top_n``.
+
+    max_query_df_ratio — the maxQueryFrequency analog: if the INPUT word's
+    own df exceeds ratio × docCount it is considered correctly spelled and
+    the result is empty (Lucene DirectSpellChecker.setMaxQueryFrequency).
+
+    Plan shape at scale: one dictionary-table scan (bucket-pruned parquet,
+    tiny vs postings) with a pushable length-band range predicate before the
+    exact Levenshtein, a per-term df aggregation, then TakeOrderedAndProject
+    of top_n rows. No postings or payload bytes are ever read.
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    empty = spark.createDataFrame([], "term string, distance int, df long")
+    if not rd.manifest["segments"] or top_n <= 0:
+        return empty
+    w = _check_token(word, "word")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    fld = rd.resolve_field(field)
+    if max_query_df_ratio is not None:
+        st = rd.term_stats([w], fld)
+        f_docs, _sdl, _avg = rd.field_stats_of(fld)
+        if st.get(w, (0, 0))[0] > max_query_df_ratio * max(f_docs, 1):
+            return empty  # input is frequent enough to be "correct"
+    d = (
+        rd.cat.read_dictionary(spark)
+        .where(
+            (F.col("field") == fld)
+            & F.length("term").between(len(w) - max_edits, len(w) + max_edits)
+            & (F.col("term") != w)
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(w)))
+        .where((F.col("distance") <= max_edits) & (F.col("df") >= min_df))
+    )
+    return (
+        d.select("term", "distance", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(top_n)
+    )

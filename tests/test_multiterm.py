@@ -312,3 +312,60 @@ class TestBooleanAST:
             Q.boolean(should=[Q.term("a")], msm=5)
         with pytest.raises(TypeError):
             Q.boolean(should=["a"])
+
+
+class TestSuggest:
+    """DirectSpellChecker analog: pinned against an independent
+    brute-force dictionary scan over the oracle index."""
+
+    def test_matches_bruteforce_comparator(self, spark, tiny_index, oracle_tiny):
+        from cuvs_lucene_spark.multiterm import suggest_terms
+
+        def lev(a: str, b: str) -> int:
+            # independent DP implementation (vs Spark's builtin)
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        word, e, n = "scool", 2, 6
+        cand = [
+            (lev(t, word), -len(idx_posting[0]), t)
+            for t, idx_posting in oracle_tiny.postings.items()
+            if t != word and lev(t, word) <= e
+        ]
+        exp = [
+            (t, d, -negdf) for d, negdf, t in sorted(cand)[:n]
+        ]
+        got = [
+            (r["term"], r["distance"], r["df"])
+            for r in suggest_terms(
+                spark, tiny_index, word, max_edits=e, top_n=n
+            ).collect()
+        ]
+        assert got == exp
+        assert any(t == "school" for t, _, _ in got)
+
+    def test_frequency_guard_and_guards(self, spark, tiny_index):
+        import pytest
+
+        from cuvs_lucene_spark.multiterm import suggest_terms
+
+        # 'the' is the hottest term — treated as correctly spelled
+        assert (
+            suggest_terms(
+                spark, tiny_index, "the", max_edits=1, max_query_df_ratio=0.01
+            ).count()
+            == 0
+        )
+        # but without the guard it still suggests neighbors
+        assert (
+            suggest_terms(spark, tiny_index, "the", max_edits=1).count() > 0
+        )
+        with pytest.raises(ValueError):
+            suggest_terms(spark, tiny_index, "not a token!")
+        assert suggest_terms(spark, tiny_index, "zz", top_n=0).count() == 0
