@@ -41,15 +41,16 @@ from cuvs_lucene_spark.analysis import tokenize_py
 
 @dataclass(frozen=True)
 class Q:
-    """One BooleanQuery AST node. Build with Q.term / Q.boolean."""
+    """One BooleanQuery AST node. Build with Q.term / Q.phrase / Q.boolean."""
 
-    kind: str  # "term" | "bool"
-    token: str | None = None
+    kind: str  # "term" | "phrase" | "bool"
+    token: str | None = None  # term token, or phrase slots space-joined
     boost: float = 1.0
     should: tuple = ()
     must: tuple = ()
     must_not: tuple = ()
     msm: int = 0
+    slop: int = 0  # phrase leaves only
 
     @staticmethod
     def term(token: str, boost: float = 1.0) -> "Q":
@@ -59,6 +60,39 @@ class Q:
                 f"Q.term takes one analyzer token, got {token!r} -> {toks}"
             )
         return Q(kind="term", token=toks[0], boost=float(boost))
+
+    @staticmethod
+    def phrase(text: str, slop: int = 0, boost: float = 1.0) -> "Q":
+        """PhraseQuery leaf inside a boolean tree (Lucene nests them the
+        same way). Matches where the phrase occurs; scores like the
+        standalone phrase query (query.search_phrase: pf-based BM25 with
+        summed slot idfs), times boost. A one-token phrase rewrites to the
+        TermQuery leaf, exactly as Lucene's PhraseQuery does."""
+        toks = tokenize_py(text)
+        if not toks:
+            raise ValueError(f"phrase {text!r} contains no analyzer tokens")
+        if len(toks) == 1:
+            return Q.term(toks[0], boost=boost)
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if slop > 0 and len(set(toks)) < len(toks):
+            raise ValueError(
+                "slop>0 with repeated phrase terms is not supported"
+            )
+        return Q(
+            kind="phrase", token=" ".join(toks), slop=int(slop),
+            boost=float(boost),
+        )
+
+    def key(self) -> str:
+        """Pivot-column key of a LEAF: the token for terms, a quoted
+        phrase-with-slop spelling for phrases (cannot collide with analyzer
+        tokens, which are [a-z0-9]+)."""
+        if self.kind == "term":
+            return self.token
+        if self.kind == "phrase":
+            return f'"{self.token}"~{self.slop}'
+        raise ValueError("key() is for leaves")
 
     @staticmethod
     def boolean(
@@ -82,18 +116,36 @@ class Q:
 
     # -- introspection ----------------------------------------------------
     def all_terms(self) -> list[str]:
-        """Every distinct term in the tree (positive AND negative), sorted."""
+        """Every distinct scan term in the tree (positive AND negative,
+        including phrase slot terms — phrase-matching docs must appear in
+        the executor's pivot), sorted."""
         out: set[str] = set()
 
         def walk(n: Q) -> None:
             if n.kind == "term":
                 out.add(n.token)
+            elif n.kind == "phrase":
+                out.update(n.token.split(" "))
             else:
                 for c in (*n.must, *n.should, *n.must_not):
                     walk(c)
 
         walk(self)
         return sorted(out)
+
+    def phrase_leaves(self) -> list["Q"]:
+        """Distinct phrase leaves in the tree, ordered by key()."""
+        out: dict[str, Q] = {}
+
+        def walk(n: Q) -> None:
+            if n.kind == "phrase":
+                out.setdefault(n.key(), n)
+            elif n.kind == "bool":
+                for c in (*n.must, *n.should, *n.must_not):
+                    walk(c)
+
+        walk(self)
+        return [out[k] for k in sorted(out)]
 
 
 def _effective_msm(n: Q) -> int:
@@ -111,13 +163,16 @@ def compile_columns(
 ) -> tuple[Column, Column]:
     """(match, score) Column pair for the tree over a per-doc pivot row.
 
-    present[t] — boolean Column: doc contains t (absent terms omitted);
-    score[t]   — float64 Column: BM25 score of t for the doc (NULL-safe 0).
-    Terms missing from `present` (df = 0 in the index) never match."""
-    if q.kind == "term":
-        if q.token not in present:
+    present[k] — boolean Column: doc matches leaf-key k (absent keys
+    omitted); score[k] — float64 Column: the leaf's BM25 score for the doc
+    (NULL-safe 0). Keys are Q.key(): the token for terms, the quoted
+    phrase spelling for phrase leaves. Leaves missing from `present`
+    (df = 0 / phrase term absent) never match."""
+    if q.kind in ("term", "phrase"):
+        kk = q.key()
+        if kk not in present:
             return F.lit(False), F.lit(0.0)
-        return present[q.token], F.lit(q.boost) * score[q.token]
+        return present[kk], F.lit(q.boost) * score[kk]
     must_parts = [compile_columns(c, present, score) for c in q.must]
     should_parts = [compile_columns(c, present, score) for c in q.should]
     notm = [compile_columns(c, present, score)[0] for c in q.must_not]
@@ -150,12 +205,15 @@ def sql_exprs(
 ) -> tuple[str, str]:
     """(match_sql, score_sql) strings mirroring compile_columns exactly.
 
-    present_sql(t) / score_sql(t): SQL snippets for term presence (boolean)
-    and per-term float64 score over the oracle's per-doc pivot. The textual
-    additions associate left-to-right in the same clause order as the engine,
-    so DuckDB's float64 totals are bit-identical."""
-    if q.kind == "term":
-        return present_sql(q.token), f"({q.boost!r} * {score_sql(q.token)})"
+    present_sql(k) / score_sql(k): SQL snippets for leaf-key presence
+    (boolean) and per-leaf float64 score over the oracle's per-doc pivot
+    (keys are Q.key() — phrase keys arrive quoted, the caller routes them to
+    its phrase CTE). The textual additions associate left-to-right in the
+    same clause order as the engine, so DuckDB's float64 totals are
+    bit-identical."""
+    if q.kind in ("term", "phrase"):
+        kk = q.key()
+        return present_sql(kk), f"({q.boost!r} * {score_sql(kk)})"
     must_parts = [sql_exprs(c, present_sql, score_sql) for c in q.must]
     should_parts = [sql_exprs(c, present_sql, score_sql) for c in q.should]
     notm = [sql_exprs(c, present_sql, score_sql)[0] for c in q.must_not]
@@ -203,6 +261,7 @@ def search_boolean(
         IndexReader,
         _accepted_doc_ids,
         make_score_kernel,
+        phrase_doc_scores,
     )
 
     rd = reader or IndexReader(spark, index_dir)
@@ -249,6 +308,27 @@ def search_boolean(
         t: F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
         for i, t in enumerate(active)
     }
+    # Phrase leaves: per-doc phrase scores join the pivot as extra columns.
+    # Every phrase-matching doc contains all slot terms, and slot terms are
+    # in the scan set (all_terms), so the left join loses no matches; deletes
+    # and filters were already applied to score_rows, so agg rows are the
+    # universe of eligible docs and the joined side needs neither re-applied.
+    for j, p in enumerate(q.phrase_leaves()):
+        pcol = f"_p{j}"
+        slots = p.token.split(" ")
+        if all(stats.get(t, (0, 0))[0] > 0 for t in slots):
+            pdf = phrase_doc_scores(spark, rd, slots, fld, slop=p.slop)
+        else:
+            pdf = None  # a slot term absent from the field ⇒ matches nothing
+        if pdf is None:
+            agg = agg.withColumn(pcol, F.lit(None).cast("double"))
+        else:
+            agg = agg.join(
+                pdf.select("doc_id", F.col("score_d").alias(pcol)),
+                "doc_id", "left",
+            )
+        present[p.key()] = F.col(pcol).isNotNull()
+        score[p.key()] = F.coalesce(F.col(pcol), F.lit(0.0))
     match_c, score_c = compile_columns(q, present, score)
     topk = (
         agg.where(match_c)

@@ -1433,6 +1433,105 @@ def make_sloppy_sweep_kernel(n_slots: int, slop: int):
     return sweep
 
 
+def phrase_doc_scores(
+    spark: SparkSession,
+    rd: IndexReader,
+    slots: list[str],
+    fld: str,
+    slop: int = 0,
+    del_ids: DataFrame | None = None,
+    filter_cond: Column | str | None = None,
+) -> DataFrame | None:
+    """Per-doc float64 phrase BM25 scores: (doc_id, score_d), matching docs
+    only — the shared core of search_phrase and the boolean executor's
+    Q.phrase leaves (booleanq.search_boolean joins this onto its per-doc
+    pivot). Returns None when a slot term is absent from the field (the
+    phrase provably matches nothing). Scoring per Lucene PhraseWeight — see
+    search_phrase. `slots` must be analyzer tokens."""
+    if not slots:
+        return None
+    if not all(s.get("positions", False) for s in rd.manifest["segments"]):
+        raise ValueError(
+            "phrase search requires an index built with positions=True"
+        )
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return None
+    distinct = sorted(set(slots))
+    stats = rd.term_stats(distinct, fld)
+    if any(stats.get(t, (0, 0))[0] == 0 for t in distinct):
+        return None  # a phrase term absent from the corpus ⇒ no match
+    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in slots))
+
+    n = len(slots)
+    sloppy = slop > 0 and n > 1
+    if sloppy and len(distinct) < n:
+        raise ValueError(
+            "slop>0 with repeated phrase terms is not supported "
+            "(Lucene's repeats machinery; use slop=0 or distinct terms)"
+        )
+
+    slot_of_term: dict[str, list[int]] = {}
+    for i, t in enumerate(slots):
+        slot_of_term.setdefault(t, []).append(i)
+
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(distinct)
+    )
+    occ = postings.mapInPandas(
+        make_phrase_occ_kernel(slot_of_term, keep_negative_adj=sloppy),
+        PHRASE_OCC_SCHEMA,
+    )
+
+    if del_ids is not None:
+        occ = occ.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+
+    if sloppy:
+        # two-phase, like Lucene's PhraseQuery: the approximation is the term
+        # CONJUNCTION, computed from a second postings pass that never reads
+        # the position payload (decode_postings projects it away); only docs
+        # passing it reach the per-doc sweep.
+        from cuvs_lucene_spark.operators.merge import decode_postings
+
+        cand = (
+            decode_postings(postings)
+            .select("doc_id", "term")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == F.lit(n))
+            .select("doc_id")
+        )
+        pf = (
+            occ.join(cand, "doc_id", "left_semi")
+            .repartition("doc_id")
+            .sortWithinPartitions("doc_id")  # tail-carry needs contiguous docs
+            .mapInPandas(make_sloppy_sweep_kernel(n, slop), SLOPPY_PF_SCHEMA)
+        )
+    else:
+        # (doc, slot, adj) rows are unique (a slot's term occupies a position
+        # at most once), so count(*) == count(distinct slot)
+        anchors = (
+            occ.groupBy("doc_id", "adj")
+            .agg(F.count(F.lit(1)).alias("ns"), F.max("dl_d").alias("dl_d"))
+            .where(F.col("ns") == F.lit(n))
+        )
+        pf = anchors.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
+        )
+    kf = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(f_avgdl)
+    )
+    return pf.select(
+        "doc_id",
+        (F.lit(idf_sum) * F.col("pf").cast("double")
+         / (F.col("pf").cast("double") + kf)).alias("score_d"),
+    )
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,
@@ -1483,91 +1582,20 @@ def search_phrase(
     slots = tokenize_py(phrase)
     if k <= 0 or not slots or not rd.manifest["segments"]:
         return empty
-    if not all(s.get("positions", False) for s in rd.manifest["segments"]):
-        raise ValueError(
-            "phrase search requires an index built with positions=True"
-        )
     fld = rd.resolve_field(field)
-    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
     if f_docs == 0:
         return empty
     k = min(k, f_docs)
-    distinct = sorted(set(slots))
-    stats = rd.term_stats(distinct, fld)
-    if any(stats.get(t, (0, 0))[0] == 0 for t in distinct):
-        return empty  # a phrase term absent from the corpus ⇒ no match
-    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in slots))
-
-    n = len(slots)
-    sloppy = slop > 0 and n > 1
-    if sloppy and len(distinct) < n:
-        raise ValueError(
-            "slop>0 with repeated phrase terms is not supported "
-            "(Lucene's repeats machinery; use slop=0 or distinct terms)"
-        )
-
-    slot_of_term: dict[str, list[int]] = {}
-    for i, t in enumerate(slots):
-        slot_of_term.setdefault(t, []).append(i)
-
-    postings = rd.cat.read_postings(spark).where(
-        F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
-        & (F.col("field") == fld)
-        & F.col("term").isin(distinct)
-    )
-    occ = postings.mapInPandas(
-        make_phrase_occ_kernel(slot_of_term, keep_negative_adj=sloppy),
-        PHRASE_OCC_SCHEMA,
-    )
 
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
-    del_ids = deleted_doc_ids(spark, index_dir)
-    if del_ids is not None:
-        occ = occ.join(F.broadcast(del_ids), "doc_id", "left_anti")
-    if filter_cond is not None:
-        occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
-
-    if sloppy:
-        # two-phase, like Lucene's PhraseQuery: the approximation is the term
-        # CONJUNCTION, computed from a second postings pass that never reads
-        # the position payload (decode_postings projects it away); only docs
-        # passing it reach the per-doc sweep.
-        from cuvs_lucene_spark.operators.merge import decode_postings
-
-        cand = (
-            decode_postings(postings)
-            .select("doc_id", "term")
-            .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("_nt"))
-            .where(F.col("_nt") == F.lit(n))
-            .select("doc_id")
-        )
-        pf = (
-            occ.join(cand, "doc_id", "left_semi")
-            .repartition("doc_id")
-            .sortWithinPartitions("doc_id")  # tail-carry needs contiguous docs
-            .mapInPandas(make_sloppy_sweep_kernel(n, slop), SLOPPY_PF_SCHEMA)
-        )
-    else:
-        # (doc, slot, adj) rows are unique (a slot's term occupies a position
-        # at most once), so count(*) == count(distinct slot)
-        anchors = (
-            occ.groupBy("doc_id", "adj")
-            .agg(F.count(F.lit(1)).alias("ns"), F.max("dl_d").alias("dl_d"))
-            .where(F.col("ns") == F.lit(n))
-        )
-        pf = anchors.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("pf"), F.max("dl_d").alias("dl_d")
-        )
-    kf = F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(f_avgdl)
+    scored = phrase_doc_scores(
+        spark, rd, slots, fld, slop=slop,
+        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
     )
-    scored = pf.select(
-        "doc_id",
-        (F.lit(idf_sum) * F.col("pf").cast("double")
-         / (F.col("pf").cast("double") + kf)).alias("score_d"),
-    )
+    if scored is None:
+        return empty
     topk = (
         scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

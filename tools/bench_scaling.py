@@ -169,6 +169,19 @@ def worker(n_exec: int, tier: str) -> None:
     # the write phase identically at every size (a real cluster writes
     # through N machines' local disks).
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+    # Warm every executor JVM with a full (tiny-tier) build BEFORE timing:
+    # JIT compilation, classloading, codegen caches, and Python daemon worker
+    # pools are per-JVM fixed costs, so a cold run bills them 4× to the
+    # 4-executor leg — a cost long-lived cluster executors pay once per
+    # process lifetime, not once per job. Warming both legs identically
+    # removes that asymmetry without touching the measured work.
+    warm_idx = f"{base}/cuvs_scaling_warm_{uuid.uuid4().hex[:8]}"
+    wdf = spark.read.parquet(ensure_corpus("small"))
+    build_index(spark, wdf, warm_idx, buckets=16, salt_buckets=4)
+    search(spark, warm_idx, "world school student", k=10, mode="or").collect()
+    shutil.rmtree(warm_idx, ignore_errors=True)
+
     idx = f"{base}/cuvs_scaling_{uuid.uuid4().hex[:8]}"
     cpu0 = tree_cpu_seconds()
     t0 = time.perf_counter()
@@ -381,8 +394,10 @@ def main() -> None:
         else f"`local-cluster[n,{CORES_PER_EXEC},·]` separate executor JVMs, "
         f"each\npinned to its own disjoint {CORES_PER_EXEC}-core cpuset; "
         f"driver pinned to cores\n{DRIVER_CORES} in both legs; {REPS} "
-        f"interleaved reps; page-cache prewarmed;\nprocess-tree CPU-seconds "
-        f"recorded per run."
+        f"interleaved reps; page-cache prewarmed;\nexecutor JVMs warmed with "
+        f"a small-tier build+query before timing (JIT/\nclassloading/Python "
+        f"worker pools are per-process costs a long-lived cluster\npays once, "
+        f"not per job); process-tree CPU-seconds recorded per run."
     )
     block = f"""
 ## Scaling run {"(local-mode)" if local_mode else "v2"} — {time.strftime('%Y-%m-%d %H:%M:%S')} UTC, git {sha}, tier={tier}
