@@ -841,6 +841,118 @@ ORDER BY rank
 """
 
 
+# the query-string gate: classic syntax with MUST/SHOULD/MUST_NOT modifiers,
+# a boosted nested group, AND a phrase leaf inside the boolean tree
+_QSTRING_GATE = '+scan (filter OR window^2.0) "merge sort" -hash'
+
+
+def _qstring_gate_tree():
+    from cuvs_lucene_spark.qparser import compile_query
+
+    # reader-free compile: the gate string has only term/phrase leaves, so
+    # the SAME compiled Q tree drives both the engine and the oracle SQL
+    return compile_query(_QSTRING_GATE)
+
+
+def _oracle_qstring_sql(k: int) -> str:
+    """Query-string oracle: the gate string compiles to the same Q tree the
+    engine executes (qparser.compile_query), booleanq.sql_exprs emits its
+    match/score SQL, and each phrase leaf scores from a per-phrase anchor
+    CTE chain (the _oracle_phrase_sql machinery) LEFT-JOINed onto the
+    per-doc pivot — one definition of the semantics, two executors."""
+    from cuvs_lucene_spark.booleanq import sql_exprs
+
+    tree = _qstring_gate_tree()
+    phrases = tree.phrase_leaves()
+    terms = tree.all_terms()  # term leaves + phrase slot terms (scan set)
+    vals = ", ".join(f"('{t}')" for t in terms)
+
+    phrase_ctes, key_to_rel = [], {}
+    for j, p in enumerate(phrases):
+        slots = p.token.split(" ")
+        n = len(slots)
+        occ_union = "\nUNION ALL\n".join(
+            f"  SELECT doc_id, {i} AS slot, pos - {i} AS adj "
+            f"FROM tokpos WHERE term = '{t}' AND pos >= {i}"
+            for i, t in enumerate(slots)
+        )
+        idf_sum = " + ".join(
+            f"(SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)"
+            f"/(count(*) + 0.5)) FROM tf WHERE term = '{t}')"
+            for t in slots
+        )
+        phrase_ctes.append(f"""occ{j} AS (
+{occ_union}
+),
+anchors{j} AS (
+  SELECT doc_id, adj FROM occ{j} GROUP BY doc_id, adj HAVING count(*) = {n}
+),
+pfv{j} AS (SELECT doc_id, count(*) AS pf FROM anchors{j} GROUP BY doc_id),
+ph{j} AS (
+  SELECT p.doc_id,
+         ({idf_sum}) * cast(p.pf AS double)
+           / (cast(p.pf AS double) + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM pfv{j} p JOIN dlq d ON p.doc_id = d.doc_id CROSS JOIN stats s
+)""")
+        key_to_rel[p.key()] = f"ph{j}"
+
+    per = (
+        "ts.idf * tf.tf / (tf.tf + {k1} * ({omb} + {b} * d.dl_d / s.avgdl))"
+    ).format(k1=_BM25_K1, omb=1 - _BM25_B, b=_BM25_B)
+
+    def present_sql(kk: str) -> str:
+        rel = key_to_rel.get(kk)
+        if rel:
+            return f"bool_or({rel}.doc_id IS NOT NULL)"
+        return f"bool_or(tf.term = '{kk}')"
+
+    def score_sql(kk: str) -> str:
+        rel = key_to_rel.get(kk)
+        if rel:
+            return f"COALESCE(max({rel}.score), 0.0)"
+        return f"COALESCE(max(CASE WHEN tf.term = '{kk}' THEN {per} END), 0.0)"
+
+    match_s, score_s = sql_exprs(tree, present_sql, score_sql)
+    joins = "\n  ".join(
+        f"LEFT JOIN {rel} ON tf.doc_id = {rel}.doc_id"
+        for rel in key_to_rel.values()
+    )
+    ph_block = ""
+    if phrases:
+        ph_block = (
+            ",\ntokpos AS (\n"
+            "  SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) - 1 AS pos\n  FROM dlq\n),\n"
+            + ",\n".join(phrase_ctes)
+        )
+    return f"""{_ORACLE_PREFIX}{ph_block},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({match_s}) AS ok, ({score_s}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  {joins}
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores WHERE ok ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-side helpers
 # ---------------------------------------------------------------------------
@@ -1096,6 +1208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_boolean"] = boolean_q
+
+    def qstring_q(s: SparkSession, d: str) -> DataFrame:
+        # classic query-string syntax end-to-end, incl. a phrase leaf inside
+        # the boolean tree: +scan (filter OR window^2.0) "merge sort" -hash
+        from cuvs_lucene_spark.qparser import search_qstring
+
+        return _ranked(
+            search_qstring(
+                s, _index_for(s, d), _QSTRING_GATE, k=10, float32=False
+            )
+        )
+
+    q["fts_topk_qstring"] = qstring_q
 
     def phrase(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import search_phrase
@@ -1644,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
+    o["fts_topk_qstring"] = _oracle_qstring_sql(10)
     # slop>0: the two-slot SloppyPhraseMatcher sweep as a recursive CTE —
     # this gate was rows-only (`no_oracle`) through round 3; now hash-gated
     o["fts_topk_phrase_slop"] = _oracle_phrase_slop_sql(["merge", "sort"], 2, 10)

@@ -323,6 +323,12 @@ def _compile(n: Node, rd, fld: str, max_expansions: int):
     if n.kind == "phrase":
         return Q.phrase(n.text, slop=n.slop, boost=n.boost)
     if n.kind in ("wildcard", "fuzzy", "regexp"):
+        if rd is None:
+            raise ValueError(
+                f"{n.kind} leaves need an IndexReader to expand against "
+                "the term dictionary (compile_query(reader=None) is for "
+                "term/phrase/bool-only strings)"
+            )
         kw = {
             "wildcard": {"wildcard": n.text},
             "fuzzy": {"fuzzy": n.text, "max_edits": n.max_edits},
@@ -356,7 +362,7 @@ def _compile(n: Node, rd, fld: str, max_expansions: int):
 
 def compile_query(
     s: str | Node,
-    reader,
+    reader=None,
     field: str | None = None,
     default_operator: str = "or",
     max_expansions: int | None = None,
@@ -364,11 +370,13 @@ def compile_query(
     """Compile a query string (or pre-parsed tree) to a booleanq.Q tree.
 
     Returns None for a query that provably matches nothing (e.g. a wildcard
-    with zero dictionary expansions used as the whole query)."""
+    with zero dictionary expansions used as the whole query). reader=None
+    compiles term/phrase/bool-only strings with no index at hand (multi-term
+    leaves and `field:` prefixes then raise) — useful for oracle generation."""
     from cuvs_lucene_spark.multiterm import MAX_CLAUSE_COUNT
 
     node = parse_query(s, default_operator) if isinstance(s, str) else s
-    fld = reader.resolve_field(field)
+    fld = reader.resolve_field(field) if reader is not None else field
     q = _compile(
         node, reader, fld,
         MAX_CLAUSE_COUNT if max_expansions is None else max_expansions,
