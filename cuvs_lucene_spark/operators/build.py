@@ -807,7 +807,7 @@ def detect_hot_terms(
 
 def detect_hot_terms_multi(
     docs: DataFrame,
-    n_docs: int,
+    n_docs: int | None,
     hot_df_ratio: float = 0.05,
     sample_fraction: float = 0.05,
     fields: tuple[str, ...] = ("text",),
@@ -820,14 +820,25 @@ def detect_hot_terms_multi(
     term) structs — and a single groupBy counts per-(field, term) df
     estimates. The df threshold is per field (a term hot in ANY field gets
     salted: salting affects only block layout, never correctness, so the
-    union over-salts harmlessly — same policy as compaction)."""
+    union over-salts harmlessly — same policy as compaction).
+
+    n_docs=None derives the threshold from the SAMPLE's own row count inside
+    the job (a broadcast 1-row cross join; the Bernoulli sample is seeded so
+    both references see identical membership). A Bernoulli sample's size
+    concentrates tightly around n·fraction, and salting is layout-only, so
+    the in-job estimate is as safe as the external count — and it frees the
+    caller from running count() first, letting build_index overlap this job
+    with the row count and worker warm-up on driver threads."""
     src = (
         docs
         if sample_fraction >= 1.0
         else docs.sample(fraction=sample_fraction, seed=42)
     )
     eff = min(sample_fraction, 1.0)
-    thresh = hot_df_ratio * n_docs * eff
+    if n_docs is not None:
+        thresh = F.lit(hot_df_ratio * n_docs * eff)
+    else:
+        thresh = F.lit(hot_df_ratio) * F.col("_sample_rows")
     empty = F.array().cast("array<string>")
     per_field = [
         F.transform(
@@ -839,11 +850,19 @@ def detect_hot_terms_multi(
         )
         for i, fld in enumerate(fields)
     ]
-    rows = (
+    est = (
         src.select(F.explode(F.flatten(F.array(*per_field))).alias("p"))
         .groupBy("p.fi", "p.term")
         .agg(F.count(F.lit(1)).alias("df_est"))
-        .where(F.col("df_est") > F.lit(thresh))
+    )
+    if n_docs is None:
+        # the count side reads no data columns — row-count-only sampled scan
+        n_sample = src.select(
+            F.count(F.lit(1)).cast("double").alias("_sample_rows")
+        )
+        est = est.crossJoin(F.broadcast(n_sample))
+    rows = (
+        est.where(F.col("df_est") > thresh)
         .select("term")
         .distinct()
         .collect()
@@ -951,41 +970,56 @@ def build_segment(
     docs, _cached = assign_doc_ids(transcripts, return_cached=True)
     if doc_base:
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
-    # row count for the hot-term threshold: parquet-footer-cheap, no text
-    # scan. (Using total rows instead of dl>0 docs only *lowers* the salting
-    # threshold slightly — salting a near-hot term is harmless.)
-    n_rows = transcripts.count()
-    timings["doc_ids_count"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    timings["doc_ids"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # hot terms are the union over indexed fields, estimated in ONE sampled
-    # job (all fields tokenized from the same scan — hot_detect cost is flat
-    # in field count): salting a term that is hot in ANY field only affects
-    # block layout, never correctness, so one shared set is safe and keeps
-    # the shuffle key (bucket, salt) field-agnostic
-    hot = detect_hot_terms_multi(
-        docs, n_rows, hot_df_ratio, hot_sample_fraction, fields
-    )
-    timings["hot_detect"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-
-    # Warm executor Python workers (imports + package zipimport + first
-    # Arrow roundtrip) with a tiny flush before the full pass: measured on
-    # a cold 16-core session this turns a one-time ~60 s stall into ~3 s.
-    # On a real cluster the same pre-pass warms every executor's workers.
-    # (No doc_dim_dir here — the warmup slice must not leave part files.)
     src = docs.select(
         *DOC_DIM_COLS, *[f for f in fields if f not in DOC_DIM_COLS]
     )
-    warm_kernel = make_flush_kernel(
-        buckets, salt_buckets, hot, block_size, positions=positions,
-        fields=fields,
-    )
-    (
-        src.limit(2048)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(warm_kernel, POSTINGS_SCHEMA)
-        .count()
-    )
-    timings["worker_warmup"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+
+    # Pre-pass jobs, overlapped on driver threads (Spark schedules concurrent
+    # jobs fine; these were ~10% of the 4-executor build wall when serial —
+    # pure Amdahl loss, see BENCH/BASELINE.md round-4 scaling interpretation):
+    #   hot — the union of hot terms over indexed fields, ONE sampled job
+    #     (all fields tokenized from one scan). Threshold derived in-job from
+    #     the sample's own row count (n_docs=None), so no count() job exists.
+    #     Salting a term that is hot in ANY field only affects block layout,
+    #     never correctness — one shared set keeps the shuffle key
+    #     (bucket, salt) field-agnostic.
+    #   warm — executor Python workers (imports + package zipimport + first
+    #     Arrow roundtrip) exercised with a tiny flush before the full pass:
+    #     measured on a cold 16-core session this turns a one-time ~60 s
+    #     stall into ~3 s; a real cluster warms every executor the same way.
+    #     hot=[] — the warm-up only exercises code paths, its block layout is
+    #     discarded (count() sink; no doc_dim_dir, so no part files leak).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _hot_job() -> list[str]:
+        t0 = _time.perf_counter()
+        out = detect_hot_terms_multi(
+            docs, None, hot_df_ratio, hot_sample_fraction, fields
+        )
+        timings["hot_detect"] = _time.perf_counter() - t0
+        return out
+
+    def _warm_job() -> None:
+        t0 = _time.perf_counter()
+        warm_kernel = make_flush_kernel(
+            buckets, salt_buckets, [], block_size, positions=positions,
+            fields=fields,
+        )
+        (
+            src.limit(2048)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(warm_kernel, POSTINGS_SCHEMA)
+            .count()
+        )
+        timings["worker_warmup"] = _time.perf_counter() - t0
+
+    with ThreadPoolExecutor(2) as _ex:
+        _f_hot, _f_warm = _ex.submit(_hot_job), _ex.submit(_warm_job)
+        hot = _f_hot.result()
+        _f_warm.result()
+    timings["pre_concurrent"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # THE one text pass: flush (narrow; tokens never leave Python; doc_dim
     # side-written per partition) → ONE wide shuffle of compressed partial
@@ -1079,12 +1113,16 @@ def build_segment(
         ]
         cat.append_lineage(spark, rows)
 
+    _deferred_lineage: list[int] | None = None
     if bucket_groups <= 1:
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(
             cat.postings_path(segment_id)
         )
         timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-        _lineage_for(list(range(buckets)))
+        # lineage for the single-group build runs in the concurrent tail
+        # below (grouped builds keep per-group lineage inline — the resume
+        # invariant needs it committed before the next group starts)
+        _deferred_lineage = list(range(buckets))
     else:
         all_b = list(range(buckets))
         size = -(-buckets // bucket_groups)
@@ -1115,26 +1153,42 @@ def build_segment(
         blocks.unpersist()
         timings["encode_write"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
-    # Exact dictionary from the written blocks — a metadata-sized re-scan:
-    # only small stat columns are read (byte counts were recorded per block
-    # at encode time), never the binary payloads.
-    written = spark.read.parquet(cat.postings_path(segment_id))
-    written.groupBy("field", "term").agg(
-        F.min("bucket").alias("bucket"),
-        F.sum("doc_count").alias("df"),
-        F.sum("cf").alias("cf"),
-        F.count(F.lit(1)).alias("n_blocks"),
-    ).write.mode("overwrite").parquet(cat.dictionary_path(segment_id))
-    timings["dict_lineage"] = _time.perf_counter() - _t; _t = _time.perf_counter()
+    # Post-encode tail, overlapped on driver threads (independent tables —
+    # the other Amdahl serial share; see BENCH/BASELINE.md round-4):
+    #   dict — exact dictionary from the written blocks: a metadata-sized
+    #     re-scan reading only small stat columns, never binary payloads.
+    #   stats→lineage→cluster — global/per-field stats from the flush-written
+    #     doc_dim, deferred single-group lineage, then range-clustering of
+    #     doc_dim by (role, ts) so filtered search prunes on parquet footer
+    #     stats instead of full-scanning the dim table. cluster must run
+    #     AFTER _stats() reads the raw parts and BEFORE files.json pins the
+    #     final file set; both hold here (commit happens after the join).
+    def _dict_job() -> None:
+        t0 = _time.perf_counter()
+        written = spark.read.parquet(cat.postings_path(segment_id))
+        written.groupBy("field", "term").agg(
+            F.min("bucket").alias("bucket"),
+            F.sum("doc_count").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        ).write.mode("overwrite").parquet(cat.dictionary_path(segment_id))
+        timings["dictionary"] = _time.perf_counter() - t0
 
-    st = _stats()
-    timings["stats"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-    # range-cluster the committed doc_dim by (role, ts) so filtered search
-    # prunes on parquet footer stats instead of full-scanning the dim table
-    # (must run AFTER _stats() reads the raw parts, BEFORE files.json pins
-    # the final file set)
-    cluster_doc_dim(spark, cat, segment_id, st["total_rows"])
-    timings["doc_dim_cluster"] = _time.perf_counter() - _t
+    def _stats_cluster_job() -> dict:
+        t0 = _time.perf_counter()
+        st = _stats()
+        if _deferred_lineage is not None:
+            _lineage_for(_deferred_lineage)
+        cluster_doc_dim(spark, cat, segment_id, st["total_rows"])
+        timings["stats_lineage_cluster"] = _time.perf_counter() - t0
+        return st
+
+    with ThreadPoolExecutor(2) as _ex:
+        _f_dict = _ex.submit(_dict_job)
+        _f_st = _ex.submit(_stats_cluster_job)
+        st = _f_st.result()
+        _f_dict.result()
+    timings["tail_concurrent"] = _time.perf_counter() - _t
     seg_meta = {
         "id": segment_id,
         "doc_base": doc_base,
