@@ -49,7 +49,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuvs_lucene_spark.analysis import (
@@ -823,12 +823,13 @@ def detect_hot_terms_multi(
     union over-salts harmlessly — same policy as compaction).
 
     n_docs=None derives the threshold from the SAMPLE's own row count inside
-    the job (a broadcast 1-row cross join; the Bernoulli sample is seeded so
-    both references see identical membership). A Bernoulli sample's size
+    the job: every sampled row also emits one marker struct (fi=-1), whose
+    aggregated count IS the sample size — one scan produces both the
+    per-term estimates and the denominator, and a windowed max broadcasts it
+    across the (vocab-sized) aggregate. A Bernoulli sample's size
     concentrates tightly around n·fraction, and salting is layout-only, so
-    the in-job estimate is as safe as the external count — and it frees the
-    caller from running count() first, letting build_index overlap this job
-    with the row count and worker warm-up on driver threads."""
+    the in-job estimate is as safe as the external count — and it frees
+    build_index from running count() first (the count job is gone)."""
     src = (
         docs
         if sample_fraction >= 1.0
@@ -850,17 +851,25 @@ def detect_hot_terms_multi(
         )
         for i, fld in enumerate(fields)
     ]
+    if n_docs is None:
+        # one marker struct per sampled row: its aggregated count is the
+        # sample size, produced by the SAME scan as the term estimates
+        per_field.append(
+            F.array(F.struct(F.lit(-1).alias("fi"), F.lit("").alias("term")))
+        )
     est = (
         src.select(F.explode(F.flatten(F.array(*per_field))).alias("p"))
         .groupBy("p.fi", "p.term")
         .agg(F.count(F.lit(1)).alias("df_est"))
     )
     if n_docs is None:
-        # the count side reads no data columns — row-count-only sampled scan
-        n_sample = src.select(
-            F.count(F.lit(1)).cast("double").alias("_sample_rows")
-        )
-        est = est.crossJoin(F.broadcast(n_sample))
+        w_all = Window.partitionBy()  # vocab-sized aggregate — cheap
+        est = est.withColumn(
+            "_sample_rows",
+            F.max(
+                F.when(F.col("fi") == -1, F.col("df_est"))
+            ).over(w_all).cast("double"),
+        ).where(F.col("fi") >= 0)
     rows = (
         est.where(F.col("df_est") > thresh)
         .select("term")
