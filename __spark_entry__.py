@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v012"  # v012: doc_dim range-clustered by (role, ts)
+_IDX_VERSION = "v013"  # v013: analyzer-aware manifests, concurrent build phases
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -85,10 +85,16 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment + tokenize + quantized norms + stats + tf. Parametrized by the
 # indexed FIELD expression: per-field n_docs/avgdl/df (the whole prefix
 # becomes field-specific, exactly like the engine's per-field stats).
-def _oracle_prefix(field_expr: str = "text", sfx: str = "", lead: str = "WITH ") -> str:
+def _oracle_prefix(
+    field_expr: str = "text", sfx: str = "", lead: str = "WITH ",
+    analyzer: str = "standard",
+) -> str:
     """CTE prefix for ONE indexed field. sfx suffixes every CTE name so two
     fields' chains can coexist in one statement (_oracle_multifield_sql);
-    lead='' drops the WITH for non-first chains."""
+    lead='' drops the WITH for non-first chains. analyzer selects the
+    analysis chain for toks/dl — the oracle twin of the build-side chain
+    (analysis.analyze_sql_toks)."""
+    from cuvs_lucene_spark.analysis import analyze_sql_toks
     return f"""
 {lead}base{sfx} AS (
   SELECT 'conv-' || lpad(cast(cast(doc_id % 50 AS bigint) AS varchar), 8, '0') AS conv_id,
@@ -102,7 +108,7 @@ def _oracle_prefix(field_expr: str = "text", sfx: str = "", lead: str = "WITH ")
 docs{sfx} AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
          conv_id, turn_idx, role, ts,
-         list_filter(regexp_split_to_array(lower(coalesce({field_expr},'')), '[^a-z0-9]+'), x -> x <> '') AS toks
+         {analyze_sql_toks(f"coalesce({field_expr},'')", analyzer)} AS toks
   FROM base{sfx}
 ),
 dlq{sfx} AS (
@@ -288,6 +294,7 @@ def _oracle_topk_sql(
     field_expr: str = "text",
     exclude: list[str] | None = None,
     msm: int | None = None,
+    analyzer: str = "standard",
 ) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
 
@@ -318,7 +325,7 @@ def _oracle_topk_sql(
         f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
         for t in sorted(set(terms))
     )
-    return f"""{_oracle_prefix(field_expr)},
+    return f"""{_oracle_prefix(field_expr, analyzer=analyzer)},
 qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
 ts AS (SELECT term, count(*) AS df,
               ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
@@ -845,6 +852,12 @@ ORDER BY rank
 # a boosted nested group, AND a phrase leaf inside the boolean tree
 _QSTRING_GATE = '+scan (filter OR window^2.0) "merge sort" -hash'
 
+# the english-chain gate's raw query: stopword dropped ("the"), plurals
+# stemmed query-side (columns→column, merges→merge); the corpus itself
+# contains stopwords (a/the in ~60% of docs), so the BUILD-side chain (dl
+# excludes them, df drops them) is what the oracle verifies
+_ENG_QUERY = "The columns merges"
+
 
 def _qstring_gate_tree():
     from cuvs_lucene_spark.qparser import compile_query
@@ -972,6 +985,21 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         buckets=8, salt_buckets=4, hot_df_ratio=0.20, positions=True,
         fields=("text", "tool"),
     )  # idempotent: committed manifest → no-op
+    return d
+
+
+def _index_for_eng(spark: SparkSession, sf_dir: str) -> str:
+    """Second per-sf index built with the "english" analysis chain (stop
+    filter + minimal stemmer) — analyzers are per-index in Lucene, so the
+    english gate gets its own small index, cached by manifest idempotence."""
+    from cuvs_lucene_spark.operators.build import build_index
+
+    _ensure_pkg(spark)
+    d = _index_dir(sf_dir) + "_eng"
+    build_index(
+        spark, derive_transcripts(spark, sf_dir), d,
+        buckets=8, salt_buckets=4, hot_df_ratio=0.20, analyzer="english",
+    )
     return d
 
 
@@ -1221,6 +1249,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_qstring"] = qstring_q
+
+    def english_q(s: SparkSession, d: str) -> DataFrame:
+        # "english" analysis chain (stop filter + minimal stemmer): the raw
+        # query analyzes to [package, deposit]; matches stemmed index terms
+        from cuvs_lucene_spark.query import search
+
+        return _ranked(
+            search(
+                s, _index_for_eng(s, d), _ENG_QUERY, k=10, float32=False
+            )
+        )
+
+    q["fts_topk_english"] = english_q
 
     def phrase(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import search_phrase
@@ -1770,6 +1811,11 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
     o["fts_topk_qstring"] = _oracle_qstring_sql(10)
+    from cuvs_lucene_spark.analysis import analyze_py as _an
+
+    o["fts_topk_english"] = _oracle_topk_sql(
+        _an(_ENG_QUERY, "english"), 10, "or", None, analyzer="english"
+    )
     # slop>0: the two-slot SloppyPhraseMatcher sweep as a recursive CTE —
     # this gate was rows-only (`no_oracle`) through round 3; now hash-gated
     o["fts_topk_phrase_slop"] = _oracle_phrase_slop_sql(["merge", "sort"], 2, 10)

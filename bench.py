@@ -92,7 +92,7 @@ def bench_build(spark) -> dict:
     }
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -103,6 +103,7 @@ def bench_queries(spark) -> dict[str, float]:
     for fn in qs.values():
         fn(spark, SF_DIR).collect()
     out: dict[str, float] = {}
+    fts_samples: list[float] = []
     for name, fn in qs.items():
         times = []
         for _ in range(REPS):
@@ -110,7 +111,23 @@ def bench_queries(spark) -> dict[str, float]:
             fn(spark, SF_DIR).collect()
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 4)
-    return out
+        if name.startswith("fts_topk_"):
+            fts_samples.extend(times)
+    # BASELINE.md protocol asks for p50/p95 over ≥100 warm executions; the
+    # top-k family (~20 gates × REPS) pools to that order. One distribution
+    # over the whole family is the honest serving-latency figure — per-query
+    # medians above stay the per-operator regression signal.
+    fts_samples.sort()
+    pct = {
+        "fts_topk_p50": round(
+            statistics.median(fts_samples), 4
+        ) if fts_samples else None,
+        "fts_topk_p95": round(
+            fts_samples[max(0, int(0.95 * len(fts_samples)) - 1)], 4
+        ) if fts_samples else None,
+        "fts_topk_n_samples": len(fts_samples),
+    }
+    return out, pct
 
 
 def main() -> None:
@@ -120,7 +137,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     build = bench_build(spark)
-    queries = bench_queries(spark)
+    queries, latency = bench_queries(spark)
     total = round(build["sec"] + sum(queries.values()), 3)
 
     print(json.dumps({
@@ -128,6 +145,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "latency": latency,
         "sf": _sf_of(SF_DIR),
         "build": build,
         "cpus": CPUS,

@@ -189,3 +189,113 @@ def bm25_term_score_np(
         return (np.float32(idf) * tf32 / (tf32 + k)).astype(np.float32)
     k = BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d.astype(np.float64) / float(avgdl))
     return float(idf) * tf.astype(np.float64) / (tf.astype(np.float64) + k)
+
+
+# ---------------------------------------------------------------------------
+# Analysis chains (Lucene analyzer-module analogs)
+# ---------------------------------------------------------------------------
+# The engine's default chain ("standard") is the bare tokenizer above. The
+# "english" chain replicates Lucene's EnglishAnalyzer-lite pipeline that the
+# reference's Lucene dependency ships [Lucene-10.2.0 analysis-common, via
+# pom.xml:42-43]: StopFilter with the classic 33-word English stop set, then
+# EnglishMinimalStemFilter (S-stemmer: plural stripping only). Both published
+# algorithms, reimplemented here in three pinned twins (python / numpy-over-
+# uniques / DuckDB SQL) exactly like the tokenizer itself.
+#
+# Position semantics match Lucene StopFilter's enablePositionIncrements=true:
+# a removed stopword CONSUMES a position (phrase queries across it need the
+# gap), but does not count toward the stored field length (norms count only
+# tokens that were indexed).
+
+# CharArraySet EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public, Lucene docs)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+ANALYZERS = ("standard", "english")
+
+
+def english_minimal_stem_py(t: str) -> str:
+    """EnglishMinimalStemFilter (Lucene analysis-common; published S-stemmer):
+    strip plural -s with the ies→y and -us/-ss/-xes-family guards."""
+    n = len(t)
+    if n < 3 or t[-1] != "s":
+        return t
+    c = t[-2]
+    if c in ("u", "s"):  # -us, -ss keep
+        return t
+    if c == "e":
+        if n > 3 and t[-3] == "i" and t[-4] not in ("a", "e"):
+            return t[:-3] + "y"  # -ies -> -y (cities -> city)
+        if t[-3] in ("a", "i", "o", "u"):  # -aes/-ies/-oes/-ues keep ('e' NOT
+            return t                        # in Lucene's guard: trees->tree)
+        return t[:-1]
+    return t[:-1]
+
+
+def english_minimal_stem_np(uniq) -> "np.ndarray":
+    """Vectorized-enough twin over a (small) unique-term array: the build
+    kernel stems the per-batch DICTIONARY (≤ |vocab ∩ partition| strings),
+    never the token stream, so a python loop over uniques is cache-cheap."""
+    return np.array([english_minimal_stem_py(t) for t in uniq], dtype=object)
+
+
+def english_minimal_stem_sql(c: str) -> str:
+    """DuckDB twin of english_minimal_stem_py for a varchar expression."""
+    return (
+        f"CASE WHEN length({c}) < 3 OR {c} NOT LIKE '%s' THEN {c} "
+        f"WHEN substr({c}, -2, 1) IN ('u','s') THEN {c} "
+        f"WHEN substr({c}, -2, 1) = 'e' THEN ("
+        f"  CASE WHEN length({c}) > 3 AND substr({c}, -3, 1) = 'i' "
+        f"            AND substr({c}, -4, 1) NOT IN ('a','e') "
+        f"       THEN substr({c}, 1, length({c}) - 3) || 'y' "
+        f"       WHEN substr({c}, -3, 1) IN ('a','i','o','u') THEN {c} "
+        f"       ELSE substr({c}, 1, length({c}) - 1) END) "
+        f"ELSE substr({c}, 1, length({c}) - 1) END"
+    )
+
+
+def analyze_py(text: str | None, analyzer: str = "standard") -> list[str]:
+    """Query-side analysis: tokenize, then apply the chain. Returns the
+    SURVIVING terms only (no position info — use analyze_with_offsets for
+    phrase queries, where stopword gaps matter)."""
+    return [t for t, _o in analyze_with_offsets(text, analyzer)]
+
+
+def analyze_with_offsets(
+    text: str | None, analyzer: str = "standard"
+) -> list[tuple[str, int]]:
+    """(term, position) pairs after the chain; positions count REMOVED
+    stopwords (Lucene posInc semantics), so "big the dog" analyzes to
+    [(big, 0), (dog, 2)] under "english" and an exact PhraseQuery requires
+    the same gap in the document."""
+    if analyzer not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} (have {ANALYZERS})")
+    toks = tokenize_py(text)
+    if analyzer == "standard":
+        return [(t, i) for i, t in enumerate(toks)]
+    out: list[tuple[str, int]] = []
+    for i, t in enumerate(toks):
+        if t in ENGLISH_STOP_WORDS:
+            continue  # consumes position i, emits nothing
+        out.append((english_minimal_stem_py(t), i))
+    return out
+
+
+def analyze_sql_toks(c: str, analyzer: str = "standard") -> str:
+    """DuckDB fragment: the analyzed token array for text column `c` —
+    the oracle twin of the BUILD-side chain. NOTE dl under "english" is the
+    LENGTH OF THIS LIST (stopwords don't count toward norms), while phrase
+    positions come from analyze_sql_tokpos below."""
+    base = tokenize_sql(c)
+    if analyzer == "standard":
+        return base
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    stemmed = f"list_transform({base}, t -> {english_minimal_stem_sql('t')})"
+    # stem AFTER stop-removal, like the python chain (stemming never produces
+    # a stopword from a non-stopword under this stemmer, but order is pinned)
+    return (
+        f"list_transform(list_filter({base}, t -> t NOT IN ({stop_list})), "
+        f"t -> {english_minimal_stem_sql('t')})"
+    )

@@ -145,11 +145,18 @@ def highlight(
     docstring for the pinned fragment semantics.
     """
     from cuvs_lucene_spark.analysis import tokenize_py
-    from cuvs_lucene_spark.query import search
+    from cuvs_lucene_spark.query import IndexReader, search
 
+    rd = IndexReader(spark, index_dir)
+    if rd.analyzer != "standard":
+        raise NotImplementedError(
+            "highlighting on a non-standard-analyzed index is not supported:"
+            " snippet offsets are raw-token based, but the hits match"
+            f" {rd.analyzer!r}-chain terms"
+        )
     hits = search(
         spark, index_dir, query, k=k, mode=mode, filter_cond=filter_cond,
-        prune=prune, exclude=exclude, msm=msm, float32=float32,
+        prune=prune, exclude=exclude, msm=msm, float32=float32, reader=rd,
     ).collect()  # ≤ k rows — the bounded collect every searchAfter page does
     if not hits:
         return spark.createDataFrame([], HIGHLIGHT_SCHEMA)

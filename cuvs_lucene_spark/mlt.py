@@ -29,7 +29,6 @@ from collections import Counter
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from cuvs_lucene_spark.analysis import tokenize_py
 from cuvs_lucene_spark.query import IndexReader, search
 
 MAX_QUERY_TERMS = 25  # Lucene MoreLikeThis.DEFAULT_MAX_QUERY_TERMS
@@ -51,7 +50,7 @@ def select_like_terms(
     ≥ min_term_freq times in it and have corpus df in [min_doc_freq,
     max_doc_freq], ranked (tf DESC, df ASC, term ASC), capped at
     max_query_terms. Returns the selected terms (selection order)."""
-    tf = Counter(tokenize_py(like_text))
+    tf = Counter(rd.analyze(like_text))
     cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
     if not cands or not rd.manifest["segments"]:
         return []

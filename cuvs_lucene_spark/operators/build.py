@@ -55,12 +55,17 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.analysis import (
     BM25_B,
     BM25_K1,
+    ENGLISH_STOP_WORDS,
     TOKEN_PATTERN,
     dequantize_dl_np,
+    english_minimal_stem_np,
     quantize_dl_np,
     tokenize_col,
     with_quantized_dl,
 )
+
+# numpy-comparable form of the stop set for the flush kernel's isin
+_ENGLISH_STOP_ARR = np.array(sorted(ENGLISH_STOP_WORDS), dtype="U")
 from cuvs_lucene_spark.codec import BLOCK_SIZE, pack_u64_blocks
 from cuvs_lucene_spark.operators.doc_ids import assign_doc_ids
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
@@ -469,6 +474,7 @@ def make_flush_kernel(
     positions: bool = False,
     doc_dim_dir: str | None = None,
     fields: tuple[str, ...] = ("text",),
+    analyzer: str = "standard",
 ):
     """mapInPandas kernel over doc partitions → partial posting block rows
     for that partition's docID range.
@@ -521,38 +527,58 @@ def make_flush_kernel(
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = np.asarray(enc.dictionary.to_pandas(), dtype=object)
         d_rep = np.repeat(doc_ids, lens)
-        # drop empty tokens ("" occurs only at string boundaries), then
-        # dl = per-doc surviving token count — identical to the JVM
-        # regexp_count dl (count of maximal [a-z0-9]+ runs) — quantized
-        # in-kernel, so the flush lineage ships only (doc_id, text)
+        # Analysis chain over the dictionary-encoded stream:
+        #   keep1 — non-"" split artifacts: TOKENS of the analyzer contract
+        #     ("" consumes no position, counts nowhere);
+        #   keep_all — keep1 minus stopwords under the "english" chain: a
+        #     stopword CONSUMES a position (Lucene StopFilter with
+        #     enablePositionIncrements — phrase gaps survive) but is not
+        #     indexed and does not count toward dl (norms count indexed
+        #     tokens only).
+        # dl via prefix-sum difference: immune to reduceat's empty-segment
+        # aliasing AND to trailing zero-length docs (NULL texts at the batch
+        # tail), where a clipped reduceat undercounts the last non-empty doc
+        # by one token and desyncs q_rep from the kept rows.
         empty_code = np.flatnonzero(uniq == "")
         doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=doc_off[1:])
         pos = None
-        if len(empty_code):
-            keep = codes != empty_code[0]
-            # exact per-doc kept-token count via prefix-sum difference:
-            # immune to reduceat's empty-segment aliasing AND to trailing
-            # zero-length docs (NULL texts at the batch tail), where a
-            # clipped reduceat undercounts the last non-empty doc by one
-            # token and desyncs q_rep from the kept rows.
-            kcum = np.zeros(len(codes) + 1, dtype=np.int64)
-            np.cumsum(keep, out=kcum[1:])
-            dl = kcum[doc_off[1:]] - kcum[doc_off[:-1]]
-            if positions:
-                # ordinal among KEPT tokens within the doc ("" split
-                # artifacts are separators, not tokens — they consume no
-                # position, matching tokenize_py's token list)
-                pos = (
-                    kcum[:-1] - np.repeat(kcum[doc_off[:-1]], lens)
-                )[keep]
-            codes, d_rep = codes[keep], d_rep[keep]
-        else:
+        keep1 = (codes != empty_code[0]) if len(empty_code) else None
+        not_stop = None
+        if analyzer == "english":
+            stop_codes = np.flatnonzero(
+                np.isin(uniq.astype("U"), _ENGLISH_STOP_ARR)
+            )
+            if len(stop_codes):
+                not_stop = ~np.isin(codes, stop_codes)
+        if keep1 is None and not_stop is None:
             dl = lens
             if positions:
                 pos = np.arange(len(codes), dtype=np.int64) - np.repeat(
                     doc_off[:-1], lens
                 )
+        else:
+            k1 = keep1 if keep1 is not None else np.ones(len(codes), bool)
+            keep_all = (k1 & not_stop) if not_stop is not None else k1
+            if positions:
+                # position = ordinal among keep1 tokens within the doc
+                kcum1 = np.zeros(len(codes) + 1, dtype=np.int64)
+                np.cumsum(k1, out=kcum1[1:])
+                pos = (
+                    kcum1[:-1] - np.repeat(kcum1[doc_off[:-1]], lens)
+                )[keep_all]
+            acum = np.zeros(len(codes) + 1, dtype=np.int64)
+            np.cumsum(keep_all, out=acum[1:])
+            dl = acum[doc_off[1:]] - acum[doc_off[:-1]]
+            codes, d_rep = codes[keep_all], d_rep[keep_all]
+        if analyzer == "english" and len(codes):
+            # minimal stem on the DICTIONARY, then re-encode: stems collide
+            # (dog/dogs), and duplicate (doc, term) rows downstream are the
+            # normal tf>1 case the sorted-run aggregation already handles
+            stemmed = english_minimal_stem_np(uniq)
+            uniq, inv = np.unique(stemmed, return_inverse=True)
+            uniq = uniq.astype(object)
+            codes = inv[codes]
         q_per_doc = quantize_dl_np(np.maximum(dl, 0))
         if not len(codes):
             return None, dl, q_per_doc
@@ -924,12 +950,13 @@ def build_segment(
     buckets: int = 32,
     salt_buckets: int = 8,
     hot_df_ratio: float = 0.05,
-    hot_sample_fraction: float = 0.05,
+    hot_sample_fraction: float = 0.02,
     block_size: int = BLOCK_SIZE,
     run_id: str | None = None,
     bucket_groups: int = 1,
     positions: bool = False,
     fields: tuple[str, ...] = ("text",),
+    analyzer: str = "standard",
     _fail_after_groups: int | None = None,
 ) -> dict:
     """Build + commit one segment; returns its manifest entry.
@@ -966,7 +993,14 @@ def build_segment(
         buckets = existing[0]["buckets"]
         positions = bool(existing[0].get("positions", False))
         fields = tuple(existing[0].get("fields", ["text"]))
+        # the analysis chain likewise: query-time analysis must match every
+        # segment's build-time chain or terms silently stop matching
+        analyzer = existing[0].get("analyzer", "standard")
     fields = tuple(fields)
+    from cuvs_lucene_spark.analysis import ANALYZERS as _ANALYZERS
+
+    if analyzer not in _ANALYZERS:
+        raise ValueError(f"unknown analyzer {analyzer!r} (have {_ANALYZERS})")
     run_id = run_id or uuid.uuid4().hex[:12]
     doc_base = cat.next_doc_base()
     import time as _time
@@ -974,16 +1008,6 @@ def build_segment(
     timings: dict[str, float] = {}
     _t = _time.perf_counter()
 
-    # docID assignment needs only the sort keys (sorted-scan probe or cached
-    # rank fallback) — no text is read here.
-    docs, _cached = assign_doc_ids(transcripts, return_cached=True)
-    if doc_base:
-        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
-    timings["doc_ids"] = _time.perf_counter() - _t; _t = _time.perf_counter()
-
-    src = docs.select(
-        *DOC_DIM_COLS, *[f for f in fields if f not in DOC_DIM_COLS]
-    )
 
     # Pre-pass jobs, overlapped on driver threads (Spark schedules concurrent
     # jobs fine; these were ~10% of the 4-executor build wall when serial —
@@ -1002,32 +1026,66 @@ def build_segment(
     #     discarded (count() sink; no doc_dim_dir, so no part files leak).
     from concurrent.futures import ThreadPoolExecutor
 
+    def _ids_job():
+        # docID assignment needs only the sort keys (sorted-scan probe or
+        # cached rank fallback) — no text is read here
+        t0 = _time.perf_counter()
+        out = assign_doc_ids(transcripts, return_cached=True)
+        timings["doc_ids"] = _time.perf_counter() - t0
+        return out
+
     def _hot_job() -> list[str]:
+        # hot detection tokenizes text only — runs on the RAW transcripts so
+        # it needs neither doc ids nor the probe job's completion
         t0 = _time.perf_counter()
         out = detect_hot_terms_multi(
-            docs, None, hot_df_ratio, hot_sample_fraction, fields
+            transcripts, None, hot_df_ratio, hot_sample_fraction, fields
         )
         timings["hot_detect"] = _time.perf_counter() - t0
         return out
 
     def _warm_job() -> None:
+        # warm-up likewise exercises code paths only: a constant doc_id is
+        # as good as a real one for imports/Arrow/JIT
         t0 = _time.perf_counter()
         warm_kernel = make_flush_kernel(
             buckets, salt_buckets, [], block_size, positions=positions,
-            fields=fields,
+            fields=fields, analyzer=analyzer,
+        )
+        wsrc = transcripts.limit(2048).withColumn(
+            "doc_id", F.lit(0).cast("long")
+        ).select(
+            *DOC_DIM_COLS, *[f for f in fields if f not in DOC_DIM_COLS]
         )
         (
-            src.limit(2048)
-            .repartition(spark.sparkContext.defaultParallelism)
+            wsrc.repartition(spark.sparkContext.defaultParallelism)
             .mapInPandas(warm_kernel, POSTINGS_SCHEMA)
             .count()
         )
         timings["worker_warmup"] = _time.perf_counter() - t0
 
-    with ThreadPoolExecutor(2) as _ex:
+    with ThreadPoolExecutor(3) as _ex:
+        _f_ids = _ex.submit(_ids_job)
         _f_hot, _f_warm = _ex.submit(_hot_job), _ex.submit(_warm_job)
+        docs, _cached = _f_ids.result()
         hot = _f_hot.result()
         _f_warm.result()
+    if doc_base:
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+    src = docs.select(
+        *DOC_DIM_COLS, *[f for f in fields if f not in DOC_DIM_COLS]
+    )
+    if analyzer == "english":
+        # hot detection samples RAW tokens (JVM tokenizer, no chain) — map
+        # the estimates through the chain so salting targets INDEXED terms
+        # (layout-only: an unmapped hot term risks skew, never correctness)
+        from cuvs_lucene_spark.analysis import english_minimal_stem_py
+
+        hot = sorted({
+            english_minimal_stem_py(t)
+            for t in hot
+            if t not in ENGLISH_STOP_WORDS
+        })
     timings["pre_concurrent"] = _time.perf_counter() - _t; _t = _time.perf_counter()
 
     # THE one text pass: flush (narrow; tokens never leave Python; doc_dim
@@ -1050,6 +1108,7 @@ def build_segment(
     flush_kernel = make_flush_kernel(
         buckets, salt_buckets, hot, block_size, positions=positions,
         doc_dim_dir=cat.doc_dim_path(segment_id), fields=fields,
+        analyzer=analyzer,
     )
     partials = src.mapInPandas(flush_kernel, POSTINGS_SCHEMA)
     blocks = merge_partials(spark, partials, buckets, block_size, reblock=True)
@@ -1186,9 +1245,18 @@ def build_segment(
     def _stats_cluster_job() -> dict:
         t0 = _time.perf_counter()
         st = _stats()
-        if _deferred_lineage is not None:
-            _lineage_for(_deferred_lineage)
-        cluster_doc_dim(spark, cat, segment_id, st["total_rows"])
+        # lineage and clustering both depend on stats but not on each other
+        with ThreadPoolExecutor(2) as _ex2:
+            fs_ = []
+            if _deferred_lineage is not None:
+                fs_.append(_ex2.submit(_lineage_for, _deferred_lineage))
+            fs_.append(
+                _ex2.submit(
+                    cluster_doc_dim, spark, cat, segment_id, st["total_rows"]
+                )
+            )
+            for f in fs_:
+                f.result()
         timings["stats_lineage_cluster"] = _time.perf_counter() - t0
         return st
 
@@ -1208,6 +1276,7 @@ def build_segment(
         "buckets": buckets,
         "hot_terms": len(hot),
         "positions": positions,
+        "analyzer": analyzer,
         "fields": list(fields),
         "field_stats": st["field_stats"],
         "run_id": run_id,

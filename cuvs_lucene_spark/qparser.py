@@ -319,8 +319,23 @@ def _compile(n: Node, rd, fld: str, max_expansions: int):
             "with field=, or use query.search_multifield for cross-field"
         )
     if n.kind == "term":
+        # the parser is the ANALYZING layer (Lucene QueryParser): apply the
+        # index's chain to the leaf. A term that analyzes to nothing (a
+        # stopword under "english") is Lucene's null query — MatchNoDocs
+        # here, dropped by the boolean simplification rules.
+        if rd is not None and rd.analyzer != "standard":
+            toks = rd.analyze(n.text)
+            if not toks:
+                return _MATCH_NONE
+            return Q.term(toks[0], boost=n.boost)
         return Q.term(n.text, boost=n.boost)
     if n.kind == "phrase":
+        if rd is not None and rd.analyzer != "standard":
+            raise ParseError(
+                "phrase clauses in query strings are not supported on a "
+                f"{rd.analyzer!r}-analyzed index — use query.search_phrase, "
+                "which applies the chain with stopword position gaps"
+            )
         return Q.phrase(n.text, slop=n.slop, boost=n.boost)
     if n.kind in ("wildcard", "fuzzy", "regexp"):
         if rd is None:

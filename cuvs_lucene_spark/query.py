@@ -132,6 +132,13 @@ class IndexReader:
             if self.manifest["segments"]
             else ["text"]
         )
+        # the index's analysis chain: query text must be analyzed with the
+        # SAME chain the build used (build_segment pins it across segments)
+        self.analyzer = (
+            self.manifest["segments"][0].get("analyzer", "standard")
+            if self.manifest["segments"]
+            else "standard"
+        )
         self.n_docs, self.sum_dl, self.avgdl = self.cat.global_stats()
         # snapshot identity for the driver-side term-stats cache: the segment
         # set (ids + run lineage) plus the manifest COMMIT identity (version
@@ -150,6 +157,19 @@ class IndexReader:
                 (s["id"], s.get("run_id")) for s in self.manifest["segments"]
             ),
         )
+
+    def analyze(self, text: str | None) -> list[str]:
+        """Query-side analysis with the index's chain (surviving terms)."""
+        from cuvs_lucene_spark.analysis import analyze_py
+
+        return analyze_py(text, self.analyzer)
+
+    def analyze_with_offsets(self, text: str | None) -> list[tuple[str, int]]:
+        """(term, position) pairs — positions count removed stopwords
+        (Lucene posInc), the input to gapped exact-phrase matching."""
+        from cuvs_lucene_spark.analysis import analyze_with_offsets
+
+        return analyze_with_offsets(text, self.analyzer)
 
     def resolve_field(self, field: str | None) -> str:
         fld = field or self.fields[0]
@@ -433,7 +453,7 @@ def search(
             f"`{group_by}` {grp_t}, grp_rank int, doc_id long, "
             f"score {score_t}, conv_id string, turn_idx int",
         )
-    q_terms = tokenize_py(query)
+    q_terms = rd.analyze(query)
     if k <= 0 or not q_terms or not rd.manifest["segments"]:
         return empty
     fld = rd.resolve_field(field)
@@ -478,7 +498,7 @@ def search(
     # Positions/payload never read: decode_postings projects them away.
     ex_ids: DataFrame | None = None
     if exclude:
-        ex_terms = sorted(set(tokenize_py(exclude)))
+        ex_terms = sorted(set(rd.analyze(exclude)))
         ex_stats = rd.term_stats(ex_terms, fld)
         ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
         if ex_present:
@@ -569,7 +589,7 @@ def search_batch(
     if f_docs == 0:
         return empty
     k = min(k, f_docs)
-    parsed = [tokenize_py(q) for q in queries]
+    parsed = [rd.analyze(q) for q in queries]
     all_terms = sorted({t for toks in parsed for t in toks})
     if not all_terms:
         return empty
@@ -699,7 +719,7 @@ def search_fields(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    q_terms = tokenize_py(query)
+    q_terms = rd.analyze(query)
     if k <= 0 or not q_terms or not rd.manifest["segments"]:
         return empty
     flds = [rd.resolve_field(f) for f in (fields or rd.fields)]
@@ -811,7 +831,7 @@ def explain(
 
     rd = reader or IndexReader(spark, index_dir)
     out: dict = {"doc_id": int(doc_id), "score": 0.0, "matched": False, "terms": {}}
-    q_terms = tokenize_py(query)
+    q_terms = rd.analyze(query)
     if not q_terms or not rd.manifest["segments"]:
         return out
     fld = rd.resolve_field(field)
@@ -887,7 +907,7 @@ def _match_doc_ids_df(
 
     if msm is not None and (mode != "or" or msm < 1):
         raise ValueError("msm requires mode='or' and msm >= 1")
-    q_terms = tokenize_py(query)
+    q_terms = rd.analyze(query)
     if not q_terms or not rd.manifest["segments"]:
         return None
     fld = rd.resolve_field(field)
@@ -910,7 +930,7 @@ def _match_doc_ids_df(
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if exclude:
-        ex_terms = sorted(set(tokenize_py(exclude)))
+        ex_terms = sorted(set(rd.analyze(exclude)))
         ex_stats = rd.term_stats(ex_terms, fld)
         ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
         if ex_present:
@@ -1441,15 +1461,24 @@ def phrase_doc_scores(
     slop: int = 0,
     del_ids: DataFrame | None = None,
     filter_cond: Column | str | None = None,
+    offsets: list[int] | None = None,
 ) -> DataFrame | None:
     """Per-doc float64 phrase BM25 scores: (doc_id, score_d), matching docs
     only — the shared core of search_phrase and the boolean executor's
     Q.phrase leaves (booleanq.search_boolean joins this onto its per-doc
     pivot). Returns None when a slot term is absent from the field (the
     phrase provably matches nothing). Scoring per Lucene PhraseWeight — see
-    search_phrase. `slots` must be analyzer tokens."""
+    search_phrase. `slots` must be POST-CHAIN terms; `offsets` are their
+    phrase positions (default 0..n-1) — under a stopword-removing analyzer
+    the gaps of removed stopwords stay in the offsets (Lucene posInc), so
+    "big the dog" only exact-matches documents with the same gap, and sloppy
+    matching measures its match length over the same adjusted positions."""
     if not slots:
         return None
+    if offsets is None:
+        offsets = list(range(len(slots)))
+    if len(offsets) != len(slots) or sorted(set(offsets)) != list(offsets):
+        raise ValueError("offsets must be strictly increasing, one per slot")
     if not all(s.get("positions", False) for s in rd.manifest["segments"]):
         raise ValueError(
             "phrase search requires an index built with positions=True"
@@ -1472,8 +1501,8 @@ def phrase_doc_scores(
         )
 
     slot_of_term: dict[str, list[int]] = {}
-    for i, t in enumerate(slots):
-        slot_of_term.setdefault(t, []).append(i)
+    for t, off in zip(slots, offsets):
+        slot_of_term.setdefault(t, []).append(off)
 
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
@@ -1579,7 +1608,8 @@ def search_phrase(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    slots = tokenize_py(phrase)
+    pairs = rd.analyze_with_offsets(phrase)
+    slots = [t for t, _o in pairs]
     if k <= 0 or not slots or not rd.manifest["segments"]:
         return empty
     fld = rd.resolve_field(field)
@@ -1593,6 +1623,7 @@ def search_phrase(
     scored = phrase_doc_scores(
         spark, rd, slots, fld, slop=slop,
         del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        offsets=[o for _t, o in pairs],
     )
     if scored is None:
         return empty
