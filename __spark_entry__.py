@@ -1209,6 +1209,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_regexp"] = regexp_q
 
+    def trange_q(s: SparkSession, d: str) -> DataFrame:
+        # TermRangeQuery ['sa','so') — lexicographic dictionary-range
+        # expansion (inclusive lower, exclusive upper), pushable string
+        # bounds, then the same SCORING_BOOLEAN_REWRITE OR pipeline
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        return _ranked(
+            search_multiterm(
+                s, _index_for(s, d), term_range=("sa", "so"),
+                include_upper=False, k=10, float32=False,
+            )
+        )
+
+    q["fts_topk_trange"] = trange_q
+
+    def facet_ts_ranges_q(s: SparkSession, d: str) -> DataFrame:
+        # LongRangeFacetCounts analog: named, OVERLAPPING half-open ts
+        # ranges counted independently over the match set in ONE aggregate
+        # pass (a doc in two ranges counts in both, exactly Lucene ranges)
+        from cuvs_lucene_spark.query import facet_ranges
+
+        out = facet_ranges(
+            s,
+            _index_for(s, d),
+            "merge sort join",
+            ranges=[
+                ("h0_4", "2026-01-01 00:00:00", "2026-01-01 04:00:00"),
+                ("h4_8", "2026-01-01 04:00:00", "2026-01-01 08:00:00"),
+                ("h8_plus", "2026-01-01 08:00:00", None),
+                ("first_half_day", None, "2026-01-01 12:00:00"),
+            ],
+            on="ts",
+            mode="or",
+        )
+        return out.orderBy("facet")
+
+    q["fts_facet_ts_ranges"] = facet_ts_ranges_q
+
     def mlt_q(s: SparkSession, d: str) -> DataFrame:
         # MoreLikeThis: example text → candidate selection (tf DESC, df ASC,
         # term ASC; min_term_freq=1, min_doc_freq=2, max_query_terms=5) →
@@ -1802,6 +1840,34 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
     o["fts_topk_prefix"] = _oracle_multiterm_sql("term LIKE 's%'", 10)
     o["fts_topk_wildcard"] = _oracle_multiterm_sql("term LIKE '%or%'", 10)
+    o["fts_topk_trange"] = _oracle_multiterm_sql(
+        "term >= 'sa' AND term < 'so'", 10
+    )
+    o["fts_facet_ts_ranges"] = f"""{_ORACLE_PREFIX},
+ids AS (SELECT DISTINCT doc_id FROM tf
+        WHERE term IN ('merge', 'sort', 'join')),
+vals AS (SELECT d.ts AS v FROM ids JOIN dlq d USING (doc_id)),
+counts AS (
+  SELECT 'h0_4' AS facet,
+         cast(count(*) FILTER (WHERE v >= TIMESTAMP '2026-01-01 00:00:00'
+                                 AND v <  TIMESTAMP '2026-01-01 04:00:00')
+              AS bigint) AS n_docs FROM vals
+  UNION ALL
+  SELECT 'h4_8',
+         cast(count(*) FILTER (WHERE v >= TIMESTAMP '2026-01-01 04:00:00'
+                                 AND v <  TIMESTAMP '2026-01-01 08:00:00')
+              AS bigint) FROM vals
+  UNION ALL
+  SELECT 'h8_plus',
+         cast(count(*) FILTER (WHERE v >= TIMESTAMP '2026-01-01 08:00:00')
+              AS bigint) FROM vals
+  UNION ALL
+  SELECT 'first_half_day',
+         cast(count(*) FILTER (WHERE v < TIMESTAMP '2026-01-01 12:00:00')
+              AS bigint) FROM vals
+)
+SELECT facet, n_docs FROM counts ORDER BY facet
+"""
     o["fts_topk_fuzzy"] = _oracle_multiterm_sql(
         "levenshtein(term, 'sparc') <= 2", 10
     )

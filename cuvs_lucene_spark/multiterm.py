@@ -1,7 +1,8 @@
-"""MultiTermQuery family — prefix / wildcard / fuzzy / regexp term expansion.
+"""MultiTermQuery family — prefix / wildcard / fuzzy / regexp / term-range
+expansion.
 
 Lucene rewrites MultiTermQuery subclasses (PrefixQuery, WildcardQuery,
-FuzzyQuery, RegexpQuery) into a BooleanQuery over the terms the pattern matches in the
+FuzzyQuery, RegexpQuery, TermRangeQuery) into a BooleanQuery over the terms the pattern matches in the
 term dictionary, capped at ``IndexSearcher.maxClauseCount`` (1024) with a
 loud ``TooManyClauses`` error [Lucene 10.2.0 MultiTermQuery /
 ScoringRewrite; the surface the reference's codec plugs into via its
@@ -65,17 +66,33 @@ def expand_terms(
     wildcard: str | None = None,
     fuzzy: str | None = None,
     regexp: str | None = None,
+    term_range: tuple[str | None, str | None] | None = None,
+    include_lower: bool = True,
+    include_upper: bool = True,
     max_edits: int = 2,
     max_expansions: int = MAX_CLAUSE_COUNT,
 ) -> list[str]:
-    """Terms of `field` matching exactly one of prefix/wildcard/fuzzy/regexp.
+    """Terms of `field` matching exactly one of prefix/wildcard/fuzzy/
+    regexp/term_range.
+
+    term_range=(lower, upper) is the TermRangeQuery analog: lexicographic
+    bounds over the term dictionary, either side None for open-ended,
+    inclusivity per include_lower/include_upper (Lucene
+    ``TermRangeQuery(field, lower, upper, includeLower, includeUpper)``).
+    Both bound predicates are plain string comparisons, pushable into the
+    dictionary parquet scan's min/max stats — the FST-range-seek analog.
 
     One dictionary-table scan; returns the sorted distinct matches. Raises
     TooManyClauses past max_expansions (checked by fetching cap+1 rows, so
     an over-wide pattern never collects an unbounded term list)."""
-    n_given = sum(x is not None for x in (prefix, wildcard, fuzzy, regexp))
+    n_given = sum(
+        x is not None for x in (prefix, wildcard, fuzzy, regexp, term_range)
+    )
     if n_given != 1:
-        raise ValueError("give exactly one of prefix=, wildcard=, fuzzy=, regexp=")
+        raise ValueError(
+            "give exactly one of prefix=, wildcard=, fuzzy=, regexp=, "
+            "term_range="
+        )
     if not rd.manifest["segments"]:
         return []
     fld = rd.resolve_field(field)
@@ -120,6 +137,27 @@ def expand_terms(
             lit = lit[:-1]
         if lit:
             cond = F.col("term").startswith(lit) & cond
+    elif term_range is not None:
+        lo, hi = term_range
+        if lo is None and hi is None:
+            raise ValueError("term_range needs at least one bound")
+        if lo is not None and hi is not None:
+            lo_c, hi_c = _check_token(lo, "lower"), _check_token(hi, "upper")
+            if lo_c > hi_c or (
+                lo_c == hi_c and not (include_lower and include_upper)
+            ):
+                return []  # empty interval, same as Lucene's empty TermsEnum
+        cond = F.lit(True)
+        if lo is not None:
+            lo = _check_token(lo, "lower")
+            cond = cond & (
+                F.col("term") >= lo if include_lower else F.col("term") > lo
+            )
+        if hi is not None:
+            hi = _check_token(hi, "upper")
+            cond = cond & (
+                F.col("term") <= hi if include_upper else F.col("term") < hi
+            )
     else:
         q = _check_token(fuzzy, "fuzzy")
         if max_edits < 0:
@@ -153,6 +191,9 @@ def search_multiterm(
     wildcard: str | None = None,
     fuzzy: str | None = None,
     regexp: str | None = None,
+    term_range: tuple[str | None, str | None] | None = None,
+    include_lower: bool = True,
+    include_upper: bool = True,
     max_edits: int = 2,
     k: int = 10,
     filter_cond: Column | str | None = None,
@@ -162,7 +203,7 @@ def search_multiterm(
     field: str | None = None,
     max_expansions: int = MAX_CLAUSE_COUNT,
 ) -> DataFrame:
-    """Top-k BM25 for a prefix/wildcard/fuzzy/regexp query.
+    """Top-k BM25 for a prefix/wildcard/fuzzy/regexp/term-range query.
 
     Expansion → query.search OR-mode disjunction: every matched term scores
     with its OWN idf and weight 1 (SCORING_BOOLEAN_REWRITE), composing with
@@ -176,6 +217,9 @@ def search_multiterm(
         wildcard=wildcard,
         fuzzy=fuzzy,
         regexp=regexp,
+        term_range=term_range,
+        include_lower=include_lower,
+        include_upper=include_upper,
         max_edits=max_edits,
         max_expansions=max_expansions,
     )

@@ -1028,6 +1028,83 @@ def facet_counts(
     return out.limit(top_n) if top_n is not None else out
 
 
+def facet_ranges(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    ranges: list[tuple[str, object, object]],
+    on: Column | str = "ts",
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+) -> DataFrame:
+    """Named-range facet counts over the query's match set — the Lucene
+    ``LongRangeFacetCounts`` / ``DoubleRangeFacetCounts`` analog (ranges
+    module, beside the facets surface the reference's Lucene dependency
+    exposes via ``pom.xml:42-43``).
+
+    ``ranges`` is a list of (label, lower, upper) with inclusive lower and
+    EXCLUSIVE upper (half-open, the Lucene LongRange default shape); either
+    bound may be None for open-ended. Ranges MAY overlap — unlike a
+    categorical groupBy, each range is counted independently, exactly like
+    Lucene where a doc contributes to every range containing its value.
+    Bounds are compared against the doc_dim column/expression ``on``
+    (default ``ts``); pass strings like "2026-01-01" for timestamps — Spark
+    coerces literals against the column type.
+
+    Returns (facet, n_docs) in the CALLER'S range order (Lucene returns
+    LabelAndValue in the order the ranges were given).
+
+    Plan shape at scale: the match set is the bucket+term-pruned postings
+    scan reduced to distinct doc_ids, semi-joined into a doc_dim scan
+    projected to (doc_id, on); then ONE aggregate computing every range as a
+    conditional count in a single pass (no per-range scan, no unpivot
+    shuffle — the output is one row exploded driver-free via stack)."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    if ids is None or not rd.manifest["segments"]:
+        return spark.createDataFrame(
+            [(lbl, 0) for (lbl, _lo, _hi) in ranges], "facet string, n_docs long"
+        )
+    on_col = F.col(on) if isinstance(on, str) else on
+    dd = rd.cat.read_doc_dim(spark).select(
+        F.col("doc_id"), on_col.alias("_v")
+    )
+    aggs = []
+    for i, (_lbl, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_v") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("_v") < F.lit(hi))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"_r{i}")
+        )
+    one = dd.join(ids, "doc_id", "left_semi").agg(*aggs)
+    # stack(n, label0, _r0, ...) explodes the single agg row into
+    # (facet, n_docs) rows executor-side, preserving caller order via the
+    # stack argument order (stack emits rows in argument order).
+    stack_args = ", ".join(
+        f"'{_sql_quote(lbl)}', _r{i}" for i, (lbl, _lo, _hi) in enumerate(ranges)
+    )
+    return one.selectExpr(
+        f"stack({len(ranges)}, {stack_args}) AS (facet, n_docs)"
+    ).select(F.col("facet"), F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _sql_quote(s: str) -> str:
+    return str(s).replace("\\", "\\\\").replace("'", "\\'")
+
+
 def search_sorted(
     spark: SparkSession,
     index_dir: str,

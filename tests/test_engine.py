@@ -330,6 +330,60 @@ def test_facet_counts_match_search_partition(spark, tiny_index):
     assert facet_counts(spark, tiny_index, "zzzzqqqq", facet="role").count() == 0
 
 
+def test_facet_ranges_match_search_partition(spark, tiny_index):
+    """Range facets == independent per-range counts over the exhaustive
+    match set (half-open [lo, hi) semantics, overlap counted in BOTH ranges,
+    open bounds, caller ordering, zero-count labels preserved)."""
+    from cuvs_lucene_spark.query import facet_ranges, search
+
+    q = "world school student"
+    full = search(spark, tiny_index, q, k=10**9).collect()
+    ids = [r["doc_id"] for r in full]
+    from cuvs_lucene_spark.query import IndexReader
+
+    rd = IndexReader(spark, tiny_index)
+    ts_of = {
+        r["doc_id"]: r["ts"]
+        for r in rd.cat.read_doc_dim(spark).select("doc_id", "ts").collect()
+    }
+    vals = sorted(ts_of[i] for i in ids)
+    assert len(vals) >= 4  # non-degenerate fixture
+    mid, hi_b = vals[len(vals) // 2], vals[-2]
+    ranges = [
+        ("lo_half", None, mid),
+        ("hi_half", mid, None),
+        ("overlap_all", None, None),  # overlaps both halves entirely
+        ("upper_slice", hi_b, None),
+        ("empty", vals[-1].replace(year=2099), None),
+    ]
+    rows = facet_ranges(
+        spark, tiny_index, q, ranges=ranges, on="ts"
+    ).collect()
+    # caller order preserved, one row per range including zero counts
+    assert [r["facet"] for r in rows] == [lbl for lbl, _, _ in ranges]
+    got = {r["facet"]: r["n_docs"] for r in rows}
+    exp = {
+        lbl: sum(
+            1
+            for v in vals
+            if (lo is None or v >= lo) and (hi is None or v < hi)
+        )
+        for lbl, lo, hi in ranges
+    }
+    assert got == exp
+    assert got["overlap_all"] == len(ids)  # overlap counts independently
+    assert got["lo_half"] + got["hi_half"] == len(ids)
+    assert got["empty"] == 0
+    # absent term → all labels present with zero counts
+    z = facet_ranges(
+        spark, tiny_index, "zzzzqqqq", ranges=ranges[:2], on="ts"
+    ).collect()
+    assert [(r["facet"], r["n_docs"]) for r in z] == [
+        ("lo_half", 0),
+        ("hi_half", 0),
+    ]
+
+
 def test_search_batch_equals_per_query(spark, tiny_index):
     """One-job batch == the per-query search results (same docs, same
     rounded scores, same order), absent-term queries silently empty, and an

@@ -75,6 +75,33 @@ class TestExpansion:
             got = expand_terms(rd, regexp=pat)
             assert got == exp, pat
 
+    def test_term_range_expansion_matches_vocab(self, spark, tiny_index, vocab):
+        rd = IndexReader(spark, tiny_index)
+        cases = [
+            (("sa", "so"), True, False),
+            (("th", "tz"), True, True),
+            ((None, "b"), True, False),
+            (("sa", "sa"), True, True),  # single-point inclusive range
+            (("sz", "sa"), True, True),  # inverted → empty
+            (("sa", "sa"), True, False),  # empty half-open point
+        ]
+        for (lo, hi), inc_lo, inc_hi in cases:
+            exp = sorted(
+                t
+                for t in vocab
+                if (lo is None or (t >= lo if inc_lo else t > lo))
+                and (hi is None or (t <= hi if inc_hi else t < hi))
+            )
+            got = expand_terms(
+                rd,
+                term_range=(lo, hi),
+                include_lower=inc_lo,
+                include_upper=inc_hi,
+            )
+            assert got == exp, (lo, hi, inc_lo, inc_hi)
+        with pytest.raises(ValueError):
+            expand_terms(rd, term_range=(None, None))
+
     def test_too_many_clauses(self, spark, tiny_index):
         rd = IndexReader(spark, tiny_index)
         with pytest.raises(TooManyClauses):
@@ -107,6 +134,8 @@ class TestMultiTermSearch:
             {"fuzzy": "scool", "max_edits": 2},
             {"regexp": "s[a-z]*n"},
             {"regexp": "w.rld?"},
+            {"term_range": ("sa", "so"), "include_upper": False},
+            {"term_range": (None, "b"), "include_upper": False},
         ],
     )
     def test_matches_oracle_over_expansion(
@@ -121,6 +150,16 @@ class TestMultiTermSearch:
             import re
 
             terms = [t for t in vocab if re.fullmatch(kwargs["regexp"], t)]
+        elif "term_range" in kwargs:
+            lo, hi = kwargs["term_range"]
+            inc_lo = kwargs.get("include_lower", True)
+            inc_hi = kwargs.get("include_upper", True)
+            terms = [
+                t
+                for t in vocab
+                if (lo is None or (t >= lo if inc_lo else t > lo))
+                and (hi is None or (t <= hi if inc_hi else t < hi))
+            ]
         else:
             terms = [
                 t for t in vocab if _lev(kwargs["fuzzy"], t) <= kwargs["max_edits"]
