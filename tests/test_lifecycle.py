@@ -62,6 +62,24 @@ class TestMultiSegment:
         assert meta["id"] == 0  # no-op re-commit returned the committed entry
         assert IndexCatalog(two_seg_index).read_manifest()["version"] >= 2
 
+    def test_table_df_cache_hits_within_and_invalidates_across_commits(
+        self, spark, split_dfs, tmp_path_factory
+    ):
+        """The driver-side DataFrame cache serves the SAME logical plan for
+        repeated reads of one committed snapshot, and any commit (here: an
+        appended segment) keys a fresh entry with the new file set."""
+        d = str(tmp_path_factory.mktemp("idx") / "dfcache")
+        build_segment(spark, split_dfs[0], d, 0, buckets=8)
+        cat = IndexCatalog(d)
+        a1, a2 = cat.read_postings(spark), cat.read_postings(spark)
+        assert a1 is a2  # one snapshot → one cached plan (no re-listing)
+        n1 = cat.read_doc_dim(spark).count()
+        build_segment(spark, split_dfs[1], d, 1, buckets=8)
+        b = cat.read_postings(spark)
+        assert b is not a1  # commit bumped the snapshot key
+        n2 = cat.read_doc_dim(spark).count()
+        assert n2 > n1  # and the fresh plan sees the appended segment
+
     def test_compact_no_deletes_preserves_results(
         self, spark, two_seg_index, tmp_path_factory
     ):
