@@ -1352,6 +1352,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_phrase_slop"] = phrase_slop
 
+    def spannear(s: SparkSession, d: str) -> DataFrame:
+        # ordered span-near (SpanNearQuery(inOrder=true) analog): terms in
+        # order, minimal-stretch match per first-clause position, width =
+        # sum of gaps, pf = Σ 1/(1+width) over width<=slop; BM25 pseudo-term
+        # scoring. Full DuckDB oracle: the minimal-stretch chain is plain
+        # min-position correlated subqueries (no recursion needed).
+        from cuvs_lucene_spark.spans import search_span_near
+
+        return _ranked(
+            search_span_near(
+                s, _index_for(s, d), "merge sort join", slop=6, k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_spannear"] = spannear
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 
@@ -1843,6 +1860,55 @@ def oracle_sql() -> dict[str, str]:
     o["fts_topk_trange"] = _oracle_multiterm_sql(
         "term >= 'sa' AND term < 'so'", 10
     )
+    # ordered span-near: the minimal-stretch NearSpansOrdered chain as
+    # min-position correlated subqueries — one CTE per clause, no recursion
+    o["fts_topk_spannear"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+m2 AS (SELECT m1.doc_id, p0, p1,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m1.doc_id AND t.term = 'join'
+            AND t.pos >= m1.p1 + 1) AS p2
+       FROM m1 WHERE p1 IS NOT NULL),
+matches AS (
+  SELECT doc_id, (p1 - p0 - 1) + (p2 - p1 - 1) AS width
+  FROM m2 WHERE p2 IS NOT NULL
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM matches WHERE width <= 6 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort', 'join') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
     o["fts_facet_ts_ranges"] = f"""{_ORACLE_PREFIX},
 ids AS (SELECT DISTINCT doc_id FROM tf
         WHERE term IN ('merge', 'sort', 'join')),

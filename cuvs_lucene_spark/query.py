@@ -1467,14 +1467,21 @@ SLOPPY_PF_SCHEMA = StructType(
 )
 
 
-def make_sloppy_sweep_kernel(n_slots: int, slop: int):
+def make_sloppy_sweep_kernel(n_slots: int, slop: int, freq_of=None):
     """mapInPandas kernel over occurrence rows co-located by doc_id
     (repartition("doc_id") upstream): per doc, slice each slot's sorted
     adjusted positions and run the Lucene sloppy sweep. Docs are independent;
     the trailing (possibly batch-split) doc is carried to the next Arrow
     batch, same pattern as the partition encoder. Docs missing a slot are
     skipped (the upstream conjunction semi-join already removed them; the
-    re-check makes the kernel safe standalone)."""
+    re-check makes the kernel safe standalone).
+
+    freq_of(pos_by_slot, slop) — per-doc float frequency from the per-slot
+    sorted adjusted-position arrays; defaults to the SloppyPhraseMatcher
+    sweep (_lucene_sloppy_freq). spans.search_span_near reuses this kernel
+    (same occ rows, same doc slicing, same tail-carry) with the ordered
+    NearSpansOrdered frequency instead."""
+    freq_of = freq_of or _lucene_sloppy_freq
 
     def _sweep_docs(pdf: pd.DataFrame) -> pd.DataFrame | None:
         d = pdf["doc_id"].to_numpy()
@@ -1495,7 +1502,7 @@ def make_sloppy_sweep_kernel(n_slots: int, slop: int):
             sl = np.concatenate(([0], slot_bounds))
             sh = np.concatenate((slot_bounds, [hi - lo]))
             pos_by_slot = [a[lo + i:lo + j] for i, j in zip(sl, sh)]
-            pf = _lucene_sloppy_freq(pos_by_slot, slop)
+            pf = freq_of(pos_by_slot, slop)
             if pf > 0.0:
                 out_doc.append(int(d[lo]))
                 out_pf.append(pf)
