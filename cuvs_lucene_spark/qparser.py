@@ -20,6 +20,8 @@ Supported syntax (the classic grammar, minus per-clause fields):
     mer* sc?n                WildcardQuery (leading * refused, like Lucene)
     fuzzi~ fuzzi~1           FuzzyQuery (default max_edits 2)
     /mer(ge|ging)/           RegexpQuery (anchored whole-term)
+    [sa TO so] {sa TO so}    TermRangeQuery ([] inclusive, {} exclusive,
+                             mixed allowed, * = open bound)
 
 Operator semantics follow Lucene's QueryParserBase.addClause exactly: the
 parser is NOT precedence-based — ``a AND b OR c`` marks a=MUST b=MUST
@@ -65,7 +67,7 @@ class ParseError(ValueError):
 class Node:
     """One parsed node; kind selects which fields are meaningful.
 
-    kind: term | phrase | wildcard | fuzzy | regexp | bool
+    kind: term | phrase | wildcard | fuzzy | regexp | range | bool
     """
 
     kind: str
@@ -74,6 +76,10 @@ class Node:
     max_edits: int = 2        # fuzzy
     boost: float = 1.0
     field: str | None = None  # explicit `field:` prefix, if any
+    lower: str | None = None  # range bounds (None = open)
+    upper: str | None = None
+    inc_lo: bool = True       # [ vs { / ] vs }
+    inc_hi: bool = True
     should: tuple = ()
     must: tuple = ()
     must_not: tuple = ()
@@ -96,6 +102,9 @@ _TOKEN_RE = re.compile(
   | (?P<boost>\^(?P<boostval>[0-9]+(?:\.[0-9]+)?))
   | (?P<phrase>"(?P<ph>[^"]*)"(?:~(?P<phslop>[0-9]+))?)
   | (?P<regexp>/(?P<re>(?:[^/\\]|\\.)*)/)
+  | (?P<range>(?P<rfld>[A-Za-z_][A-Za-z0-9_]*:)?
+      (?P<rlb>[\[\{])\s*(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)\s*
+      (?P<rrb>[\]\}]))
   | (?P<word>(?P<fld>[A-Za-z_][A-Za-z0-9_]*:)?(?P<w>[^\s()^"/!+~-][^\s()^"~]*)
       (?:~(?P<fz>[0-9]*))?)
     """,
@@ -133,6 +142,19 @@ def _lex(s: str) -> list[tuple[str, object]]:
             out.append(("PHRASE", (m.group("ph"), int(m.group("phslop") or 0))))
         elif m.group("regexp") is not None:
             out.append(("REGEXP", m.group("re").replace("\\/", "/")))
+        elif m.group("range") is not None:
+            rfld = m.group("rfld")
+            lo, hi = m.group("rlo"), m.group("rhi")
+            out.append((
+                "RANGE",
+                (
+                    rfld[:-1] if rfld else None,
+                    None if lo == "*" else lo.lower(),
+                    None if hi == "*" else hi.lower(),
+                    m.group("rlb") == "[",
+                    m.group("rrb") == "]",
+                ),
+            ))
         else:
             fld = m.group("fld")
             word = m.group("w")
@@ -244,9 +266,30 @@ class _Parser:
                 node = Node(kind="phrase", text=" ".join(toks), slop=slop)
         elif kind == "REGEXP":
             node = Node(kind="regexp", text=val)
+        elif kind == "RANGE":
+            fld, lo, hi, inc_lo, inc_hi = val
+            if lo is None and hi is None:
+                raise ParseError("range [* TO *] needs at least one bound")
+            for b in (lo, hi):
+                if b is not None and not re.fullmatch(r"[a-z0-9]+", b):
+                    raise ParseError(
+                        f"range bound must be one analyzer token: {b!r}"
+                    )
+            node = Node(
+                kind="range", lower=lo, upper=hi, inc_lo=inc_lo, inc_hi=inc_hi
+            )
+            if fld is not None:
+                node = _with(node, field=fld.lower())
         elif kind == "WORD":
             fld, word, fz = val
             w = word.lower()
+            if w[0] in "[{":
+                # a bracket that didn't lex as a RANGE is a malformed range
+                # (Lucene classic ParseException), not a term
+                raise ParseError(
+                    f"malformed range near {word!r}: expected "
+                    "[lower TO upper] with one-token bounds (* = open)"
+                )
             if fz is not None:
                 if "*" in w or "?" in w:
                     raise ParseError(f"cannot combine fuzzy ~ with wildcards: {word!r}")
@@ -337,7 +380,7 @@ def _compile(n: Node, rd, fld: str, max_expansions: int):
                 "which applies the chain with stopword position gaps"
             )
         return Q.phrase(n.text, slop=n.slop, boost=n.boost)
-    if n.kind in ("wildcard", "fuzzy", "regexp"):
+    if n.kind in ("wildcard", "fuzzy", "regexp", "range"):
         if rd is None:
             raise ValueError(
                 f"{n.kind} leaves need an IndexReader to expand against "
@@ -348,6 +391,11 @@ def _compile(n: Node, rd, fld: str, max_expansions: int):
             "wildcard": {"wildcard": n.text},
             "fuzzy": {"fuzzy": n.text, "max_edits": n.max_edits},
             "regexp": {"regexp": n.text},
+            "range": {
+                "term_range": (n.lower, n.upper),
+                "include_lower": n.inc_lo,
+                "include_upper": n.inc_hi,
+            },
         }[n.kind]
         terms = expand_terms(rd, fld, max_expansions=max_expansions, **kw)
         if not terms:

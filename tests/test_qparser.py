@@ -199,6 +199,38 @@ class TestEquivalence:
         )
         assert a == b and a
 
+    def test_range_equals_multiterm(self, spark, tiny_index):
+        from cuvs_lucene_spark.multiterm import search_multiterm
+
+        a = rows(search_qstring(spark, tiny_index, "[sa TO so}", k=10))
+        b = rows(
+            search_multiterm(
+                spark, tiny_index, term_range=("sa", "so"),
+                include_upper=False, k=10,
+            )
+        )
+        assert a == b and a
+        # open lower bound + exclusive lower behave per the flags
+        c = rows(search_qstring(spark, tiny_index, "{sa TO so]", k=10))
+        d = rows(
+            search_multiterm(
+                spark, tiny_index, term_range=("sa", "so"),
+                include_lower=False, k=10,
+            )
+        )
+        assert c == d
+
+    def test_range_parse_errors(self, spark, tiny_index):
+        from cuvs_lucene_spark.qparser import ParseError, parse_query
+
+        for bad in ["[* TO *]", "[a b TO c]", "[x TO]", "{oops"]:
+            with pytest.raises(ParseError):
+                parse_query(bad)
+        n = parse_query("text:[* TO mzz}")
+        assert (n.kind, n.lower, n.upper, n.inc_hi, n.field) == (
+            "range", None, "mzz", False, "text",
+        )
+
     def test_absent_expansion_matches_nothing(self, spark, tiny_index):
         assert search_qstring(spark, tiny_index, "zzzqx*", k=10).count() == 0
         # ...but dropped harmlessly from a disjunction
