@@ -102,7 +102,7 @@ def test_random_corpus_engine_equals_oracle(
     d = str(tmp_path / f"idx{seed}")
     build_index(
         spark, sdf, d, buckets=buckets, salt_buckets=salt, hot_df_ratio=hot,
-        hot_sample_fraction=1.0,
+        hot_sample_fraction=1.0, positions=True,
     )
     oracle = build_oracle_index(pdf)
     rng = np.random.default_rng(seed + 7)
@@ -133,3 +133,35 @@ def test_random_corpus_engine_equals_oracle(
             )
             for (gd, gs), (_ed, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-5, (seed, spec, prune, gd, gs, es)
+
+    # ordered span-near on the same random corpus, vs the independent
+    # pure-python loop-spec oracle (test_spans.oracle_span_near)
+    from test_spans import oracle_span_near
+
+    from cuvs_lucene_spark.analysis import tokenize_py
+    from cuvs_lucene_spark.spans import search_span_near
+
+    spdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    corpus_toks = [
+        (r.conv_id, int(r.turn_idx), tokenize_py(r.text))
+        for r in spdf.itertuples()
+    ]
+    present = sorted({t for _c, _t, toks in corpus_toks for t in toks})
+    for _ in range(3):
+        n_terms = int(rng.integers(2, 4))
+        if len(present) < n_terms:
+            break
+        terms = list(rng.choice(present, size=n_terms, replace=False))
+        slop = int(rng.integers(0, 7))
+        exp = oracle_span_near(corpus_toks, terms, slop, 10)
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in search_span_near(
+                spark, d, " ".join(terms), slop=slop, k=10, float32=False
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp], (
+            seed, terms, slop, got, exp
+        )
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5, (seed, terms, slop)
