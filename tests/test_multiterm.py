@@ -314,6 +314,28 @@ class TestBooleanAST:
         Q.boolean(must=[Q.term("know")], should=[Q.term("take"), Q.term("way")]),
         # term with absent token inside a disjunction
         Q.boolean(should=[Q.term("zzzzabsent"), Q.term("think")]),
+        # depth-3 nesting with boosts and msm at an inner level — the
+        # compiler and both walkers are fully recursive, no depth cap
+        Q.boolean(
+            must=[
+                Q.term("the"),
+                Q.boolean(
+                    should=[
+                        Q.term("work"),
+                        Q.boolean(
+                            must=[Q.term("world"), Q.term("school")],
+                            boost=2.0,
+                        ),
+                        Q.boolean(
+                            should=[Q.term("time"), Q.term("people"),
+                                    Q.term("year")],
+                            msm=2, boost=0.5,
+                        ),
+                    ],
+                ),
+            ],
+            must_not=[Q.boolean(should=[Q.term("country"), Q.term("help")])],
+        ),
     ]
 
     @pytest.mark.parametrize("tree", TREES)
