@@ -50,9 +50,11 @@ def golden_queries() -> dict:
     from cuvs_lucene_spark.booleanq import Q, search_boolean
     from cuvs_lucene_spark.mlt import more_like_this as _mlt
     from cuvs_lucene_spark.multiterm import search_multiterm
+    from cuvs_lucene_spark.qparser import search_qstring as _qstr
     from cuvs_lucene_spark.query import (
         search, search_fields, search_phrase, search_sorted,
     )
+    from cuvs_lucene_spark.spans import search_span_near as _spannear
 
     def after_page2(s, d):
         page1 = search(s, d, "world school still try", k=10).collect()
@@ -111,6 +113,16 @@ def golden_queries() -> dict:
         "sorted_ts_desc": lambda s, d: search_sorted(
             s, d, "world school student", sort_by="ts", k=10
         ).select("doc_id", F.col("ts").cast("double").alias("score")),
+        # round-4 surfaces
+        "trange_sa_so": lambda s, d: search_multiterm(
+            s, d, term_range=("sa", "so"), include_upper=False, k=10
+        ),
+        "spannear_slop4": lambda s, d: _spannear(
+            s, d, "the world", slop=4, k=10
+        ),
+        "qstring_range_mix": lambda s, d: _qstr(
+            s, d, "[sa TO sd] OR world", k=10
+        ),
     }
 
 
