@@ -848,6 +848,30 @@ ORDER BY rank
 """
 
 
+def _oracle_boolean_count_sql() -> str:
+    """count(BooleanQuery) oracle: the SAME sql_exprs match predicate the
+    top-k boolean oracle uses, reduced to a live-doc count — scores never
+    computed (the count surface is presence-only in the engine too)."""
+    from cuvs_lucene_spark.booleanq import sql_exprs
+
+    tree = _boolean_gate_tree()
+    vals = ", ".join(f"('{t}')" for t in tree.all_terms())
+    match_sql, _ = sql_exprs(
+        tree,
+        lambda t: f"bool_or(tf.term = '{t}')",
+        lambda t: "0.0",
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+matches AS (
+  SELECT tf.doc_id, ({match_sql}) AS ok
+  FROM tf JOIN qt ON tf.term = qt.term
+  GROUP BY tf.doc_id
+)
+SELECT cast(count(*) AS bigint) AS n FROM matches WHERE ok
+"""
+
+
 # the query-string gate: classic syntax with MUST/SHOULD/MUST_NOT modifiers,
 # a boosted nested group, AND a phrase leaf inside the boolean tree
 _QSTRING_GATE = '+scan (filter OR window^2.0) "merge sort" -hash'
@@ -1533,6 +1557,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_count_and"] = fts_count_and
 
+    def fts_count_boolean(s, d):
+        """IndexSearcher.count over a NESTED BooleanQuery tree: the same
+        compiled match predicate the boolean search surface scores with,
+        evaluated over a score-free presence pivot — one decoded postings
+        scan, no norms, no top-k machinery."""
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        n = count_boolean(s, _index_for(s, d), _boolean_gate_tree())
+        return s.createDataFrame([(n,)], "n long")
+
+    q["fts_count_boolean"] = fts_count_boolean
+
     def fts_facet_role(s, d):
         """Facet counts (Lucene facets-module analog): per-role live-doc
         match counts over an OR query's match set — match-set distinct +
@@ -1966,6 +2002,7 @@ SELECT cast(count(*) AS bigint) AS n FROM (
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
 )
 """
+    o["fts_count_boolean"] = _oracle_boolean_count_sql()
     o["fts_facet_role"] = f"""{_ORACLE_PREFIX}
 SELECT d.role AS facet, cast(count(DISTINCT t.doc_id) AS bigint) AS n_docs
 FROM tf t JOIN dlq d ON t.doc_id = d.doc_id

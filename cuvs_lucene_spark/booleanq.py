@@ -235,6 +235,230 @@ def sql_exprs(
     return match, f"({q.boost!r} * {total})"
 
 
+def match_doc_ids_boolean(
+    spark: SparkSession,
+    rd,
+    q: Q,
+    fld: str,
+    filter_cond: Column | str | None = None,
+) -> DataFrame | None:
+    """Distinct LIVE doc_ids matching a boolean tree, or None when provably
+    empty without running a job (every positive path needs an absent term).
+
+    The counting twin of search_boolean's pivot: the same ONE bucket+term
+    pruned postings scan, decoded to (term, doc_id) — no scores, no norms —
+    one presence pivot per doc, then the tree's compiled match predicate.
+    Phrase leaves contribute presence through the positional phrase pipeline
+    (a phrase can only match where every slot term is present, so the scan
+    set — all_terms() — already covers the pivot's doc universe)."""
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+    from cuvs_lucene_spark.query import _accepted_doc_ids, phrase_doc_scores
+
+    if not rd.manifest["segments"] or rd.field_stats_of(fld)[0] == 0:
+        return None
+    terms = q.all_terms()
+    stats = rd.term_stats(terms, fld)
+    active = sorted(t for t in terms if stats.get(t, (0, 0))[0] > 0)
+    if not active:
+        return None
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in active}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(active)
+    )
+    rows = decode_postings(postings).select("term", "doc_id")
+    del_ids = deleted_doc_ids(spark, rd.cat.index_dir)
+    if del_ids is not None:
+        rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        rows = rows.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+    per_term = [
+        F.max(F.when(F.col("term") == t, True)).alias(f"_m{i}")
+        for i, t in enumerate(active)
+    ]
+    agg = rows.groupBy("doc_id").agg(*per_term)
+    present = {
+        t: F.coalesce(F.col(f"_m{i}"), F.lit(False))
+        for i, t in enumerate(active)
+    }
+    zero = {t: F.lit(0.0) for t in active}
+    for j, p in enumerate(q.phrase_leaves()):
+        pcol = f"_p{j}"
+        slots = p.token.split(" ")
+        if all(stats.get(t, (0, 0))[0] > 0 for t in slots):
+            pdf = phrase_doc_scores(spark, rd, slots, fld, slop=p.slop)
+        else:
+            pdf = None
+        if pdf is None:
+            agg = agg.withColumn(pcol, F.lit(None).cast("double"))
+        else:
+            agg = agg.join(
+                pdf.select("doc_id", F.col("score_d").alias(pcol)),
+                "doc_id", "left",
+            )
+        present[p.key()] = F.col(pcol).isNotNull()
+        zero[p.key()] = F.lit(0.0)
+    match_c, _score_c = compile_columns(q, present, zero)
+    return agg.where(match_c).select("doc_id")
+
+
+def count_boolean(
+    spark: SparkSession,
+    index_dir: str,
+    q: Q,
+    filter_cond: Column | str | None = None,
+    reader=None,
+    field: str | None = None,
+) -> int:
+    """Number of live docs matching a nested boolean tree — the
+    ``IndexSearcher.count(BooleanQuery)`` analog (Lucene counts through the
+    same Weight the searcher scores with; here the same compiled match
+    predicate drives both count_boolean and search_boolean, so the count is
+    definitionally consistent with the search surface). Tombstoned docs and
+    filter_cond rejects never count."""
+    from cuvs_lucene_spark.query import IndexReader
+
+    rd = reader or IndexReader(spark, index_dir)
+    if not rd.manifest["segments"]:
+        return 0
+    fld = rd.resolve_field(field)
+    ids = match_doc_ids_boolean(spark, rd, q, fld, filter_cond)
+    return 0 if ids is None else int(ids.count())
+
+
+def explain_boolean(
+    spark: SparkSession,
+    index_dir: str,
+    q: Q,
+    doc_id: int,
+    reader=None,
+    field: str | None = None,
+) -> dict:
+    """Nested score breakdown for one (tree, doc) — the Lucene Explanation
+    analog for BooleanQuery trees (BooleanWeight.explain recurses into every
+    clause the same way).
+
+    Returns {"doc_id", "matched", "score", "explanation"} where explanation
+    mirrors the tree: term/phrase leaves carry {kind, key, boost, matched,
+    score}; bool nodes add {clauses: {"must": [...], "should": [...],
+    "must_not": [...]}, msm_needed, should_matched}. Scores are float64 and
+    sum in the engine's clause-list order, so a matched doc's top-level
+    score equals search_boolean(float32=False)'s score for that doc exactly.
+
+    Driver-side interactive debugging surface: ONE bucket+term+doc-pruned
+    postings read for the term leaves (the flat explain()'s plan), plus one
+    doc-pruned phrase job per distinct phrase leaf."""
+    from cuvs_lucene_spark.analysis import (
+        BM25_B, BM25_K1, dequantize_dl_np,
+    )
+    import numpy as np
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+    from cuvs_lucene_spark.query import IndexReader, phrase_doc_scores
+
+    rd = reader or IndexReader(spark, index_dir)
+    out: dict = {
+        "doc_id": int(doc_id), "matched": False, "score": 0.0,
+        "explanation": None,
+    }
+    if not rd.manifest["segments"]:
+        return out
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return out
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None and del_ids.where(F.col("doc_id") == doc_id).count():
+        return out
+    terms = q.all_terms()
+    stats = rd.term_stats(terms, fld)
+    active = sorted(t for t in terms if stats.get(t, (0, 0))[0] > 0)
+    # one doc-pruned read: this doc's tf per query term
+    tf_of: dict[str, float] = {}
+    dl_d: float | None = None
+    if active:
+        postings = rd.cat.read_postings(spark).where(
+            F.col("bucket").isin(sorted({stats[t][1] for t in active}))
+            & (F.col("field") == fld)
+            & F.col("term").isin(active)
+            & (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+        )
+        for r in (
+            decode_postings(postings)
+            .where(F.col("doc_id") == doc_id)
+            .select("term", "tf", "dl_q")
+            .collect()
+        ):
+            tf_of[r["term"]] = float(r["tf"])
+            dl_d = float(
+                dequantize_dl_np(np.array([r["dl_q"]], dtype=np.int64))[0]
+            )
+    # per-leaf (matched, float64 score) maps, Q.key()-keyed
+    leaf_match: dict[str, bool] = {}
+    leaf_score: dict[str, float] = {}
+    for t in active:
+        tf = tf_of.get(t)
+        if tf is None:
+            leaf_match[t], leaf_score[t] = False, 0.0
+            continue
+        idf = rd.idf(stats[t][0], f_docs)
+        tf_norm = tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_d / f_avgdl))
+        leaf_match[t], leaf_score[t] = True, idf * tf_norm
+    for p in q.phrase_leaves():
+        slots = p.token.split(" ")
+        kk = p.key()
+        leaf_match[kk], leaf_score[kk] = False, 0.0
+        if all(stats.get(t, (0, 0))[0] > 0 for t in slots) and all(
+            t in tf_of for t in set(slots)
+        ):
+            pdf = phrase_doc_scores(spark, rd, slots, fld, slop=p.slop)
+            if pdf is not None:
+                hit = pdf.where(F.col("doc_id") == doc_id).collect()
+                if hit:
+                    leaf_match[kk] = True
+                    leaf_score[kk] = float(hit[0]["score_d"])
+
+    def walk(n: Q) -> dict:
+        if n.kind in ("term", "phrase"):
+            kk = n.key()
+            m = leaf_match.get(kk, False)
+            return {
+                "kind": n.kind, "key": kk, "boost": n.boost, "matched": m,
+                "score": n.boost * leaf_score.get(kk, 0.0) if m else 0.0,
+            }
+        must = [walk(c) for c in n.must]
+        should = [walk(c) for c in n.should]
+        mnot = [walk(c) for c in n.must_not]
+        need = _effective_msm(n)
+        n_sh = sum(1 for c in should if c["matched"])
+        matched = (
+            all(c["matched"] for c in must)
+            and not any(c["matched"] for c in mnot)
+            and (need == 0 or n_sh >= need)
+        )
+        total = 0.0
+        for c in must:  # clause-list order = compile_columns' summation order
+            total = total + c["score"]
+        for c in should:
+            total = total + (c["score"] if c["matched"] else 0.0)
+        return {
+            "kind": "bool", "boost": n.boost, "matched": matched,
+            # the score expression is match-independent, exactly like
+            # compile_columns (search filters on match before scoring)
+            "score": n.boost * total,
+            "msm_needed": need, "should_matched": n_sh,
+            "clauses": {"must": must, "should": should, "must_not": mnot},
+        }
+
+    tree = walk(q)
+    out["explanation"] = tree
+    out["matched"] = bool(tree["matched"])
+    out["score"] = float(tree["score"]) if tree["matched"] else 0.0
+    return out
+
+
 def search_boolean(
     spark: SparkSession,
     index_dir: str,

@@ -430,3 +430,113 @@ class TestSuggest:
         with pytest.raises(ValueError):
             suggest_terms(spark, tiny_index, "not a token!")
         assert suggest_terms(spark, tiny_index, "zz", top_n=0).count() == 0
+
+
+def _match_mask_numpy(q: Q, idx) -> "np.ndarray":
+    """Independent MATCH evaluator over the oracle index (presence only —
+    the IndexSearcher.count(BooleanQuery) spec): a doc matches a term leaf
+    iff the term's posting list contains it; bool nodes apply the documented
+    BooleanWeight must/must_not/msm rules. No scores anywhere."""
+    n = len(idx.doc_ids)
+
+    def walk(node: Q) -> np.ndarray:
+        if node.kind == "term":
+            m = np.zeros(n, dtype=bool)
+            if node.token in idx.postings:
+                m[idx.postings[node.token][0]] = True
+            return m
+        if node.kind == "phrase":
+            raise NotImplementedError  # count tests use term-only trees here
+        match = np.ones(n, dtype=bool)
+        for c in node.must:
+            match &= walk(c)
+        for c in node.must_not:
+            match &= ~walk(c)
+        need = node.msm if node.msm > 0 else (0 if node.must else 1)
+        if need > 0:
+            n_sh = np.zeros(n, dtype=np.int32)
+            for c in node.should:
+                n_sh += walk(c)
+            match &= n_sh >= need
+        return match
+
+    return walk(q)
+
+
+class TestBooleanCount:
+    @pytest.mark.parametrize("tree", TestBooleanAST.TREES)
+    def test_count_matches_numpy_evaluator(
+        self, spark, tiny_index, oracle_tiny, tree
+    ):
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        exp = int(_match_mask_numpy(tree, oracle_tiny).sum())
+        assert count_boolean(spark, tiny_index, tree) == exp
+
+    def test_count_equals_search_row_count(self, spark, tiny_index, oracle_tiny):
+        """count(tree) must agree with the search surface it shares a
+        compiled predicate with — exhaustive k pages the whole match set."""
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        tree = TestBooleanAST.TREES[0]
+        n = len(oracle_tiny.doc_ids)
+        rows = search_boolean(spark, tiny_index, tree, k=n).count()
+        assert count_boolean(spark, tiny_index, tree) == rows
+
+    def test_count_absent_everything_is_zero(self, spark, tiny_index):
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        tree = Q.boolean(should=[Q.term("zzzzabsent")])
+        assert count_boolean(spark, tiny_index, tree) == 0
+
+
+class TestBooleanExplain:
+    def test_explain_matches_search_score(self, spark, tiny_index):
+        from cuvs_lucene_spark.booleanq import explain_boolean
+
+        for tree in (TestBooleanAST.TREES[0], TestBooleanAST.TREES[4]):
+            hits = search_boolean(
+                spark, tiny_index, tree, k=3, float32=False
+            ).collect()
+            assert hits
+            for h in hits:
+                ex = explain_boolean(spark, tiny_index, tree, h["doc_id"])
+                assert ex["matched"] is True
+                assert abs(ex["score"] - float(h["score"])) < 1e-9, (
+                    h["doc_id"], ex["score"], h["score"],
+                )
+
+    def test_explain_unmatched_doc(self, spark, tiny_index, oracle_tiny):
+        from cuvs_lucene_spark.booleanq import explain_boolean
+
+        tree = TestBooleanAST.TREES[0]
+        mask = _match_mask_numpy(tree, oracle_tiny)
+        unmatched = int(oracle_tiny.doc_ids[np.flatnonzero(~mask)[0]])
+        ex = explain_boolean(spark, tiny_index, tree, unmatched)
+        assert ex["matched"] is False and ex["score"] == 0.0
+        # the breakdown still reports WHY: the nested explanation is present
+        assert ex["explanation"] is not None
+        assert ex["explanation"]["matched"] is False
+
+    def test_explain_must_not_recorded(self, spark, tiny_index, oracle_tiny):
+        from cuvs_lucene_spark.booleanq import explain_boolean
+
+        # a doc rejected ONLY by the MUST_NOT clause: must+should match
+        pos = _match_mask_numpy(
+            Q.boolean(
+                must=[Q.term("the")],
+                should=[Q.term("work"), Q.term("world")],
+                msm=1,
+            ),
+            oracle_tiny,
+        )
+        neg = _match_mask_numpy(Q.boolean(should=[Q.term("school")]), oracle_tiny)
+        cand = np.flatnonzero(pos & neg)
+        assert len(cand)
+        doc = int(oracle_tiny.doc_ids[cand[0]])
+        ex = explain_boolean(
+            spark, tiny_index, TestBooleanAST.TREES[0], doc
+        )
+        assert ex["matched"] is False
+        mn = ex["explanation"]["clauses"]["must_not"][0]
+        assert mn["matched"] is True  # the veto clause fired

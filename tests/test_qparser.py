@@ -336,3 +336,34 @@ class TestPhraseInBoolean:
     def test_phrase_requires_positions(self, spark, tiny_index):
         with pytest.raises(ValueError, match="positions=True"):
             search_qstring(spark, tiny_index, '"world school"', k=5).collect()
+
+
+class TestBooleanCountExplainPhrase:
+    """count_boolean / explain_boolean with PHRASE leaves need a positional
+    index — they live here beside the module's pos_index fixture."""
+
+    def test_count_with_phrase_leaf(self, spark, pos_index, common_bigram):
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        tree = Q.boolean(must=[Q.phrase(common_bigram)])
+        rows = search_boolean(spark, pos_index, tree, k=10_000).count()
+        got = count_boolean(spark, pos_index, tree)
+        assert got == rows and got > 0
+        # phrase presence is stricter than bag-of-terms presence: the AND of
+        # the slot terms must cover at least as many docs
+        both = Q.boolean(must=[Q.term(t) for t in common_bigram.split()])
+        assert count_boolean(spark, pos_index, both) >= got
+
+    def test_explain_with_phrase_leaf(self, spark, pos_index, common_bigram):
+        from cuvs_lucene_spark.booleanq import explain_boolean
+
+        tree = Q.boolean(must=[Q.phrase(common_bigram, boost=1.5)])
+        hits = search_boolean(
+            spark, pos_index, tree, k=2, float32=False
+        ).collect()
+        assert hits
+        ex = explain_boolean(spark, pos_index, tree, hits[0]["doc_id"])
+        assert ex["matched"] and abs(ex["score"] - float(hits[0]["score"])) < 1e-9
+        pleaf = ex["explanation"]["clauses"]["must"][0]
+        assert pleaf["kind"] == "phrase" and pleaf["matched"]
+        assert pleaf["boost"] == 1.5 and pleaf["score"] > 0
