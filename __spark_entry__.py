@@ -1393,6 +1393,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_spannear"] = spannear
 
+    def spannear_unord(s: SparkSession, d: str) -> DataFrame:
+        # UNordered span-near (NearSpansUnordered analog — distinct from
+        # sloppy phrase: merge-walk state enumeration, match at
+        # max-min-(n-1)<=slop, weight 1/(1+(max-min))). Full DuckDB oracle:
+        # the walk's visited states are exactly the pairs where every
+        # consumed position precedes every current one — two lag() windows
+        # and a join, no recursion.
+        from cuvs_lucene_spark.spans import search_span_near
+
+        return _ranked(
+            search_span_near(
+                s, _index_for(s, d), "sort merge", slop=4, k=10,
+                float32=False, in_order=False,
+            )
+        )
+
+    q["fts_topk_spannear_unord"] = spannear_unord
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 
@@ -1927,6 +1945,56 @@ idfs AS (
     SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
               / (count(*) + 0.5)) AS idf
     FROM tf WHERE term IN ('merge', 'sort', 'join') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    o["fts_topk_spannear_unord"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+la AS (
+  SELECT doc_id, pos,
+         lag(pos, 1, -1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tokpos WHERE term = 'sort'
+),
+lb AS (
+  SELECT doc_id, pos,
+         lag(pos, 1, -1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tokpos WHERE term = 'merge'
+),
+-- the merge walk's visited states: every consumed position precedes every
+-- current one (a.prev < b.pos AND b.prev < a.pos); width = |a - b|,
+-- match at width - 1 <= slop (max+1 - min - 2 for two 1-position clauses)
+states AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS w
+  FROM la a JOIN lb b ON a.doc_id = b.doc_id
+  WHERE a.prev < b.pos AND b.prev < a.pos
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + w)) AS pf
+  FROM states WHERE w - 1 <= 4 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('sort', 'merge') GROUP BY term)
 ),
 spanscores AS (
   SELECT p.doc_id,

@@ -19,11 +19,29 @@ dependency, ``pom.xml:42-43``]):
   clause terms' idfs, and the document's usual BM25 length norm:
       score = Σ idf(t_i) · pf / (pf + k1·(1-b+b·dl/avgdl))
 
-Unordered proximity is deliberately NOT here: Lucene's unordered-near
-scoring over bags of terms is exactly the sloppy PhraseQuery surface this
-engine already exposes (``query.search_phrase(slop=...)``); SpanNear with
-repeated clause terms is rejected loudly (Lucene routes repeats through
-dedicated machinery; silent wrong answers are worse than a ValueError).
+Unordered span-near (``in_order=False``) is the published
+NearSpansUnordered enumeration — and it is NOT the sloppy PhraseQuery:
+the two surfaces enumerate different match sets and weight them
+differently (SloppyPhraseMatcher minimizes a matchLength per completed
+window and weights 1/(1+matchLength); NearSpansUnordered checks every
+state of a merge walk over the clause position lists and weights
+1/(1+spanWidth)). Semantics implemented:
+
+- state = one current position per clause, all starting at their first
+  occurrence; the walk repeatedly advances the clause holding the MINIMUM
+  current position, stopping when that clause is exhausted,
+- every visited state is checked once: with single-position term clauses
+  the candidate interval is [min, max+1), and it matches iff
+  ``(max+1) - min - n <= slop`` (Lucene's
+  ``maxEnd - minStart - totalSpanLength <= allowedSlop``),
+- each matching state contributes ``sloppyFreq(width)`` with
+  ``width = max - min`` (NearSpansUnordered.width() is
+  maxEndPositionCell.start - minPositionCell.start), and scoring is the
+  same pseudo-term BM25 as the ordered case.
+
+SpanNear with repeated clause terms is rejected loudly in both modes
+(Lucene routes repeats through dedicated machinery; silent wrong answers
+are worse than a ValueError).
 
 Plan shape at scale (identical to the two-phase sloppy phrase — Lucene's
 own approximation pattern): postings scan #1 WITHOUT the position payload →
@@ -81,6 +99,57 @@ def ordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
     return float(np.sum(1.0 / (1.0 + width[m].astype(np.float64))))
 
 
+def unordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
+    """NearSpansUnordered float frequency from per-clause sorted RAW
+    position arrays: the merge walk over the clause lists, one match check
+    per visited state, ``Σ 1/(1+(max-min))`` over states with
+    ``max - min - (n-1) <= slop``.
+
+    n=2 is fully vectorized via the walk's order-theoretic twin: with all
+    positions distinct (one term per position), the walk visits state
+    (i, j) iff every consumed position precedes every current one —
+    ``A[i-1] < B[j] and B[j-1] < A[i]`` — which two np.searchsorted calls
+    enumerate without stepping. n>=3 runs the walk directly (clause counts
+    are tiny; docs are independent and swept in parallel upstream)."""
+    n = len(pos_by_slot)
+    lists = [np.asarray(a, dtype=np.int64) for a in pos_by_slot]
+    if any(len(a) == 0 for a in lists):
+        return 0.0
+    if n == 2:
+        a, b = lists
+        lo = np.searchsorted(a, np.concatenate(([-1], b[:-1])), side="right")
+        hi = np.minimum(np.searchsorted(a, b, side="left"), len(a) - 1)
+        counts = hi - lo + 1
+        valid = counts > 0
+        if not valid.any():
+            return 0.0
+        cnt = counts[valid]
+        j_idx = np.repeat(np.flatnonzero(valid), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        i_idx = (
+            np.arange(int(cnt.sum())) - np.repeat(offs, cnt)
+            + np.repeat(lo[valid], cnt)
+        )
+        w = np.abs(a[i_idx] - b[j_idx])
+        m = (w - 1) <= slop
+        if not m.any():
+            return 0.0
+        return float(np.sum(1.0 / (1.0 + w[m].astype(np.float64))))
+    ptr = [0] * n
+    heads = [int(a[0]) for a in lists]
+    total = 0.0
+    while True:
+        mn = min(heads)
+        mx = max(heads)
+        if mx - mn - (n - 1) <= slop:
+            total += 1.0 / (1.0 + (mx - mn))
+        i = heads.index(mn)
+        ptr[i] += 1
+        if ptr[i] >= len(lists[i]):
+            return total
+        heads[i] = int(lists[i][ptr[i]])
+
+
 def _adjusted_ordered_pf(slop: int):
     """Adapter for make_sloppy_sweep_kernel's freq_of contract: the occ
     kernel ships ADJUSTED positions (adj = pos - slot index), so slot i's
@@ -94,6 +163,16 @@ def _adjusted_ordered_pf(slop: int):
     return pf
 
 
+def _adjusted_unordered_pf(slop: int):
+    """Same adjusted→raw adapter for the unordered walk."""
+
+    def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
+        raw = [np.asarray(a, dtype=np.int64) + i for i, a in enumerate(pos_by_slot)]
+        return unordered_span_pf(raw, slop)
+
+    return pf
+
+
 def span_near_doc_scores(
     spark: SparkSession,
     rd: IndexReader,
@@ -102,11 +181,13 @@ def span_near_doc_scores(
     slop: int,
     del_ids: DataFrame | None = None,
     filter_cond: Column | str | None = None,
+    in_order: bool = True,
 ) -> DataFrame | None:
-    """Per-doc float64 ordered-span BM25 scores (doc_id, score_d), matching
+    """Per-doc float64 span-near BM25 scores (doc_id, score_d), matching
     docs only; None when a clause term is absent (the span provably matches
     nothing). Mirrors query.phrase_doc_scores' two-phase sloppy plan with
-    the NearSpansOrdered frequency swapped into the sweep kernel."""
+    the NearSpansOrdered (or, for in_order=False, NearSpansUnordered)
+    frequency swapped into the sweep kernel."""
     n = len(terms)
     if n < 2:
         raise ValueError("span_near needs >= 2 clause terms")
@@ -159,7 +240,15 @@ def span_near_doc_scores(
         .repartition("doc_id")
         .sortWithinPartitions("doc_id")
         .mapInPandas(
-            make_sloppy_sweep_kernel(n, slop, freq_of=_adjusted_ordered_pf(slop)),
+            make_sloppy_sweep_kernel(
+                n,
+                slop,
+                freq_of=(
+                    _adjusted_ordered_pf(slop)
+                    if in_order
+                    else _adjusted_unordered_pf(slop)
+                ),
+            ),
             SLOPPY_PF_SCHEMA,
         )
     )
@@ -185,17 +274,14 @@ def search_span_near(
     float32: bool = True,
     field: str | None = None,
 ) -> DataFrame:
-    """Top-k ordered span-near BM25 search: the analyzed terms of ``query``
-    must occur in order within ``slop`` total gap positions. Returns
-    (doc_id, score, conv_id, turn_idx); composes with filter_cond and
-    tombstones like every other search surface.
-
-    in_order=False raises: unordered-near term proximity IS the sloppy
-    PhraseQuery surface — use ``search_phrase(..., slop=...)``."""
-    if not in_order:
-        raise ValueError(
-            "unordered span-near == sloppy phrase; use search_phrase(slop=...)"
-        )
+    """Top-k span-near BM25 search. in_order=True (default): the analyzed
+    terms of ``query`` must occur in the given order within ``slop`` total
+    gap positions (NearSpansOrdered). in_order=False: the terms may occur
+    in ANY order within the slop window (NearSpansUnordered — a genuinely
+    different surface from the sloppy PhraseQuery: different match
+    enumeration AND a different per-match weight, see module docstring).
+    Returns (doc_id, score, conv_id, turn_idx); composes with filter_cond
+    and tombstones like every other search surface."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
     rd = reader or IndexReader(spark, index_dir)
@@ -227,6 +313,7 @@ def search_span_near(
     scored = span_near_doc_scores(
         spark, rd, terms, fld, slop,
         del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        in_order=in_order,
     )
     if scored is None:
         return empty

@@ -65,6 +65,16 @@ def golden_queries() -> dict:
         must=[Q.term("the"), Q.boolean(should=[Q.term("work"), Q.term("world", boost=2.0)])],
         must_not=[Q.term("school")],
     )
+
+    def _count_boolean_as_df(s, d):
+        # freeze the nested-tree COUNT too (one [n, n] row in the golden
+        # (doc_id, score) shape): analyzer/presence drift trips it even when
+        # the top-10 happens to survive
+        from cuvs_lucene_spark.booleanq import count_boolean
+
+        n = count_boolean(s, d, tree)
+        return s.createDataFrame([(n, float(n))], "doc_id long, score double")
+
     return {
         "or3_hot": lambda s, d: search(s, d, "the be to", k=10),
         "or4_mixed": lambda s, d: search(s, d, "world school still try", k=10),
@@ -120,6 +130,10 @@ def golden_queries() -> dict:
         "spannear_slop4": lambda s, d: _spannear(
             s, d, "the world", slop=4, k=10
         ),
+        "spannear_unord_slop4": lambda s, d: _spannear(
+            s, d, "the world", slop=4, k=10, in_order=False
+        ),
+        "count_boolean_nested": lambda s, d: _count_boolean_as_df(s, d),
         "qstring_range_mix": lambda s, d: _qstr(
             s, d, "[sa TO sd] OR world", k=10
         ),

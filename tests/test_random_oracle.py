@@ -165,3 +165,27 @@ def test_random_corpus_engine_equals_oracle(
         )
         for (_, _, gs), (_, _, es) in zip(got, exp):
             assert abs(gs - es) < 1e-5, (seed, terms, slop)
+
+    # UNordered span-near on the same random corpus, vs the independent
+    # brute-force visited-state oracle (test_spans.oracle_span_near_unordered)
+    from test_spans import oracle_span_near_unordered
+
+    for _ in range(2):
+        n_terms = int(rng.integers(2, 4))
+        if len(present) < n_terms:
+            break
+        terms = list(rng.choice(present, size=n_terms, replace=False))
+        slop = int(rng.integers(0, 7))
+        exp = oracle_span_near_unordered(corpus_toks, terms, slop, 10)
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in search_span_near(
+                spark, d, " ".join(terms), slop=slop, k=10, float32=False,
+                in_order=False,
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp], (
+            seed, terms, slop, got, exp
+        )
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5, (seed, terms, slop)

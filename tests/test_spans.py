@@ -187,8 +187,10 @@ class TestSearchSpanNear:
     def test_guards(self, spark, pos_index, tiny_index):
         with pytest.raises(ValueError, match="repeated"):
             search_span_near(spark, pos_index, "world world", slop=2).collect()
-        with pytest.raises(ValueError, match="sloppy phrase"):
-            search_span_near(spark, pos_index, "a b", in_order=False)
+        with pytest.raises(ValueError, match="repeated"):
+            search_span_near(
+                spark, pos_index, "world world", slop=2, in_order=False
+            ).collect()
         with pytest.raises(ValueError, match="slop"):
             search_span_near(spark, pos_index, "a b", slop=-1)
         with pytest.raises(ValueError, match="positions"):
@@ -211,3 +213,176 @@ class TestSearchSpanNear:
             for r in search_phrase(spark, pos_index, "world", k=10).collect()
         ]
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# unordered span-near (NearSpansUnordered analog)
+# ---------------------------------------------------------------------------
+
+
+def loop_unordered_pf(pos_by_slot, slop):
+    """Independent spec of the NearSpansUnordered enumeration — NOT the
+    engine's merge walk: enumerate EVERY index combination and keep the
+    merge-visited ones by the order-theoretic characterization (a state is
+    visited iff every consumed position precedes every current one), then
+    apply the documented match check and weight. O(Π sizes) — test-only."""
+    import itertools
+
+    n = len(pos_by_slot)
+    if any(not p for p in pos_by_slot):
+        return 0.0
+    pf = 0.0
+    for combo in itertools.product(*[range(len(p)) for p in pos_by_slot]):
+        consumed = [
+            pos_by_slot[t][i - 1] for t, i in enumerate(combo) if i > 0
+        ]
+        currents = [pos_by_slot[t][i] for t, i in enumerate(combo)]
+        if consumed and max(consumed) >= min(currents):
+            continue  # not a merge-walk state
+        mn, mx = min(currents), max(currents)
+        if mx - mn - (n - 1) <= slop:
+            pf += 1.0 / (1.0 + (mx - mn))
+    return pf
+
+
+def oracle_span_near_unordered(corpus_toks, terms, slop, k):
+    """[(conv_id, turn_idx, score)] top-k via the unordered loop spec."""
+    docs = [(c, t, toks, len(toks)) for c, t, toks in corpus_toks]
+    n_docs = sum(1 for *_, dl in docs if dl > 0)
+    avgdl = sum(dl for *_, dl in docs) / n_docs
+    df = {
+        s: sum(1 for *_, toks, _ in docs if s in set(toks)) for s in set(terms)
+    }
+    if any(df[s] == 0 for s in terms):
+        return []
+    idf_sum = sum(
+        math.log(1.0 + (n_docs - df[s] + 0.5) / (df[s] + 0.5)) for s in terms
+    )
+    scored = []
+    for doc_id, (c, t, toks, dl) in enumerate(docs):
+        pos = [[i for i, w in enumerate(toks) if w == s] for s in terms]
+        if any(not p for p in pos):
+            continue
+        pf = loop_unordered_pf(pos, slop)
+        if pf > 0.0:
+            dl_d = float(
+                dequantize_dl_np(quantize_dl_np(np.array([dl], dtype=np.int64)))[0]
+            )
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dl_d / avgdl))
+            scored.append((doc_id, c, t, score))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [(c, t, s) for _, c, t, s in scored[:k]]
+
+
+class TestUnorderedKernelSpec:
+    def test_hand_cases(self):
+        from cuvs_lucene_spark.spans import unordered_span_pf
+
+        # a@[0] b@[2]: one state, width 2, gap 1 → matches at slop>=1
+        assert unordered_span_pf([np.array([0]), np.array([2])], 1) == (
+            pytest.approx(1 / 3)
+        )
+        assert unordered_span_pf([np.array([0]), np.array([2])], 0) == 0.0
+        # order-free: b before a matches identically
+        assert unordered_span_pf([np.array([5]), np.array([1])], 3) == (
+            unordered_span_pf([np.array([1]), np.array([5])], 3)
+        )
+        # walk visits (1,3) then (5,3): both width 2 at slop 1
+        assert unordered_span_pf(
+            [np.array([1, 5]), np.array([3])], 1
+        ) == pytest.approx(2 / 3)
+        # 3 clauses packed tight: state (0,1,2) width 2, gap 0
+        assert unordered_span_pf(
+            [np.array([1]), np.array([0]), np.array([2])], 0
+        ) == pytest.approx(1 / 3)
+
+    def test_distinct_from_sloppy_phrase(self):
+        """The unordered-span surface is NOT sloppy phrase: same doc, same
+        window, different frequency (weight uses span width, not the
+        position-adjusted matchLength)."""
+        from cuvs_lucene_spark.query import _lucene_sloppy_freq
+        from cuvs_lucene_spark.spans import unordered_span_pf
+
+        # tokens a@0, b@2 — phrase "a b"~2 has ADJUSTED positions a:0, b:1
+        span = unordered_span_pf([np.array([0]), np.array([2])], 2)
+        sloppy = _lucene_sloppy_freq([np.array([0]), np.array([1])], 2)
+        assert span == pytest.approx(1 / 3)
+        assert sloppy == pytest.approx(1 / 2)
+        assert span != sloppy
+
+    @pytest.mark.parametrize("seed", range(30))
+    def test_walk_matches_bruteforce_spec_randomized(self, seed):
+        from cuvs_lucene_spark.spans import unordered_span_pf
+
+        rng = random.Random(1000 + seed)
+        n = rng.randint(2, 4)
+        # distinct positions across clauses (one token per position)
+        sample = rng.sample(range(50), 18)
+        pools, at = [], 0
+        for i in range(n):
+            take = rng.randint(1, 5)
+            pools.append(sorted(sample[at:at + take]))
+            at += take
+        slop = rng.randint(0, 12)
+        got = unordered_span_pf(
+            [np.array(p, dtype=np.int64) for p in pools], slop
+        )
+        assert got == pytest.approx(loop_unordered_pf(pools, slop))
+
+
+class TestSearchSpanNearUnordered:
+    @pytest.mark.parametrize(
+        "q,slop",
+        [
+            ("world school", 0),
+            ("world school", 3),
+            ("the world", 5),
+            ("student country help", 8),
+        ],
+    )
+    def test_matches_oracle(self, spark, pos_index, corpus_toks, q, slop):
+        terms = tokenize_py(q)
+        exp = oracle_span_near_unordered(corpus_toks, terms, slop, 10)
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in search_span_near(
+                spark, pos_index, q, slop=slop, k=10, float32=False,
+                in_order=False,
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp], (q, slop)
+        for (_, _, gs), (_, _, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-5
+
+    def test_clause_order_is_irrelevant(self, spark, pos_index):
+        fwd = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in search_span_near(
+                spark, pos_index, "the world", slop=2, k=10**9, in_order=False
+            ).collect()
+        ]
+        rev = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in search_span_near(
+                spark, pos_index, "world the", slop=2, k=10**9, in_order=False
+            ).collect()
+        ]
+        assert fwd and fwd == rev
+
+    def test_superset_of_ordered_matches(self, spark, pos_index):
+        """Every ordered match is an unordered match at the same slop: the
+        ordered enumeration's windows are a subset (with widths >= gaps)."""
+        uno = {
+            r["doc_id"]
+            for r in search_span_near(
+                spark, pos_index, "world school", slop=6, k=10**9,
+                in_order=False,
+            ).collect()
+        }
+        ordd = {
+            r["doc_id"]
+            for r in search_span_near(
+                spark, pos_index, "world school", slop=6, k=10**9
+            ).collect()
+        }
+        assert ordd and ordd <= uno
