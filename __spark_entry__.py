@@ -1411,6 +1411,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_spannear_unord"] = spannear_unord
 
+    def spanfirst(s: SparkSession, d: str) -> DataFrame:
+        # SpanFirstQuery analog: ordered span-near "merge sort"~5 whose
+        # spans must END within the first 12 positions of the document
+        # (span end = last matched position + 1 <= 12). Lucene's
+        # FilterSpans drops non-accepted spans from the same enumeration,
+        # so per-match weight stays 1/(1+width). Full DuckDB oracle: the
+        # spannear min-position chain plus the end predicate.
+        from cuvs_lucene_spark.spans import search_span_first
+
+        return _ranked(
+            search_span_first(
+                s, _index_for(s, d), "merge sort", end=12, slop=5, k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_spanfirst"] = spanfirst
+
+    def spanfirst_term(s: SparkSession, d: str) -> DataFrame:
+        # single-clause SpanFirst: a bare term span filtered to the doc
+        # head — pf = count of occurrences at position < 10, scored as the
+        # usual BM25 pseudo-term. Exactly SQL-expressible (position filter
+        # on the unnested token table).
+        from cuvs_lucene_spark.spans import search_span_first
+
+        return _ranked(
+            search_span_first(
+                s, _index_for(s, d), "merge", end=10, k=10, float32=False,
+            )
+        )
+
+    q["fts_topk_spanfirst_term"] = spanfirst_term
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 
@@ -1995,6 +2028,82 @@ idfs AS (
     SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
               / (count(*) + 0.5)) AS idf
     FROM tf WHERE term IN ('sort', 'merge') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # SpanFirst over an ordered 2-clause near: the spannear min-position
+    # chain with the FilterSpans end predicate (span end = p1 + 1 <= 12)
+    o["fts_topk_spanfirst"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+matches AS (
+  SELECT doc_id, p1 - p0 - 1 AS width
+  FROM m1 WHERE p1 IS NOT NULL AND p1 + 1 <= 12
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM matches WHERE width <= 5 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # single-clause SpanFirst: pf = occurrences of the term at pos < 10
+    o["fts_topk_spanfirst_term"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+pfq AS (
+  SELECT doc_id, cast(count(*) AS double) AS pf
+  FROM tokpos WHERE term = 'merge' AND pos + 1 <= 10 GROUP BY doc_id
+),
+idfs AS (
+  SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+            / (count(*) + 0.5)) AS idf_sum
+  FROM tf WHERE term = 'merge'
 ),
 spanscores AS (
   SELECT p.doc_id,

@@ -1467,14 +1467,18 @@ SLOPPY_PF_SCHEMA = StructType(
 )
 
 
-def make_sloppy_sweep_kernel(n_slots: int, slop: int, freq_of=None):
+def make_sloppy_sweep_kernel(
+    n_slots: int, slop: int, freq_of=None, optional_slots: frozenset = frozenset()
+):
     """mapInPandas kernel over occurrence rows co-located by doc_id
     (repartition("doc_id") upstream): per doc, slice each slot's sorted
     adjusted positions and run the Lucene sloppy sweep. Docs are independent;
     the trailing (possibly batch-split) doc is carried to the next Arrow
-    batch, same pattern as the partition encoder. Docs missing a slot are
-    skipped (the upstream conjunction semi-join already removed them; the
-    re-check makes the kernel safe standalone).
+    batch, same pattern as the partition encoder. Docs missing a REQUIRED
+    slot are skipped (the upstream conjunction semi-join already removed
+    them; the re-check makes the kernel safe standalone); slots named in
+    ``optional_slots`` (e.g. a SpanNot exclusion clause) may be absent —
+    freq_of sees an empty position array for them.
 
     freq_of(pos_by_slot, slop) — per-doc float frequency from the per-slot
     sorted adjusted-position arrays; defaults to the SloppyPhraseMatcher
@@ -1482,6 +1486,8 @@ def make_sloppy_sweep_kernel(n_slots: int, slop: int, freq_of=None):
     (same occ rows, same doc slicing, same tail-carry) with the ordered
     NearSpansOrdered frequency instead."""
     freq_of = freq_of or _lucene_sloppy_freq
+    _empty = np.empty(0, dtype=np.int64)
+    n_required = n_slots - len(optional_slots)
 
     def _sweep_docs(pdf: pd.DataFrame) -> pd.DataFrame | None:
         d = pdf["doc_id"].to_numpy()
@@ -1497,11 +1503,17 @@ def make_sloppy_sweep_kernel(n_slots: int, slop: int, freq_of=None):
         for lo, hi in zip(starts, ends):
             ss = s[lo:hi]
             slot_bounds = np.flatnonzero(np.diff(ss)) + 1
-            if len(slot_bounds) != n_slots - 1:
-                continue  # a slot is absent: the doc cannot match
             sl = np.concatenate(([0], slot_bounds))
             sh = np.concatenate((slot_bounds, [hi - lo]))
-            pos_by_slot = [a[lo + i:lo + j] for i, j in zip(sl, sh)]
+            present = ss[sl]
+            n_req_present = len(present) - sum(
+                1 for t in present if t in optional_slots
+            )
+            if n_req_present != n_required:
+                continue  # a required slot is absent: the doc cannot match
+            pos_by_slot = [_empty] * n_slots
+            for i, j in zip(sl, sh):
+                pos_by_slot[int(ss[i])] = a[lo + i:lo + j]
             pf = freq_of(pos_by_slot, slop)
             if pf > 0.0:
                 out_doc.append(int(d[lo]))

@@ -43,6 +43,15 @@ SpanNear with repeated clause terms is rejected loudly in both modes
 (Lucene routes repeats through dedicated machinery; silent wrong answers
 are worse than a ValueError).
 
+``search_span_first`` is the SpanFirstQuery analog (SpanPositionRangeQuery
+with start=0): only spans that END within the first ``end`` positions of
+the document are kept — Lucene's FilterSpans drops non-accepted spans from
+the SAME underlying enumeration, so the per-match weight is unchanged
+(``sloppyFreq(width)`` of the inner span; a term span has width 0 and
+contributes 1 per accepted occurrence). The inner span query may be a
+single term, an ordered near, or an unordered near; ``max_end`` threads
+the filter through the same enumeration kernels.
+
 Plan shape at scale (identical to the two-phase sloppy phrase — Lucene's
 own approximation pattern): postings scan #1 WITHOUT the position payload →
 docs containing every clause term (the conjunction approximation); only
@@ -68,10 +77,33 @@ from cuvs_lucene_spark.query import (
 )
 
 
-def ordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
+def _excl_overlaps(
+    start: np.ndarray, end: np.ndarray, excl: np.ndarray, pre: int, post: int
+) -> np.ndarray:
+    """Boolean mask: candidate span [start, end) overlaps some exclusion
+    position q (a width-1 span [q, q+1)) within the SpanNot pre/post buffer
+    — q+1 > start-pre and q < end+post, i.e. q in [start-pre, end+post).
+    excl must be sorted; vectorized over all candidates at once."""
+    lo = np.searchsorted(excl, start - pre, side="left")
+    hi = np.searchsorted(excl, end + post, side="left")
+    return hi > lo
+
+
+def ordered_span_pf(
+    pos_by_slot: list[np.ndarray],
+    slop: int,
+    max_end: int | None = None,
+    excl: np.ndarray | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> float:
     """NearSpansOrdered float frequency from per-clause sorted RAW position
     arrays: one candidate per first-clause position, minimal stretch of each
     later clause, ``Σ 1/(1+width)`` over candidates with width <= slop.
+    ``max_end`` (SpanFirstQuery filter) additionally requires the span's end
+    — last matched position + 1 — to be <= max_end. ``excl`` (SpanNotQuery
+    filter) drops candidates whose span, widened by ``pre`` positions before
+    and ``post`` after, overlaps any exclusion position.
 
     Vectorized across all first-clause positions at once (np.searchsorted
     per later clause), so a doc with f occurrences of the first term costs
@@ -94,16 +126,30 @@ def ordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
         width = width + (q - prev_end)  # garbage where ~alive; masked below
         prev_end = q + 1
     m = alive & (width <= slop)
+    if max_end is not None:
+        m &= prev_end <= max_end
+    if excl is not None and len(excl):
+        m &= ~_excl_overlaps(first, prev_end, excl, pre, post)
     if not m.any():
         return 0.0
     return float(np.sum(1.0 / (1.0 + width[m].astype(np.float64))))
 
 
-def unordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
+def unordered_span_pf(
+    pos_by_slot: list[np.ndarray],
+    slop: int,
+    max_end: int | None = None,
+    excl: np.ndarray | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> float:
     """NearSpansUnordered float frequency from per-clause sorted RAW
     position arrays: the merge walk over the clause lists, one match check
     per visited state, ``Σ 1/(1+(max-min))`` over states with
-    ``max - min - (n-1) <= slop``.
+    ``max - min - (n-1) <= slop``. ``max_end`` (SpanFirstQuery filter)
+    additionally requires the state's end — max position + 1 — to be
+    <= max_end; ``excl``/``pre``/``post`` apply the SpanNotQuery overlap
+    filter to each state's span [min, max+1).
 
     n=2 is fully vectorized via the walk's order-theoretic twin: with all
     positions distinct (one term per position), the walk visits state
@@ -132,17 +178,34 @@ def unordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
         )
         w = np.abs(a[i_idx] - b[j_idx])
         m = (w - 1) <= slop
+        if max_end is not None:
+            m &= np.maximum(a[i_idx], b[j_idx]) + 1 <= max_end
+        if excl is not None and len(excl):
+            mn2 = np.minimum(a[i_idx], b[j_idx])
+            mx2 = np.maximum(a[i_idx], b[j_idx])
+            m &= ~_excl_overlaps(mn2, mx2 + 1, excl, pre, post)
         if not m.any():
             return 0.0
         return float(np.sum(1.0 / (1.0 + w[m].astype(np.float64))))
+    has_excl = excl is not None and len(excl) > 0
     ptr = [0] * n
     heads = [int(a[0]) for a in lists]
     total = 0.0
     while True:
         mn = min(heads)
         mx = max(heads)
-        if mx - mn - (n - 1) <= slop:
-            total += 1.0 / (1.0 + (mx - mn))
+        if mx - mn - (n - 1) <= slop and (
+            max_end is None or mx + 1 <= max_end
+        ):
+            if not (
+                has_excl
+                and bool(
+                    _excl_overlaps(
+                        np.array([mn]), np.array([mx + 1]), excl, pre, post
+                    )[0]
+                )
+            ):
+                total += 1.0 / (1.0 + (mx - mn))
         i = heads.index(mn)
         ptr[i] += 1
         if ptr[i] >= len(lists[i]):
@@ -150,25 +213,67 @@ def unordered_span_pf(pos_by_slot: list[np.ndarray], slop: int) -> float:
         heads[i] = int(lists[i][ptr[i]])
 
 
-def _adjusted_ordered_pf(slop: int):
-    """Adapter for make_sloppy_sweep_kernel's freq_of contract: the occ
-    kernel ships ADJUSTED positions (adj = pos - slot index), so slot i's
-    raw positions are adj + i. Adjusted arrays are sorted ⇒ raw arrays are
-    sorted (per-slot constant shift)."""
+def _split_excl(pos_by_slot: list[np.ndarray], n_inc: int):
+    """Adjusted→raw conversion (adj = pos - slot index ⇒ raw = adj + i;
+    per-slot constant shift preserves sortedness) and exclusion-slot split:
+    slots [0, n_inc) are the include clauses, slot n_inc — when present —
+    is the SpanNot exclusion clause's position union."""
+    raw = [
+        np.asarray(a, dtype=np.int64) + i
+        for i, a in enumerate(pos_by_slot[:n_inc])
+    ]
+    excl = None
+    if len(pos_by_slot) > n_inc:
+        excl = np.asarray(pos_by_slot[n_inc], dtype=np.int64) + n_inc
+    return raw, excl
+
+
+def _adjusted_ordered_pf(
+    slop: int, n_inc: int, max_end: int | None = None, pre: int = 0,
+    post: int = 0,
+):
+    """Adapter for make_sloppy_sweep_kernel's freq_of contract (the occ
+    kernel ships ADJUSTED positions), ordered enumeration."""
 
     def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
-        raw = [np.asarray(a, dtype=np.int64) + i for i, a in enumerate(pos_by_slot)]
-        return ordered_span_pf(raw, slop)
+        raw, excl = _split_excl(pos_by_slot, n_inc)
+        return ordered_span_pf(
+            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post
+        )
 
     return pf
 
 
-def _adjusted_unordered_pf(slop: int):
-    """Same adjusted→raw adapter for the unordered walk."""
+def _adjusted_unordered_pf(
+    slop: int, n_inc: int, max_end: int | None = None, pre: int = 0,
+    post: int = 0,
+):
+    """Same adapter for the unordered walk."""
 
     def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
-        raw = [np.asarray(a, dtype=np.int64) + i for i, a in enumerate(pos_by_slot)]
-        return unordered_span_pf(raw, slop)
+        raw, excl = _split_excl(pos_by_slot, n_inc)
+        return unordered_span_pf(
+            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post
+        )
+
+    return pf
+
+
+def _term_span_pf(max_end: int | None = None, pre: int = 0, post: int = 0):
+    """Single include clause: every occurrence is a width-0 span
+    [pos, pos+1) contributing sloppyFreq(0) = 1, filtered by the SpanFirst
+    end bound (pos + 1 <= max_end) and/or the SpanNot exclusion overlap.
+    Slot 0's adjusted positions ARE raw positions."""
+
+    def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
+        raw, excl = _split_excl(pos_by_slot, 1)
+        p = raw[0]
+        m = np.ones(len(p), dtype=bool)
+        if max_end is not None:
+            m &= p < max_end
+        if excl is not None and len(excl):
+            m &= ~_excl_overlaps(p, p + 1, excl, pre, post)
+        return float(np.count_nonzero(m))
 
     return pf
 
@@ -176,22 +281,46 @@ def _adjusted_unordered_pf(slop: int):
 def span_near_doc_scores(
     spark: SparkSession,
     rd: IndexReader,
-    terms: list[str],
+    clauses: list[list[str]] | list[str],
     fld: str,
     slop: int,
     del_ids: DataFrame | None = None,
     filter_cond: Column | str | None = None,
     in_order: bool = True,
+    max_end: int | None = None,
+    exclude: list[str] | None = None,
+    pre: int = 0,
+    post: int = 0,
 ) -> DataFrame | None:
     """Per-doc float64 span-near BM25 scores (doc_id, score_d), matching
-    docs only; None when a clause term is absent (the span provably matches
-    nothing). Mirrors query.phrase_doc_scores' two-phase sloppy plan with
-    the NearSpansOrdered (or, for in_order=False, NearSpansUnordered)
-    frequency swapped into the sweep kernel."""
-    n = len(terms)
-    if n < 2:
-        raise ValueError("span_near needs >= 2 clause terms")
-    if len(set(terms)) != n:
+    docs only; None when some clause has no present alternative (the span
+    provably matches nothing). Mirrors query.phrase_doc_scores' two-phase
+    sloppy plan with the NearSpansOrdered (or, for in_order=False,
+    NearSpansUnordered) frequency swapped into the sweep kernel.
+
+    Each clause is a list of alternative terms — a SpanOrQuery of term
+    spans (a bare str clause means one term); a clause matches at the UNION
+    of its alternatives' positions, exactly Lucene's SpanOrQuery span
+    enumeration, and absent alternatives simply contribute no positions
+    (they are also dropped from the idf sum, as IndexSearcher skips
+    zero-docFreq term statistics). ``max_end`` applies the SpanFirst end
+    filter inside the same enumeration; it also admits a single-clause span
+    (a bare term/or span filtered to the document head). ``exclude`` is the
+    SpanNotQuery exclusion clause: candidate spans whose extent, widened by
+    ``pre``/``post`` positions, overlaps any exclusion-term occurrence are
+    dropped from the SAME enumeration (FilterSpans again — weights of the
+    surviving matches are unchanged, and exclusion terms contribute NO idf,
+    matching SpanNotWeight building its sim weight from the include span
+    only)."""
+    clauses = [[c] if isinstance(c, str) else list(dict.fromkeys(c)) for c in clauses]
+    n = len(clauses)
+    has_filters = max_end is not None or exclude
+    if n < 2 and not has_filters:
+        raise ValueError("span_near needs >= 2 clauses")
+    if n < 1 or any(not c for c in clauses):
+        raise ValueError("every span clause needs >= 1 term")
+    inc_terms = [t for c in clauses for t in c]
+    if len(set(inc_terms)) != len(inc_terms):
         raise ValueError(
             "span_near with repeated clause terms is not supported "
             "(Lucene's repeats machinery; rephrase or use sloppy phrase)"
@@ -203,20 +332,35 @@ def span_near_doc_scores(
     f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
     if f_docs == 0:
         return None
-    stats = rd.term_stats(terms, fld)
-    if any(stats.get(t, (0, 0))[0] == 0 for t in terms):
-        return None
-    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in terms))
+    exclude = list(dict.fromkeys(exclude)) if exclude else []
+    stats = rd.term_stats(list(dict.fromkeys(inc_terms + exclude)), fld)
 
+    def _df(t: str) -> int:
+        return stats.get(t, (0, 0))[0]
+
+    clauses = [[t for t in c if _df(t) > 0] for c in clauses]
+    if any(not c for c in clauses):
+        return None  # a clause has no present alternative: nothing matches
+    exclude = [t for t in exclude if _df(t) > 0]
+    inc_present = [t for c in clauses for t in c]
+    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in inc_present))
+
+    all_terms = list(dict.fromkeys(inc_present + exclude))
     postings = rd.cat.read_postings(spark).where(
-        F.col("bucket").isin(sorted({stats[t][1] for t in terms}))
+        F.col("bucket").isin(sorted({stats[t][1] for t in all_terms}))
         & (F.col("field") == fld)
-        & F.col("term").isin(terms)
+        & F.col("term").isin(all_terms)
     )
+    # slot map: clause i's alternatives → slot i; exclusion terms → slot n
+    # (their position UNION — a term may be both include and exclude)
+    slot_of_term: dict[str, list[int]] = {}
+    for i, c in enumerate(clauses):
+        for t in c:
+            slot_of_term.setdefault(t, []).append(i)
+    for t in exclude:
+        slot_of_term.setdefault(t, []).append(n)
     occ = postings.mapInPandas(
-        make_phrase_occ_kernel(
-            {t: [i] for i, t in enumerate(terms)}, keep_negative_adj=True
-        ),
+        make_phrase_occ_kernel(slot_of_term, keep_negative_adj=True),
         PHRASE_OCC_SCHEMA,
     )
     if del_ids is not None:
@@ -224,30 +368,53 @@ def span_near_doc_scores(
     if filter_cond is not None:
         occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
 
-    # phase 1 — the conjunction approximation, positions never decoded
-    from cuvs_lucene_spark.operators.merge import decode_postings
+    if n == 1:
+        # single include clause (SpanFirst / SpanNot over a term-or span):
+        # no conjunction phase — the kernel counts surviving positions
+        freq_of = _term_span_pf(max_end=max_end, pre=pre, post=post)
+    elif in_order:
+        freq_of = _adjusted_ordered_pf(
+            slop, n, max_end=max_end, pre=pre, post=post
+        )
+    else:
+        freq_of = _adjusted_unordered_pf(
+            slop, n, max_end=max_end, pre=pre, post=post
+        )
 
-    cand = (
-        decode_postings(postings)
-        .select("doc_id", "term")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("_nt"))
-        .where(F.col("_nt") == F.lit(n))
-        .select("doc_id")
-    )
+    swept = occ
+    if n > 1:
+        # phase 1 — the conjunction approximation, positions never decoded:
+        # docs holding >= 1 present alternative of EVERY include clause
+        from cuvs_lucene_spark.operators.merge import decode_postings
+
+        clause_of = F.create_map(
+            *[
+                x
+                for i, c in enumerate(clauses)
+                for t in c
+                for x in (F.lit(t), F.lit(i))
+            ]
+        )
+        cand = (
+            decode_postings(postings)
+            .select("doc_id", "term")
+            .withColumn("_c", clause_of[F.col("term")])
+            .where(F.col("_c").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.count_distinct("_c").alias("_nt"))
+            .where(F.col("_nt") == F.lit(n))
+            .select("doc_id")
+        )
+        swept = occ.join(cand, "doc_id", "left_semi")
+    n_slots = n + (1 if exclude else 0)
     pf = (
-        occ.join(cand, "doc_id", "left_semi")
+        swept
         .repartition("doc_id")
         .sortWithinPartitions("doc_id")
         .mapInPandas(
             make_sloppy_sweep_kernel(
-                n,
-                slop,
-                freq_of=(
-                    _adjusted_ordered_pf(slop)
-                    if in_order
-                    else _adjusted_unordered_pf(slop)
-                ),
+                n_slots, slop, freq_of=freq_of,
+                optional_slots=frozenset({n}) if exclude else frozenset(),
             ),
             SLOPPY_PF_SCHEMA,
         )
@@ -314,6 +481,68 @@ def search_span_near(
         spark, rd, terms, fld, slop,
         del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
         in_order=in_order,
+    )
+    if scored is None:
+        return empty
+    topk = (
+        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_span_first(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    end: int,
+    slop: int = 0,
+    k: int = 10,
+    in_order: bool = True,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Top-k SpanFirstQuery BM25 search: spans of the inner span query that
+    END within the first ``end`` positions of the document (span end =
+    last matched position + 1 <= end). One analyzed term = a filtered term
+    span (each head occurrence contributes 1 to the pseudo-term frequency);
+    two or more = a span-near (ordered by default, ``in_order=False`` for
+    the unordered walk) with the end filter applied inside the SAME
+    enumeration — matching Lucene's FilterSpans, which drops non-accepted
+    spans without changing the enumeration or the per-match weight.
+    Returns (doc_id, score, conv_id, turn_idx); composes with filter_cond
+    and tombstones like every other search surface."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    terms = rd.analyze(query)
+    if k <= 0 or not terms or not rd.manifest["segments"] or end < 1:
+        # end < 1: no span can end at position <= 0 — provably empty
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    scored = span_near_doc_scores(
+        spark, rd, terms, fld, slop,
+        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        in_order=in_order, max_end=int(end),
     )
     if scored is None:
         return empty

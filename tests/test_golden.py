@@ -54,6 +54,7 @@ def golden_queries() -> dict:
     from cuvs_lucene_spark.query import (
         search, search_fields, search_phrase, search_sorted,
     )
+    from cuvs_lucene_spark.spans import search_span_first as _spanfirst
     from cuvs_lucene_spark.spans import search_span_near as _spannear
 
     def after_page2(s, d):
@@ -136,6 +137,12 @@ def golden_queries() -> dict:
         "count_boolean_nested": lambda s, d: _count_boolean_as_df(s, d),
         "qstring_range_mix": lambda s, d: _qstr(
             s, d, "[sa TO sd] OR world", k=10
+        ),
+        "spanfirst_end8": lambda s, d: _spanfirst(
+            s, d, "the world", end=8, slop=4, k=10
+        ),
+        "spanfirst_term_end5": lambda s, d: _spanfirst(
+            s, d, "world", end=5, k=10
         ),
     }
 
