@@ -1444,6 +1444,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_spanfirst_term"] = spanfirst_term
 
+    def spanor(s: SparkSession, d: str) -> DataFrame:
+        # SpanOrQuery analog: union of the terms' spans scored as ONE
+        # pseudo-term — pf = Σ tf over matched terms (every occurrence is
+        # a width-0 span, sloppyFreq(0)=1), idf = Σ idf of present terms.
+        # Distinct from the OR disjunction (per-term saturation then sum).
+        # Positions never read. Full DuckDB oracle: COUNT over term IN.
+        from cuvs_lucene_spark.spans import search_span_or
+
+        return _ranked(
+            search_span_or(
+                s, _index_for(s, d), "merge join", k=10, float32=False
+            )
+        )
+
+    q["fts_topk_spanor"] = spanor
+
+    def spannear_orclause(s: SparkSession, d: str) -> DataFrame:
+        # SpanOr INSIDE an ordered near: near(or(merge, join), sort)~6 —
+        # clause 1 matches at the UNION of merge/join positions (Lucene
+        # SpanOrQuery span enumeration), idf over all three terms. Oracle:
+        # the min-position chain with m0 over term IN ('merge','join').
+        from cuvs_lucene_spark.spans import search_span_near
+
+        return _ranked(
+            search_span_near(
+                s, _index_for(s, d), ["merge join", "sort"], slop=6, k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_spannear_orclause"] = spannear_orclause
+
+    def spannot(s: SparkSession, d: str) -> DataFrame:
+        # SpanNotQuery analog: ordered near "merge sort"~6 spans are
+        # VETOED when a 'join' occurrence overlaps the span widened by
+        # post=2 positions (FilterSpans: survivors keep their 1/(1+width)
+        # weight; the exclusion term contributes no idf). Oracle: the
+        # chain + NOT EXISTS over the exclusion positions in range.
+        from cuvs_lucene_spark.spans import search_span_near
+
+        return _ranked(
+            search_span_near(
+                s, _index_for(s, d), "merge sort", slop=6, k=10,
+                float32=False, exclude="join", post=2,
+            )
+        )
+
+    q["fts_topk_spannot"] = spannot
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 
@@ -2104,6 +2153,128 @@ idfs AS (
   SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
             / (count(*) + 0.5)) AS idf_sum
   FROM tf WHERE term = 'merge'
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # SpanOr standalone: pf = total occurrences of any alternative
+    o["fts_topk_spanor"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term FROM dlq
+),
+pfq AS (
+  SELECT doc_id, cast(count(*) AS double) AS pf
+  FROM tokpos WHERE term IN ('merge', 'join') GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'join') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # near(or(merge, join), sort)~6: clause 1 = UNION of merge/join positions
+    o["fts_topk_spannear_orclause"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term IN ('merge', 'join')),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+matches AS (
+  SELECT doc_id, p1 - p0 - 1 AS width FROM m1 WHERE p1 IS NOT NULL
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM matches WHERE width <= 6 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'join', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # SpanNot: "merge sort"~6 spans [p0, p1+1) vetoed by a 'join' at
+    # q in [p0 - pre, p1 + 1 + post) with pre=0, post=2
+    o["fts_topk_spannot"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+matches AS (
+  SELECT doc_id, p1 - p0 - 1 AS width
+  FROM m1 WHERE p1 IS NOT NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM tokpos e
+      WHERE e.doc_id = m1.doc_id AND e.term = 'join'
+        AND e.pos >= m1.p0 AND e.pos < m1.p1 + 1 + 2)
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM matches WHERE width <= 6 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
 ),
 spanscores AS (
   SELECT p.doc_id,

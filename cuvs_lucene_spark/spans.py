@@ -43,6 +43,20 @@ SpanNear with repeated clause terms is rejected loudly in both modes
 (Lucene routes repeats through dedicated machinery; silent wrong answers
 are worse than a ValueError).
 
+``search_span_or`` is the SpanOrQuery analog: the union of the terms'
+spans scored as one pseudo-term (pf = Σ tf, idf = Σ idf of present
+terms) — positions never read, so it works on non-positional indexes.
+Inside a span-near, a clause may itself be a SpanOr: pass ``query`` as a
+list of clause strings, each analyzed into that clause's alternative
+terms, matching at the UNION of their positions.
+
+``exclude``/``pre``/``post`` wrap any span query in a SpanNotQuery:
+occurrences of the analyzed exclusion terms, widened by ``pre`` positions
+before and ``post`` after, veto overlapping candidate spans inside the
+same enumeration (FilterSpans again); surviving matches keep their
+weight, and exclusion terms contribute no idf — SpanNotWeight builds its
+similarity weight from the include span only.
+
 ``search_span_first`` is the SpanFirstQuery analog (SpanPositionRangeQuery
 with start=0): only spans that END within the first ``end`` positions of
 the document are kept — Lucene's FilterSpans drops non-accepted spans from
@@ -429,10 +443,49 @@ def span_near_doc_scores(
     )
 
 
+def _parse_clauses(rd: IndexReader, query: str | list[str]) -> list[list[str]]:
+    """Analyzed clause lists: a str query is one single-term clause per
+    analyzed token (the classic SpanNear of term spans); a list query
+    analyzes EACH element into that clause's alternative terms — a
+    SpanOrQuery of term spans (``["merge join", "sort"]`` = near(or(merge,
+    join), sort)). Elements that analyze to nothing are rejected loudly —
+    silently dropping a clause would change the query's arity."""
+    if isinstance(query, str):
+        return [[t] for t in rd.analyze(query)]
+    clauses = [rd.analyze(c) for c in query]
+    if any(not c for c in clauses) and any(c for c in clauses):
+        raise ValueError("a span clause analyzed to no terms")
+    return [c for c in clauses if c]
+
+
+def _finish_span_topk(
+    spark: SparkSession,
+    rd: IndexReader,
+    scored: DataFrame | None,
+    empty: DataFrame,
+    out_t: str,
+    k: int,
+) -> DataFrame:
+    """Shared tail: top-k over per-doc scores + broadcast doc_dim join."""
+    if scored is None:
+        return empty
+    topk = (
+        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def search_span_near(
     spark: SparkSession,
     index_dir: str,
-    query: str,
+    query: str | list[str],
     slop: int = 0,
     k: int = 10,
     in_order: bool = True,
@@ -440,33 +493,51 @@ def search_span_near(
     reader: IndexReader | None = None,
     float32: bool = True,
     field: str | None = None,
+    exclude: str | None = None,
+    pre: int = 0,
+    post: int = 0,
 ) -> DataFrame:
-    """Top-k span-near BM25 search. in_order=True (default): the analyzed
-    terms of ``query`` must occur in the given order within ``slop`` total
-    gap positions (NearSpansOrdered). in_order=False: the terms may occur
-    in ANY order within the slop window (NearSpansUnordered — a genuinely
+    """Top-k span-near BM25 search. in_order=True (default): the clauses of
+    ``query`` must occur in the given order within ``slop`` total gap
+    positions (NearSpansOrdered). in_order=False: the clauses may occur in
+    ANY order within the slop window (NearSpansUnordered — a genuinely
     different surface from the sloppy PhraseQuery: different match
     enumeration AND a different per-match weight, see module docstring).
-    Returns (doc_id, score, conv_id, turn_idx); composes with filter_cond
-    and tombstones like every other search surface."""
+
+    ``query`` may be a list of clause strings, each analyzed into that
+    clause's ALTERNATIVE terms (SpanOrQuery inside the near — matches at
+    the union of the alternatives' positions). ``exclude`` wraps the whole
+    query in a SpanNotQuery: its analyzed terms' occurrences, widened by
+    ``pre`` positions before / ``post`` after, veto overlapping spans
+    (exclusion terms contribute no idf, as in SpanNotWeight). Returns
+    (doc_id, score, conv_id, turn_idx); composes with filter_cond and
+    tombstones like every other search surface."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
     rd = reader or IndexReader(spark, index_dir)
     out_t = "float" if float32 else "double"
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    terms = rd.analyze(query)
-    if k <= 0 or not terms or not rd.manifest["segments"]:
+    clauses = _parse_clauses(rd, query)
+    excl_terms = rd.analyze(exclude) if exclude else []
+    if k <= 0 or not clauses or not rd.manifest["segments"]:
         return empty
-    if len(terms) == 1:
-        # SpanNear of one clause degenerates to the clause itself; a single
-        # term's span frequency is its tf (every occurrence matches with
-        # width 0), which is exactly the pseudo-term phrase score.
-        from cuvs_lucene_spark.query import search_phrase
+    if len(clauses) == 1 and not excl_terms:
+        # SpanNear of one clause degenerates to the clause itself: a bare
+        # term span scores as the pseudo-term phrase (pf = tf), an or-span
+        # as the SpanOr pseudo-term (pf = Σ tf).
+        if len(clauses[0]) == 1:
+            from cuvs_lucene_spark.query import search_phrase
 
-        return search_phrase(
-            spark, index_dir, query, k=k, filter_cond=filter_cond,
+            return search_phrase(
+                spark, index_dir, clauses[0][0], k=k, filter_cond=filter_cond,
+                reader=rd, float32=float32, field=field,
+            )
+        return search_span_or(
+            spark, index_dir, clauses[0], k=k, filter_cond=filter_cond,
             reader=rd, float32=float32, field=field,
         )
     fld = rd.resolve_field(field)
@@ -478,29 +549,17 @@ def search_span_near(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
     scored = span_near_doc_scores(
-        spark, rd, terms, fld, slop,
+        spark, rd, clauses, fld, slop,
         del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
-        in_order=in_order,
+        in_order=in_order, exclude=excl_terms or None, pre=pre, post=post,
     )
-    if scored is None:
-        return empty
-    topk = (
-        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
-    return (
-        F.broadcast(topk)
-        .join(dd, "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return _finish_span_topk(spark, rd, scored, empty, out_t, k)
 
 
 def search_span_first(
     spark: SparkSession,
     index_dir: str,
-    query: str,
+    query: str | list[str],
     end: int,
     slop: int = 0,
     k: int = 10,
@@ -509,6 +568,9 @@ def search_span_first(
     reader: IndexReader | None = None,
     float32: bool = True,
     field: str | None = None,
+    exclude: str | None = None,
+    pre: int = 0,
+    post: int = 0,
 ) -> DataFrame:
     """Top-k SpanFirstQuery BM25 search: spans of the inner span query that
     END within the first ``end`` positions of the document (span end =
@@ -518,17 +580,23 @@ def search_span_first(
     the unordered walk) with the end filter applied inside the SAME
     enumeration — matching Lucene's FilterSpans, which drops non-accepted
     spans without changing the enumeration or the per-match weight.
-    Returns (doc_id, score, conv_id, turn_idx); composes with filter_cond
-    and tombstones like every other search surface."""
+    ``query`` as a list gives per-clause SpanOr alternatives and
+    ``exclude``/``pre``/``post`` the SpanNot veto, both composing with the
+    end filter inside one enumeration. Returns (doc_id, score, conv_id,
+    turn_idx); composes with filter_cond and tombstones like every other
+    search surface."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
     rd = reader or IndexReader(spark, index_dir)
     out_t = "float" if float32 else "double"
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    terms = rd.analyze(query)
-    if k <= 0 or not terms or not rd.manifest["segments"] or end < 1:
+    clauses = _parse_clauses(rd, query)
+    excl_terms = rd.analyze(exclude) if exclude else []
+    if k <= 0 or not clauses or not rd.manifest["segments"] or end < 1:
         # end < 1: no span can end at position <= 0 — provably empty
         return empty
     fld = rd.resolve_field(field)
@@ -540,20 +608,90 @@ def search_span_first(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
     scored = span_near_doc_scores(
-        spark, rd, terms, fld, slop,
+        spark, rd, clauses, fld, slop,
         del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
         in_order=in_order, max_end=int(end),
+        exclude=excl_terms or None, pre=pre, post=post,
     )
-    if scored is None:
+    return _finish_span_topk(spark, rd, scored, empty, out_t, k)
+
+
+def search_span_or(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Top-k SpanOrQuery BM25 search: the union of the analyzed terms'
+    spans scored as ONE pseudo-term — every occurrence of any term is a
+    width-0 span contributing sloppyFreq(0) = 1, so pf = Σ tf over the
+    matched terms, with idf = Σ idf over the PRESENT terms (SpanWeight
+    gathers all terms of the tree into one sim weight; zero-docFreq terms
+    are skipped as IndexSearcher.termStatistics does). This differs from
+    the OR disjunction (per-term saturation then sum) and from Lucene's
+    SynonymQuery (max-df idf): the union saturates jointly.
+
+    Positions are never read — pf needs only tfs — so this surface works
+    on non-positional indexes too, with a postings scan pruned to the
+    terms' buckets and no positional payload shipped. Returns (doc_id,
+    score, conv_id, turn_idx)."""
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    if isinstance(query, str):
+        terms = rd.analyze(query)
+    else:
+        terms = [t for c in query for t in rd.analyze(c)]
+    terms = list(dict.fromkeys(terms))
+    if k <= 0 or not terms or not rd.manifest["segments"]:
         return empty
-    topk = (
-        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+    stats = rd.term_stats(terms, fld)
+    present = [t for t in terms if stats.get(t, (0, 0))[0] > 0]
+    if not present:
+        return empty
+    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in present))
+
+    from cuvs_lucene_spark.analysis import LENGTH_TABLE
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(present)
     )
-    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
-    return (
-        F.broadcast(topk)
-        .join(dd, "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+    dec = decode_postings(postings).select("doc_id", "tf", "dl_q")
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        dec = dec.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        dec = dec.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+    # dl_q is doc-constant across the doc's postings; min() picks it without
+    # a second scan. The 256-entry SmallFloat decode table rides along as an
+    # array literal — pure JVM expression, no Python in the scoring.
+    agg = dec.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("pf"), F.min("dl_q").alias("dl_q")
     )
+    dl_d = F.element_at(
+        F.array(*[F.lit(float(v)) for v in LENGTH_TABLE]),
+        F.col("dl_q").cast("int") + 1,
+    )
+    kf = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_d / F.lit(f_avgdl)
+    )
+    scored = agg.select(
+        "doc_id",
+        (F.lit(idf_sum) * F.col("pf") / (F.col("pf") + kf)).alias("score_d"),
+    )
+    return _finish_span_topk(spark, rd, scored, empty, out_t, k)

@@ -56,6 +56,7 @@ def golden_queries() -> dict:
     )
     from cuvs_lucene_spark.spans import search_span_first as _spanfirst
     from cuvs_lucene_spark.spans import search_span_near as _spannear
+    from cuvs_lucene_spark.spans import search_span_or as _spanor
 
     def after_page2(s, d):
         page1 = search(s, d, "world school still try", k=10).collect()
@@ -143,6 +144,13 @@ def golden_queries() -> dict:
         ),
         "spanfirst_term_end5": lambda s, d: _spanfirst(
             s, d, "world", end=5, k=10
+        ),
+        "spanor_ws": lambda s, d: _spanor(s, d, "world school", k=10),
+        "spannear_orclause": lambda s, d: _spannear(
+            s, d, ["the", "world school"], slop=6, k=10
+        ),
+        "spannot_post2": lambda s, d: _spannear(
+            s, d, "world school", slop=4, k=10, exclude="the", post=2
         ),
     }
 
