@@ -848,6 +848,100 @@ ORDER BY rank
 """
 
 
+# the span-in-boolean gate's tree: (MUST span_near("merge sort")~5) with an
+# optional 'filter' scorer, NOT 'hash' — a SpanQuery nested in BooleanQuery
+def _boolean_span_gate_tree():
+    from cuvs_lucene_spark.booleanq import Q
+
+    return Q.boolean(
+        must=[Q.span_near("merge sort", slop=5)],
+        should=[Q.term("filter")],
+        must_not=[Q.term("hash")],
+    )
+
+
+def _oracle_boolean_span_sql(k: int) -> str:
+    """Span-leaf-in-boolean oracle: match/score SQL from the SAME AST walker
+    the engine compiles (booleanq.sql_exprs); the span leaf scores from the
+    ordered min-position chain CTE LEFT-JOINed onto the per-doc pivot,
+    exactly like the phrase-leaf oracle machinery."""
+    from cuvs_lucene_spark.booleanq import sql_exprs
+
+    tree = _boolean_span_gate_tree()
+    sp = tree.span_leaves()[0]
+    vals = ", ".join(f"('{t}')" for t in tree.all_terms())
+    per = (
+        "ts.idf * tf.tf / (tf.tf + {k1} * ({omb} + {b} * d.dl_d / s.avgdl))"
+    ).format(k1=_BM25_K1, omb=1 - _BM25_B, b=_BM25_B)
+
+    def present_sql(kk: str) -> str:
+        if kk == sp.key():
+            return "bool_or(sp0.doc_id IS NOT NULL)"
+        return f"bool_or(tf.term = '{kk}')"
+
+    def score_sql(kk: str) -> str:
+        if kk == sp.key():
+            return "COALESCE(max(sp0.score), 0.0)"
+        return f"COALESCE(max(CASE WHEN tf.term = '{kk}' THEN {per} END), 0.0)"
+
+    match_s, score_s = sql_exprs(tree, present_sql, score_sql)
+    return f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+spmatch AS (
+  SELECT doc_id, p1 - p0 - 1 AS width FROM m1 WHERE p1 IS NOT NULL
+),
+sppf AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM spmatch WHERE width <= 5 GROUP BY doc_id
+),
+spidf AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
+),
+sp0 AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM spidf) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM sppf p JOIN dlq d USING (doc_id)
+),
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({match_s}) AS ok, ({score_s}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  LEFT JOIN sp0 ON tf.doc_id = sp0.doc_id
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores WHERE ok ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_boolean_count_sql() -> str:
     """count(BooleanQuery) oracle: the SAME sql_exprs match predicate the
     top-k boolean oracle uses, reduced to a live-doc count — scores never
@@ -1298,6 +1392,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_boolean"] = boolean_q
+
+    def boolean_span_q(s: SparkSession, d: str) -> DataFrame:
+        # a SpanQuery nested in a BooleanQuery (Lucene composes them the
+        # same way): MUST span_near("merge sort")~5, optional 'filter'
+        # scorer, NOT 'hash'. The span leaf joins the boolean pivot as a
+        # per-doc score column; the oracle compiles the SAME tree via
+        # booleanq.sql_exprs with the span chain CTE.
+        from cuvs_lucene_spark.booleanq import search_boolean
+
+        return _ranked(
+            search_boolean(
+                s, _index_for(s, d), _boolean_span_gate_tree(), k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_boolean_span"] = boolean_span_q
 
     def qstring_q(s: SparkSession, d: str) -> DataFrame:
         # classic query-string syntax end-to-end, incl. a phrase leaf inside
@@ -2326,6 +2437,7 @@ SELECT facet, n_docs FROM counts ORDER BY facet
     )
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
+    o["fts_topk_boolean_span"] = _oracle_boolean_span_sql(10)
     o["fts_topk_qstring"] = _oracle_qstring_sql(10)
     from cuvs_lucene_spark.analysis import analyze_py as _an
 

@@ -27,6 +27,13 @@ Scoring semantics (Lucene BooleanWeight):
 ``sql_exprs`` emits the ANSI-SQL twin of the compiled expressions for the
 DuckDB oracle: both walkers traverse the tree in the same order, so the
 engine and the oracle share one definition of the semantics.
+
+Phrase and span leaves (Lucene nests PhraseQuery and any SpanQuery inside
+BooleanQuery the same way) contribute through per-leaf (doc_id, score)
+DataFrames LEFT-JOINed onto the pivot: presence = the join hit, score =
+the standalone surface's score times boost. ``Q.span_near`` leaves carry
+the full span surface — or-clause alternatives, in_order, SpanNot
+exclusion, SpanFirst end bound.
 """
 
 from __future__ import annotations
@@ -41,16 +48,25 @@ from cuvs_lucene_spark.analysis import tokenize_py
 
 @dataclass(frozen=True)
 class Q:
-    """One BooleanQuery AST node. Build with Q.term / Q.phrase / Q.boolean."""
+    """One BooleanQuery AST node. Build with Q.term / Q.phrase /
+    Q.span_near / Q.boolean."""
 
-    kind: str  # "term" | "phrase" | "bool"
+    kind: str  # "term" | "phrase" | "span" | "bool"
     token: str | None = None  # term token, or phrase slots space-joined
     boost: float = 1.0
     should: tuple = ()
     must: tuple = ()
     must_not: tuple = ()
     msm: int = 0
-    slop: int = 0  # phrase leaves only
+    slop: int = 0  # phrase + span leaves
+    # span leaves only (Lucene SpanQuery IS a Query — it nests in boolean
+    # trees like any other clause; spans.span_near_doc_scores executes it)
+    clauses: tuple = ()  # tuple of tuples: per-clause alternative terms
+    in_order: bool = True
+    exclude: tuple = ()  # SpanNot exclusion terms
+    pre: int = 0
+    post: int = 0
+    end_pos: int = 0  # SpanFirst bound; 0 = unbounded
 
     @staticmethod
     def term(token: str, boost: float = 1.0) -> "Q":
@@ -84,14 +100,77 @@ class Q:
             boost=float(boost),
         )
 
+    @staticmethod
+    def span_near(
+        query,
+        slop: int = 0,
+        in_order: bool = True,
+        boost: float = 1.0,
+        exclude: str | None = None,
+        pre: int = 0,
+        post: int = 0,
+        end: int | None = None,
+    ) -> "Q":
+        """Span leaf inside a boolean tree: an ordered/unordered span-near
+        (``query`` as a list gives per-clause SpanOr alternatives), with the
+        optional SpanNot exclusion (``exclude``/``pre``/``post``) and
+        SpanFirst end bound (``end``). Matches where the span query has
+        >= 1 surviving span; scores like the standalone span search
+        (spans.span_near_doc_scores: sloppyFreq pseudo-term BM25), times
+        boost. A single bare term with no filters rewrites to the TermQuery
+        leaf — pf = tf makes the scores identical, exactly as a lone
+        SpanTermQuery scores like its TermQuery."""
+        parts = [query] if isinstance(query, str) else list(query)
+        clauses = []
+        for c in parts:
+            toks = tokenize_py(c)
+            if isinstance(query, str):
+                clauses.extend([t] for t in toks)
+            else:
+                if not toks:
+                    raise ValueError(f"span clause {c!r} has no analyzer tokens")
+                clauses.append(list(dict.fromkeys(toks)))
+        if not clauses:
+            raise ValueError(f"span query {query!r} contains no analyzer tokens")
+        inc = [t for c in clauses for t in c]
+        if len(set(inc)) != len(inc):
+            raise ValueError("span_near with repeated clause terms is not supported")
+        if slop < 0 or pre < 0 or post < 0:
+            raise ValueError("slop/pre/post must be >= 0")
+        if end is not None and end < 1:
+            raise ValueError("end must be >= 1")
+        excl = tuple(tokenize_py(exclude)) if exclude else ()
+        if len(clauses) < 2 and not excl and end is None:
+            if len(clauses[0]) == 1:
+                return Q.term(clauses[0][0], boost=boost)
+            raise ValueError(
+                "a single unfiltered or-clause is not a span-near; use the "
+                "standalone search_span_or or add a second clause"
+            )
+        return Q(
+            kind="span", slop=int(slop), boost=float(boost),
+            clauses=tuple(tuple(c) for c in clauses), in_order=bool(in_order),
+            exclude=excl, pre=int(pre), post=int(post),
+            end_pos=int(end) if end is not None else 0,
+        )
+
     def key(self) -> str:
         """Pivot-column key of a LEAF: the token for terms, a quoted
-        phrase-with-slop spelling for phrases (cannot collide with analyzer
-        tokens, which are [a-z0-9]+)."""
+        phrase-with-slop spelling for phrases, a span(...) spelling for
+        span leaves (neither can collide with analyzer tokens, which are
+        [a-z0-9]+)."""
         if self.kind == "term":
             return self.token
         if self.kind == "phrase":
             return f'"{self.token}"~{self.slop}'
+        if self.kind == "span":
+            body = ",".join("|".join(c) for c in self.clauses)
+            k = f"span({body})~{self.slop}{'o' if self.in_order else 'u'}"
+            if self.exclude:
+                k += f"!{'|'.join(self.exclude)}~{self.pre},{self.post}"
+            if self.end_pos:
+                k += f"<{self.end_pos}"
+            return k
         raise ValueError("key() is for leaves")
 
     @staticmethod
@@ -126,6 +205,13 @@ class Q:
                 out.add(n.token)
             elif n.kind == "phrase":
                 out.update(n.token.split(" "))
+            elif n.kind == "span":
+                # include-clause terms only: a span-matching doc holds >= 1
+                # alternative per clause, so scanning the alternatives keeps
+                # the pivot's doc universe complete; exclusion terms carry
+                # no idf and the span pipeline scans them itself
+                for c in n.clauses:
+                    out.update(c)
             else:
                 for c in (*n.must, *n.should, *n.must_not):
                     walk(c)
@@ -146,6 +232,34 @@ class Q:
 
         walk(self)
         return [out[k] for k in sorted(out)]
+
+    def span_leaves(self) -> list["Q"]:
+        """Distinct span leaves in the tree, ordered by key()."""
+        out: dict[str, Q] = {}
+
+        def walk(n: Q) -> None:
+            if n.kind == "span":
+                out.setdefault(n.key(), n)
+            elif n.kind == "bool":
+                for c in (*n.must, *n.should, *n.must_not):
+                    walk(c)
+
+        walk(self)
+        return [out[k] for k in sorted(out)]
+
+
+def _span_leaf_scores(spark, rd, sp: Q, fld: str) -> DataFrame | None:
+    """Per-doc (doc_id, score_d) for one span leaf — the span pipeline with
+    the leaf's stored knobs; None when a clause has no present alternative.
+    Deletes/filters are NOT re-applied: the callers join onto a pivot whose
+    rows already passed them, exactly like the phrase-leaf joins."""
+    from cuvs_lucene_spark.spans import span_near_doc_scores
+
+    return span_near_doc_scores(
+        spark, rd, [list(c) for c in sp.clauses], fld, sp.slop,
+        in_order=sp.in_order, max_end=sp.end_pos or None,
+        exclude=list(sp.exclude) or None, pre=sp.pre, post=sp.post,
+    )
 
 
 def _effective_msm(n: Q) -> int:
@@ -168,7 +282,7 @@ def compile_columns(
     (NULL-safe 0). Keys are Q.key(): the token for terms, the quoted
     phrase spelling for phrase leaves. Leaves missing from `present`
     (df = 0 / phrase term absent) never match."""
-    if q.kind in ("term", "phrase"):
+    if q.kind in ("term", "phrase", "span"):
         kk = q.key()
         if kk not in present:
             return F.lit(False), F.lit(0.0)
@@ -211,7 +325,7 @@ def sql_exprs(
     its phrase CTE). The textual additions associate left-to-right in the
     same clause order as the engine, so DuckDB's float64 totals are
     bit-identical."""
-    if q.kind in ("term", "phrase"):
+    if q.kind in ("term", "phrase", "span"):
         kk = q.key()
         return present_sql(kk), f"({q.boost!r} * {score_sql(kk)})"
     must_parts = [sql_exprs(c, present_sql, score_sql) for c in q.must]
@@ -299,6 +413,18 @@ def match_doc_ids_boolean(
             )
         present[p.key()] = F.col(pcol).isNotNull()
         zero[p.key()] = F.lit(0.0)
+    for j, sp in enumerate(q.span_leaves()):
+        scol = f"_sp{j}"
+        sdf = _span_leaf_scores(spark, rd, sp, fld)
+        if sdf is None:
+            agg = agg.withColumn(scol, F.lit(None).cast("double"))
+        else:
+            agg = agg.join(
+                sdf.select("doc_id", F.col("score_d").alias(scol)),
+                "doc_id", "left",
+            )
+        present[sp.key()] = F.col(scol).isNotNull()
+        zero[sp.key()] = F.lit(0.0)
     match_c, _score_c = compile_columns(q, present, zero)
     return agg.where(match_c).select("doc_id")
 
@@ -419,9 +545,18 @@ def explain_boolean(
                 if hit:
                     leaf_match[kk] = True
                     leaf_score[kk] = float(hit[0]["score_d"])
+    for sp in q.span_leaves():
+        kk = sp.key()
+        leaf_match[kk], leaf_score[kk] = False, 0.0
+        sdf = _span_leaf_scores(spark, rd, sp, fld)
+        if sdf is not None:
+            hit = sdf.where(F.col("doc_id") == doc_id).collect()
+            if hit:
+                leaf_match[kk] = True
+                leaf_score[kk] = float(hit[0]["score_d"])
 
     def walk(n: Q) -> dict:
-        if n.kind in ("term", "phrase"):
+        if n.kind in ("term", "phrase", "span"):
             kk = n.key()
             m = leaf_match.get(kk, False)
             return {
@@ -553,6 +688,21 @@ def search_boolean(
             )
         present[p.key()] = F.col(pcol).isNotNull()
         score[p.key()] = F.coalesce(F.col(pcol), F.lit(0.0))
+    # Span leaves join the pivot identically: every span-matching doc holds
+    # >= 1 alternative of every clause, and all alternatives are in the
+    # scan set (all_terms), so the left join loses no matches.
+    for j, sp in enumerate(q.span_leaves()):
+        scol = f"_sp{j}"
+        sdf = _span_leaf_scores(spark, rd, sp, fld)
+        if sdf is None:
+            agg = agg.withColumn(scol, F.lit(None).cast("double"))
+        else:
+            agg = agg.join(
+                sdf.select("doc_id", F.col("score_d").alias(scol)),
+                "doc_id", "left",
+            )
+        present[sp.key()] = F.col(scol).isNotNull()
+        score[sp.key()] = F.coalesce(F.col(scol), F.lit(0.0))
     match_c, score_c = compile_columns(q, present, score)
     topk = (
         agg.where(match_c)

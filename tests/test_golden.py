@@ -146,6 +146,15 @@ def golden_queries() -> dict:
             s, d, "world", end=5, k=10
         ),
         "spanor_ws": lambda s, d: _spanor(s, d, "world school", k=10),
+        "boolean_span_leaf": lambda s, d: search_boolean(
+            s, d,
+            Q.boolean(
+                must=[Q.span_near("the world", slop=4)],
+                should=[Q.term("help")],
+                must_not=[Q.term("school")],
+            ),
+            k=10,
+        ),
         "spannear_orclause": lambda s, d: _spannear(
             s, d, ["the", "world school"], slop=6, k=10
         ),

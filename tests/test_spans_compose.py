@@ -287,7 +287,7 @@ def _check(got, exp, ctx):
 
 class TestSearchSpanOr:
     @pytest.mark.parametrize(
-        "q", ["world school", "student help country", "world zzqq"]
+        "q", ["world school", "help the world", "world zzqq"]
     )
     def test_matches_oracle(self, spark, pos_index, corpus_toks, q):
         terms = tokenize_py(q)
@@ -340,8 +340,8 @@ class TestSpanOrInsideNear:
     @pytest.mark.parametrize(
         "clauses,slop,in_order",
         [
-            (["world school", "student"], 6, True),
-            (["the", "world country"], 4, True),
+            (["world school", "help"], 6, True),
+            (["the", "world help"], 4, True),
             (["world help", "school"], 5, False),
         ],
     )
@@ -389,14 +389,14 @@ class TestSpanOrInsideNear:
         uni = {
             r["doc_id"]
             for r in search_span_near(
-                spark, pos_index, ["world school", "student"], slop=8, k=10**9
+                spark, pos_index, ["world school", "help"], slop=8, k=10**9
             ).collect()
         }
         for t in ("world", "school"):
             sub = {
                 r["doc_id"]
                 for r in search_span_near(
-                    spark, pos_index, [t, "student"], slop=8, k=10**9
+                    spark, pos_index, [t, "help"], slop=8, k=10**9
                 ).collect()
             }
             assert sub <= uni
@@ -427,7 +427,7 @@ class TestSpanNot:
         [
             ("world school", 6, "the", 0, 0, True),
             ("world school", 6, "the", 1, 2, True),
-            ("the world", 8, "school student", 0, 1, True),
+            ("the world", 8, "school help", 0, 1, True),
             ("world school", 5, "the", 0, 1, False),
             ("world", 0, "school", 2, 2, True),  # single-clause SpanNot
         ],
@@ -475,7 +475,7 @@ class TestSpanNot:
             r["doc_id"]: r["score"]
             for r in search_span_near(
                 spark, pos_index, "world school", slop=4, k=10**9,
-                float32=False, exclude="country",
+                float32=False, exclude="help",
             ).collect()
         }
         assert notq  # non-degenerate
@@ -506,3 +506,178 @@ class TestSpanNot:
             search_span_near(
                 spark, pos_index, "world school", slop=2, exclude="the", pre=-1
             )
+
+
+# ---------------------------------------------------------------------------
+# span leaves inside boolean trees (SpanQuery nests in BooleanQuery)
+# ---------------------------------------------------------------------------
+
+
+class TestSpanInBoolean:
+    def test_lone_must_span_equals_search_span_near(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+
+        tree = Q.boolean(must=[Q.span_near("world school", slop=4)])
+        a = _hits(search_boolean(spark, pos_index, tree, k=10, float32=False))
+        b = _hits(
+            search_span_near(
+                spark, pos_index, "world school", slop=4, k=10, float32=False
+            )
+        )
+        assert a and a == b
+
+    def test_boosted_span_leaf_scales(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+
+        base = {
+            r["doc_id"]: float(r["score"])
+            for r in search_boolean(
+                spark, pos_index,
+                Q.boolean(must=[Q.span_near("world school", slop=4)]),
+                k=1000, float32=False,
+            ).collect()
+        }
+        boosted = {
+            r["doc_id"]: float(r["score"])
+            for r in search_boolean(
+                spark, pos_index,
+                Q.boolean(
+                    must=[Q.span_near("world school", slop=4, boost=2.5)]
+                ),
+                k=1000, float32=False,
+            ).collect()
+        }
+        assert base
+        for d, s in base.items():
+            assert boosted[d] == pytest.approx(2.5 * s, rel=1e-12)
+
+    def test_span_or_term_scores_add(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+        from cuvs_lucene_spark.query import search
+
+        tree = Q.boolean(
+            should=[Q.span_near("world school", slop=4), Q.term("help")]
+        )
+        both = {
+            r["doc_id"]: float(r["score"])
+            for r in search_boolean(
+                spark, pos_index, tree, k=100000, float32=False
+            ).collect()
+        }
+        sspan = {
+            r["doc_id"]: float(r["score"])
+            for r in search_span_near(
+                spark, pos_index, "world school", slop=4, k=1000,
+                float32=False,
+            ).collect()
+        }
+        sterm = {
+            r["doc_id"]: float(r["score"])
+            for r in search(
+                spark, pos_index, "help", k=100000, float32=False
+            ).collect()
+        }
+        assert sspan
+        for d, ss in sspan.items():
+            assert both[d] == pytest.approx(ss + sterm.get(d, 0.0), rel=1e-12)
+
+    def test_span_in_must_not_removes_span_docs(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+        from cuvs_lucene_spark.query import search
+
+        tree = Q.boolean(
+            must=[Q.term("world")],
+            must_not=[Q.span_near("world school", slop=4)],
+        )
+        got = {
+            r["doc_id"]
+            for r in search_boolean(spark, pos_index, tree, k=100000).collect()
+        }
+        world = {
+            r["doc_id"]
+            for r in search(spark, pos_index, "world", k=100000).collect()
+        }
+        span = {
+            r["doc_id"]
+            for r in search_span_near(
+                spark, pos_index, "world school", slop=4, k=100000
+            ).collect()
+        }
+        assert span  # non-degenerate
+        assert got == world - span
+
+    def test_count_and_explain_with_span_leaf(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import (
+            Q, count_boolean, explain_boolean, search_boolean,
+        )
+
+        tree = Q.boolean(
+            must=[Q.span_near("world school", slop=4)],
+            should=[Q.term("help")],
+        )
+        res = search_boolean(
+            spark, pos_index, tree, k=100000, float32=False
+        ).collect()
+        assert count_boolean(spark, pos_index, tree) == len(res) > 0
+        top = res[0]
+        exp = explain_boolean(spark, pos_index, tree, int(top["doc_id"]))
+        assert exp["matched"]
+        assert exp["score"] == pytest.approx(float(top["score"]), rel=1e-12)
+        # a non-matching doc: one where the span leaf misses
+        from cuvs_lucene_spark.query import IndexReader
+
+        rd = IndexReader(spark, pos_index)
+        all_ids = {
+            r["doc_id"]
+            for r in rd.cat.read_doc_dim(spark).select("doc_id").collect()
+        }
+        miss = sorted(all_ids - {r["doc_id"] for r in res})[0]
+        exp2 = explain_boolean(spark, pos_index, tree, miss)
+        assert not exp2["matched"] and exp2["score"] == 0.0
+
+    def test_filtered_span_leaf_knobs_carry(self, spark, pos_index):
+        """A span leaf with exclude/end knobs equals the standalone
+        filtered span surface."""
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+
+        tree = Q.boolean(
+            must=[
+                Q.span_near(
+                    "world school", slop=5, exclude="the", post=0, end=200
+                )
+            ]
+        )
+        a = _hits(search_boolean(spark, pos_index, tree, k=10, float32=False))
+        b = _hits(
+            search_span_first(
+                spark, pos_index, "world school", end=200, slop=5, k=10,
+                float32=False, exclude="the", post=0,
+            )
+        )
+        assert a and a == b
+
+    def test_absent_span_clause_never_matches(self, spark, pos_index):
+        from cuvs_lucene_spark.booleanq import Q, search_boolean
+        from cuvs_lucene_spark.query import search
+
+        tree = Q.boolean(
+            should=[Q.span_near("world zzqq", slop=4), Q.term("help")]
+        )
+        a = {
+            r["doc_id"]
+            for r in search_boolean(spark, pos_index, tree, k=100000).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in search(spark, pos_index, "help", k=100000).collect()
+        }
+        assert a == b and a
+
+    def test_single_term_span_rewrites_to_term(self):
+        from cuvs_lucene_spark.booleanq import Q
+
+        assert Q.span_near("world").kind == "term"
+        with pytest.raises(ValueError, match="or-clause"):
+            Q.span_near(["world school"])
+        with pytest.raises(ValueError, match="repeated"):
+            Q.span_near("world world")
