@@ -1878,6 +1878,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_highlight"] = fts_highlight
 
+    def fts_highlight_span(s, d):
+        """Span-accurate highlighter (WeightedSpanTermExtractor analog):
+        top-k ordered span-near hits, fragment anchored at the first
+        position inside a SURVIVING span, and only span-participating
+        positions tag-wrapped — a query-term occurrence outside every
+        matching span stays unmarked. Analyzed-token snippet hash-matched
+        against DuckDB (marked set = the min-position chain's p0 ∪ p1);
+        original-text snippet is pytest-pinned."""
+        from cuvs_lucene_spark.highlight import highlight_spans
+
+        res = highlight_spans(
+            s, _index_for(s, d), derive_transcripts(s, d),
+            "merge sort", slop=5, k=10, window_size=12, lead=3,
+            float32=False,
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+                F.col("start_pos").cast("long").alias("start_pos"),
+                F.col("n_match").cast("long").alias("n_match"),
+                "snippet_tokens",
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_highlight_span"] = fts_highlight_span
+
     def fts_topk_classic(s, d):
         """Pluggable Similarity (IndexSearcher.setSimilarity analog):
         the same OR query scored with TFIDFSimilarity instead of BM25 —
@@ -2473,6 +2507,75 @@ GROUP BY d.role ORDER BY n_docs DESC, facet ASC
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
+    # span-accurate highlighter: topk + marked set from the SAME ordered
+    # min-position chain ("merge sort"~5); window/tagging as fts_highlight
+    o["fts_highlight_span"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+cand AS (
+  SELECT doc_id, p0, p1, p1 - p0 - 1 AS width
+  FROM m1 WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= 5
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf FROM cand GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+marked AS (
+  SELECT c.doc_id, c.p0 AS pos FROM cand c JOIN topk USING (doc_id)
+  UNION
+  SELECT c.doc_id, c.p1 FROM cand c JOIN topk USING (doc_id)
+),
+wb AS (
+  SELECT doc_id, greatest(cast(min(pos) AS bigint) - 3, 0) AS start_pos
+  FROM marked GROUP BY doc_id
+),
+frag AS (
+  SELECT tp.doc_id, w.start_pos,
+         string_agg(
+           CASE WHEN mk.pos IS NOT NULL
+                THEN '<em>' || tp.term || '</em>' ELSE tp.term END,
+           ' ' ORDER BY tp.pos) AS snippet_tokens,
+         count(*) FILTER (WHERE mk.pos IS NOT NULL) AS n_match
+  FROM tokpos tp
+  JOIN topk t ON tp.doc_id = t.doc_id
+  JOIN wb w ON tp.doc_id = w.doc_id
+      AND tp.pos >= w.start_pos AND tp.pos < w.start_pos + 12
+  LEFT JOIN marked mk ON tp.doc_id = mk.doc_id AND tp.pos = mk.pos
+  GROUP BY tp.doc_id, w.start_pos
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score,
+       cast(f.start_pos AS bigint) AS start_pos,
+       cast(f.n_match AS bigint) AS n_match,
+       f.snippet_tokens AS snippet_tokens
+FROM topk t JOIN dlq d USING (doc_id) JOIN frag f USING (doc_id)
+ORDER BY rank
+"""
     o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
     o["fts_suggest"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,

@@ -70,9 +70,13 @@ HIGHLIGHT_SCHEMA = StructType(
 
 
 def _make_snippet_kernel(
-    q_terms: frozenset[str], window_size: int, lead: int, pre: str, post: str,
+    matched_of, window_size: int, lead: int, pre: str, post: str,
     text_col: str,
 ):
+    """matched_of(toks) -> set[int]: the token positions to tag. Term
+    highlighting marks every query-term occurrence; span highlighting marks
+    exactly the positions participating in a surviving span match."""
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -81,13 +85,14 @@ def _make_snippet_kernel(
                 low = text.lower()
                 spans = [(m.start(), m.end()) for m in _TOKEN_RUN.finditer(low)]
                 toks = [low[a:b] for a, b in spans]
-                matched = [i for i, t in enumerate(toks) if t in q_terms]
+                matched = sorted(matched_of(toks))
                 start = max(0, matched[0] - lead) if matched else 0
                 end = min(len(toks), start + window_size)
+                mset = set(matched)
                 n_match = sum(1 for i in matched if start <= i < end)
                 snip_toks = " ".join(
-                    (pre + t + post) if t in q_terms else t
-                    for t in toks[start:end]
+                    (pre + toks[i] + post) if i in mset else toks[i]
+                    for i in range(start, end)
                 )
                 if end > start:
                     pieces, cur = [], spans[start][0]
@@ -95,9 +100,7 @@ def _make_snippet_kernel(
                         a, b = spans[i]
                         pieces.append(text[cur:a])
                         w = text[a:b]
-                        pieces.append(
-                            (pre + w + post) if toks[i] in q_terms else w
-                        )
+                        pieces.append((pre + w + post) if i in mset else w)
                         cur = b
                     snippet = "".join(pieces)
                 else:
@@ -176,8 +179,121 @@ def highlight(
         .select("conv_id", "turn_idx", text_col)
     )
     joined = src.join(F.broadcast(hits_df), ["conv_id", "turn_idx"])
+
+    def matched_of(toks: list[str]) -> set[int]:
+        return {i for i, t in enumerate(toks) if t in q_terms}
+
     out = joined.mapInPandas(
-        _make_snippet_kernel(q_terms, window_size, lead, pre, post, text_col),
+        _make_snippet_kernel(matched_of, window_size, lead, pre, post, text_col),
+        HIGHLIGHT_SCHEMA,
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def highlight_spans(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    query: str | list[str],
+    slop: int = 0,
+    k: int = 10,
+    in_order: bool = True,
+    window_size: int = 12,
+    lead: int = 3,
+    pre: str = "<em>",
+    post: str = "</em>",
+    text_col: str = "text",
+    filter_cond: Column | str | None = None,
+    exclude: str | None = None,
+    span_pre: int = 0,
+    span_post: int = 0,
+    end: int | None = None,
+    float32: bool = True,
+) -> DataFrame:
+    """Span-accurate highlighting — the position-aware highlighter Lucene's
+    span-aware highlighters provide (WeightedSpanTermExtractor /
+    UnifiedHighlighter OffsetsEnum): top-k span-near hits, fragment anchored
+    at the FIRST position participating in a SURVIVING span, and ONLY the
+    positions inside surviving spans tag-wrapped — a query-term occurrence
+    outside every matching span stays unmarked, which is exactly what
+    distinguishes this from the bag-of-words highlight().
+
+    Accepts the full span surface: ``query`` as a list for per-clause
+    SpanOr alternatives, ``in_order``, the SpanNot exclusion
+    (``exclude``/``span_pre``/``span_post`` — named apart from the
+    ``pre``/``post`` TAG strings), and the SpanFirst ``end`` bound. Returns
+    the HIGHLIGHT_SCHEMA columns; snippet_tokens is SQL-reproducible from
+    the token stream (gate-oracle-checkable), snippet preserves original
+    casing/punctuation. Same bounded plan as highlight(): k-row collect,
+    conv-key IN-filter pushdown, Arrow kernel over exactly k joined rows."""
+    from cuvs_lucene_spark.query import IndexReader
+    from cuvs_lucene_spark.spans import (
+        _parse_clauses,
+        ordered_span_chains,
+        search_span_first,
+        search_span_near,
+        unordered_span_states,
+    )
+
+    rd = IndexReader(spark, index_dir)
+    if rd.analyzer != "standard":
+        raise NotImplementedError(
+            "highlighting on a non-standard-analyzed index is not supported:"
+            " snippet offsets are raw-token based, but the hits match"
+            f" {rd.analyzer!r}-chain terms"
+        )
+    if end is not None:
+        hits = search_span_first(
+            spark, index_dir, query, end=end, slop=slop, k=k,
+            in_order=in_order, filter_cond=filter_cond, reader=rd,
+            float32=float32, exclude=exclude, pre=span_pre, post=span_post,
+        ).collect()
+    else:
+        hits = search_span_near(
+            spark, index_dir, query, slop=slop, k=k, in_order=in_order,
+            filter_cond=filter_cond, reader=rd, float32=float32,
+            exclude=exclude, pre=span_pre, post=span_post,
+        ).collect()
+    if not hits:
+        return spark.createDataFrame([], HIGHLIGHT_SCHEMA)
+    clause_sets = [frozenset(c) for c in _parse_clauses(rd, query)]
+    excl_set = frozenset(rd.analyze(exclude)) if exclude else frozenset()
+
+    import numpy as np
+
+    def matched_of(toks: list[str]) -> set[int]:
+        pos = [
+            np.array(
+                [i for i, t in enumerate(toks) if t in cs], dtype=np.int64
+            )
+            for cs in clause_sets
+        ]
+        excl = np.array(
+            [i for i, t in enumerate(toks) if t in excl_set], dtype=np.int64
+        )
+        kw = dict(max_end=end, excl=excl, pre=span_pre, post=span_post)
+        if len(clause_sets) == 1:
+            # width-0 term/or spans: each surviving position is its own match
+            chains = ordered_span_chains(pos, 0, **kw)
+        elif in_order:
+            chains = ordered_span_chains(pos, slop, **kw)
+        else:
+            chains = unordered_span_states(pos, slop, **kw)
+        return {p for c in chains for p in c}
+
+    hits_df = spark.createDataFrame(
+        [(r["doc_id"], float(r["score"]), r["conv_id"], r["turn_idx"])
+         for r in hits],
+        "doc_id long, score double, conv_id string, turn_idx int",
+    )
+    convs = sorted({r["conv_id"] for r in hits})
+    src = (
+        corpus.where(F.col("conv_id").isin(convs))
+        .select("conv_id", "turn_idx", text_col)
+    )
+    joined = src.join(F.broadcast(hits_df), ["conv_id", "turn_idx"])
+    out = joined.mapInPandas(
+        _make_snippet_kernel(matched_of, window_size, lead, pre, post, text_col),
         HIGHLIGHT_SCHEMA,
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -227,6 +227,102 @@ def unordered_span_pf(
         heads[i] = int(lists[i][ptr[i]])
 
 
+def ordered_span_chains(
+    pos_by_slot: list[np.ndarray],
+    slop: int,
+    max_end: int | None = None,
+    excl: np.ndarray | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> list[list[int]]:
+    """The surviving ordered matches' CLAUSE POSITIONS (one chain per
+    candidate that passes slop/max_end/exclusion) — the highlighter's
+    position-accurate marking source. Consistency with the scoring kernel
+    is pinned by pytest: ``Σ 1/(1 + chain[-1] - chain[0] - (n-1))`` over
+    the returned chains equals ordered_span_pf exactly (ordered width =
+    span extent minus the n matched positions). Driver/kernel-side helper
+    for ≤ k hit texts — plain loops, not the vectorized enumeration."""
+    n = len(pos_by_slot)
+    lists = [np.asarray(a, dtype=np.int64) for a in pos_by_slot]
+    if any(len(a) == 0 for a in lists):
+        return []
+    chains: list[list[int]] = []
+    for p in lists[0]:
+        prev_end, width, chain, ok = int(p) + 1, 0, [int(p)], True
+        for arr in lists[1:]:
+            j = int(np.searchsorted(arr, prev_end, side="left"))
+            if j >= len(arr):
+                ok = False
+                break
+            q = int(arr[j])
+            width += q - prev_end
+            chain.append(q)
+            prev_end = q + 1
+        if not ok or width > slop:
+            continue
+        if max_end is not None and prev_end > max_end:
+            continue
+        if (
+            excl is not None
+            and len(excl)
+            and bool(
+                _excl_overlaps(
+                    np.array([chain[0]]), np.array([prev_end]),
+                    np.asarray(excl, dtype=np.int64), pre, post,
+                )[0]
+            )
+        ):
+            continue
+        chains.append(chain)
+    return chains
+
+
+def unordered_span_states(
+    pos_by_slot: list[np.ndarray],
+    slop: int,
+    max_end: int | None = None,
+    excl: np.ndarray | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> list[list[int]]:
+    """The surviving unordered merge-walk states' CLAUSE POSITIONS.
+    Consistency pin: ``Σ 1/(1 + max - min)`` over the returned states
+    equals unordered_span_pf exactly. Same ≤ k-texts usage as
+    ordered_span_chains."""
+    n = len(pos_by_slot)
+    lists = [np.asarray(a, dtype=np.int64) for a in pos_by_slot]
+    if any(len(a) == 0 for a in lists):
+        return []
+    e = (
+        np.asarray(excl, dtype=np.int64)
+        if excl is not None and len(excl)
+        else None
+    )
+    ptr = [0] * n
+    heads = [int(a[0]) for a in lists]
+    out: list[list[int]] = []
+    while True:
+        mn, mx = min(heads), max(heads)
+        if (
+            mx - mn - (n - 1) <= slop
+            and (max_end is None or mx + 1 <= max_end)
+            and not (
+                e is not None
+                and bool(
+                    _excl_overlaps(
+                        np.array([mn]), np.array([mx + 1]), e, pre, post
+                    )[0]
+                )
+            )
+        ):
+            out.append(list(heads))
+        i = heads.index(mn)
+        ptr[i] += 1
+        if ptr[i] >= len(lists[i]):
+            return out
+        heads[i] = int(lists[i][ptr[i]])
+
+
 def _split_excl(pos_by_slot: list[np.ndarray], n_inc: int):
     """Adjusted→raw conversion (adj = pos - slot index ⇒ raw = adj + i;
     per-slot constant shift preserves sortedness) and exclusion-slot split:

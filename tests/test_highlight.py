@@ -135,3 +135,231 @@ def test_highlight_respects_search_knobs(spark, punct_index):
         spark, idx, df, "merge join", k=10, mode="and", exclude="nested"
     ).collect()
     assert {(r["conv_id"], r["turn_idx"]) for r in got2} == {("c0", 1)}
+
+
+# ---------------------------------------------------------------------------
+# span-accurate highlighting (WeightedSpanTermExtractor analog): only
+# positions inside SURVIVING spans are marked — a query-term occurrence
+# outside every matching span stays unmarked
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_hl_index(spark, tmp_path_factory):
+    from cuvs_lucene_spark.operators.build import build_index
+
+    rows = [
+        # positions: merge@0 sort@2 ... merge@8 — the second merge is >2
+        # away from any sort, so "merge sort"~2 marks ONLY merge@0,sort@2
+        ("s0", 0, "user",
+         "Merge the sort now; nothing then a lone merge appears later.",
+         None, "2026-01-01 00:00:00"),
+        # two spans in one doc: merge@0 sort@1, merge@5 sort@7
+        ("s0", 1, "assistant",
+         "merge sort wins; always merge before sort friends!",
+         None, "2026-01-01 00:00:05"),
+        # sort precedes merge — matches only unordered
+        ("s1", 0, "user",
+         "sort it, merge it, and stop worrying about the rest.",
+         None, "2026-01-01 00:01:00"),
+        ("s1", 1, "assistant",
+         "no relevant words in this row at all, purely filler text.",
+         None, "2026-01-01 00:01:05"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path_factory.mktemp("hlidx") / "spanpos")
+    build_index(
+        spark, df, d, buckets=4, salt_buckets=2, hot_df_ratio=0.5,
+        positions=True,
+    )
+    return d, df
+
+
+class TestChainConsistency:
+    """The match-position helpers are pinned to the scoring kernels:
+    recomputing pf from the returned chains/states must equal the pf the
+    engine scores with, on randomized inputs including every filter."""
+
+    @pytest.mark.parametrize("seed", range(25))
+    def test_ordered_chains_reproduce_pf(self, seed):
+        import random
+
+        import numpy as np
+
+        from cuvs_lucene_spark.spans import (
+            ordered_span_chains, ordered_span_pf,
+        )
+
+        rng = random.Random(4200 + seed)
+        n = rng.randint(1, 4)
+        pos = [
+            np.array(sorted(rng.sample(range(40), rng.randint(0, 8))),
+                     dtype=np.int64)
+            for _ in range(n)
+        ]
+        slop = rng.randint(0, 10)
+        end = rng.choice([None, rng.randint(1, 45)])
+        excl = np.array(sorted(rng.sample(range(40), rng.randint(0, 5))),
+                        dtype=np.int64)
+        pre, post = rng.randint(0, 2), rng.randint(0, 2)
+        chains = ordered_span_chains(
+            pos, slop, max_end=end, excl=excl, pre=pre, post=post
+        )
+        pf_from_chains = sum(
+            1.0 / (1.0 + (c[-1] - c[0] - (len(c) - 1))) for c in chains
+        )
+        if n == 1:
+            # single width-0 spans: each chain contributes exactly 1
+            pf_from_chains = float(len(chains))
+        if n >= 2:
+            got = ordered_span_pf(
+                pos, slop, max_end=end, excl=excl, pre=pre, post=post
+            )
+            assert pf_from_chains == pytest.approx(got)
+
+    @pytest.mark.parametrize("seed", range(25))
+    def test_unordered_states_reproduce_pf(self, seed):
+        import random
+
+        import numpy as np
+
+        from cuvs_lucene_spark.spans import (
+            unordered_span_pf, unordered_span_states,
+        )
+
+        rng = random.Random(5200 + seed)
+        n = rng.randint(2, 4)
+        sample = rng.sample(range(50), 16)
+        pools, at = [], 0
+        for _ in range(n):
+            take = rng.randint(1, 5)
+            pools.append(
+                np.array(sorted(sample[at:at + take]), dtype=np.int64)
+            )
+            at += take
+        slop = rng.randint(0, 10)
+        end = rng.choice([None, rng.randint(1, 55)])
+        excl = np.array(sorted(rng.sample(range(50), rng.randint(0, 5))),
+                        dtype=np.int64)
+        pre, post = rng.randint(0, 2), rng.randint(0, 2)
+        states = unordered_span_states(
+            pools, slop, max_end=end, excl=excl, pre=pre, post=post
+        )
+        pf_from_states = sum(
+            1.0 / (1.0 + (max(s) - min(s))) for s in states
+        )
+        got = unordered_span_pf(
+            pools, slop, max_end=end, excl=excl, pre=pre, post=post
+        )
+        assert pf_from_states == pytest.approx(got)
+
+
+class TestHighlightSpans:
+    def test_only_span_positions_marked(self, spark, span_hl_index):
+        from cuvs_lucene_spark.highlight import highlight_spans
+
+        d, df = span_hl_index
+        rows = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, window_size=30,
+                lead=0,
+            ).collect()
+        }
+        # s0/0: span merge@0..sort@2; the lone merge@8 stays UNMARKED
+        r = rows[("s0", 0)]
+        assert r["snippet_tokens"].startswith("<em>merge</em> the <em>sort</em>")
+        assert "lone merge appears" in r["snippet_tokens"]  # unmarked merge
+        assert r["n_match"] == 2
+        # s0/1: BOTH spans mark (4 marked positions)
+        r2 = rows[("s0", 1)]
+        assert r2["n_match"] == 4
+        assert r2["snippet_tokens"].count("<em>") == 4
+        # s1/0 (sort before merge) matches only unordered
+        assert ("s1", 0) not in rows
+        uno = {
+            (r["conv_id"], r["turn_idx"])
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, in_order=False
+            ).collect()
+        }
+        assert ("s1", 0) in uno
+
+    def test_marks_subset_of_bag_of_words(self, spark, span_hl_index):
+        from cuvs_lucene_spark.highlight import highlight, highlight_spans
+
+        d, df = span_hl_index
+        span_r = {
+            (r["conv_id"], r["turn_idx"]): r["snippet_tokens"].count("<em>")
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, window_size=30,
+                lead=0,
+            ).collect()
+        }
+        bow_r = {
+            (r["conv_id"], r["turn_idx"]): r["snippet_tokens"].count("<em>")
+            for r in highlight(
+                spark, d, df, "merge sort", k=10, window_size=30, lead=0,
+                mode="and",
+            ).collect()
+        }
+        assert span_r
+        for key, n in span_r.items():
+            assert n <= bow_r[key], key
+        # the span-accuracy witness: s0/0 has 3 query-term occurrences but
+        # only 2 participate in a span
+        assert span_r[("s0", 0)] == 2 and bow_r[("s0", 0)] == 3
+
+    def test_scores_and_order_match_span_search(self, spark, span_hl_index):
+        from cuvs_lucene_spark.highlight import highlight_spans
+        from cuvs_lucene_spark.spans import search_span_near
+
+        d, df = span_hl_index
+        hl = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, float32=False
+            ).collect()
+        ]
+        se = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in search_span_near(
+                spark, d, "merge sort", slop=2, k=10, float32=False
+            ).collect()
+        ]
+        assert hl and hl == se
+
+    def test_exclusion_unmarks_vetoed_span(self, spark, span_hl_index):
+        from cuvs_lucene_spark.highlight import highlight_spans
+
+        d, df = span_hl_index
+        # exclude 'the': s0/0's only span (merge THE sort) is vetoed → the
+        # doc disappears; s0/1 keeps both spans (no 'the' inside them)
+        rows = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, exclude="the",
+            ).collect()
+        }
+        assert ("s0", 0) not in rows
+        assert rows[("s0", 1)]["n_match"] == 4
+
+    def test_spanfirst_end_bound_respected(self, spark, span_hl_index):
+        from cuvs_lucene_spark.highlight import highlight_spans
+
+        d, df = span_hl_index
+        # end=4: s0/1's first span [0,2) survives, the second (ends at 8)
+        # is filtered → only 2 positions marked
+        rows = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in highlight_spans(
+                spark, d, df, "merge sort", slop=2, k=10, end=4,
+                window_size=30, lead=0,
+            ).collect()
+        }
+        assert rows[("s0", 1)]["n_match"] == 2
+        assert ("s0", 0) in rows  # its span ends at 3 <= 4
