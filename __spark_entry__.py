@@ -1571,6 +1571,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_spanor"] = spanor
 
+    def spanrange(s: SparkSession, d: str) -> DataFrame:
+        # SpanPositionRangeQuery analog: ordered "merge sort"~5 spans that
+        # START at position >= 2 AND END at position + 1 <= 25 (SpanFirst
+        # is the start=0 special case). Both bounds filter inside the same
+        # enumeration; survivors keep their 1/(1+width) weight.
+        from cuvs_lucene_spark.spans import search_span_range
+
+        return _ranked(
+            search_span_range(
+                s, _index_for(s, d), "merge sort", start=2, end=25, slop=5,
+                k=10, float32=False,
+            )
+        )
+
+    q["fts_topk_spanrange"] = spanrange
+
     def spannear_orclause(s: SparkSession, d: str) -> DataFrame:
         # SpanOr INSIDE an ordered near: near(or(merge, join), sort)~6 —
         # clause 1 matches at the UNION of merge/join positions (Lucene
@@ -2256,6 +2272,50 @@ m1 AS (SELECT m0.doc_id, p0,
 matches AS (
   SELECT doc_id, p1 - p0 - 1 AS width
   FROM m1 WHERE p1 IS NOT NULL AND p1 + 1 <= 12
+),
+pfq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf
+  FROM matches WHERE width <= 5 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # SpanPositionRange over the ordered 2-clause near: both bounds on the
+    # min-position chain (start: p0 >= 2; end: p1 + 1 <= 25)
+    o["fts_topk_spanrange"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'sort'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+matches AS (
+  SELECT doc_id, p1 - p0 - 1 AS width
+  FROM m1 WHERE p1 IS NOT NULL AND p0 >= 2 AND p1 + 1 <= 25
 ),
 pfq AS (
   SELECT doc_id, sum(1.0 / (1.0 + width)) AS pf

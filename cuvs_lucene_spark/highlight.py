@@ -207,6 +207,7 @@ def highlight_spans(
     exclude: str | None = None,
     span_pre: int = 0,
     span_post: int = 0,
+    start: int = 0,
     end: int | None = None,
     float32: bool = True,
 ) -> DataFrame:
@@ -221,7 +222,8 @@ def highlight_spans(
     Accepts the full span surface: ``query`` as a list for per-clause
     SpanOr alternatives, ``in_order``, the SpanNot exclusion
     (``exclude``/``span_pre``/``span_post`` — named apart from the
-    ``pre``/``post`` TAG strings), and the SpanFirst ``end`` bound. Returns
+    ``pre``/``post`` TAG strings), and the SpanPositionRange
+    ``start``/``end`` bounds. Returns
     the HIGHLIGHT_SCHEMA columns; snippet_tokens is SQL-reproducible from
     the token stream (gate-oracle-checkable), snippet preserves original
     casing/punctuation. Same bounded plan as highlight(): k-row collect,
@@ -230,8 +232,8 @@ def highlight_spans(
     from cuvs_lucene_spark.spans import (
         _parse_clauses,
         ordered_span_chains,
-        search_span_first,
         search_span_near,
+        search_span_range,
         unordered_span_states,
     )
 
@@ -242,9 +244,9 @@ def highlight_spans(
             " snippet offsets are raw-token based, but the hits match"
             f" {rd.analyzer!r}-chain terms"
         )
-    if end is not None:
-        hits = search_span_first(
-            spark, index_dir, query, end=end, slop=slop, k=k,
+    if end is not None or start > 0:
+        hits = search_span_range(
+            spark, index_dir, query, start=start, end=end, slop=slop, k=k,
             in_order=in_order, filter_cond=filter_cond, reader=rd,
             float32=float32, exclude=exclude, pre=span_pre, post=span_post,
         ).collect()
@@ -271,7 +273,10 @@ def highlight_spans(
         excl = np.array(
             [i for i, t in enumerate(toks) if t in excl_set], dtype=np.int64
         )
-        kw = dict(max_end=end, excl=excl, pre=span_pre, post=span_post)
+        kw = dict(
+            max_end=end, excl=excl, pre=span_pre, post=span_post,
+            min_start=start if start > 0 else None,
+        )
         if len(clause_sets) == 1:
             # width-0 term/or spans: each surviving position is its own match
             chains = ordered_span_chains(pos, 0, **kw)

@@ -110,6 +110,7 @@ def ordered_span_pf(
     excl: np.ndarray | None = None,
     pre: int = 0,
     post: int = 0,
+    min_start: int | None = None,
 ) -> float:
     """NearSpansOrdered float frequency from per-clause sorted RAW position
     arrays: one candidate per first-clause position, minimal stretch of each
@@ -142,6 +143,8 @@ def ordered_span_pf(
     m = alive & (width <= slop)
     if max_end is not None:
         m &= prev_end <= max_end
+    if min_start is not None:
+        m &= first >= min_start
     if excl is not None and len(excl):
         m &= ~_excl_overlaps(first, prev_end, excl, pre, post)
     if not m.any():
@@ -156,6 +159,7 @@ def unordered_span_pf(
     excl: np.ndarray | None = None,
     pre: int = 0,
     post: int = 0,
+    min_start: int | None = None,
 ) -> float:
     """NearSpansUnordered float frequency from per-clause sorted RAW
     position arrays: the merge walk over the clause lists, one match check
@@ -194,6 +198,8 @@ def unordered_span_pf(
         m = (w - 1) <= slop
         if max_end is not None:
             m &= np.maximum(a[i_idx], b[j_idx]) + 1 <= max_end
+        if min_start is not None:
+            m &= np.minimum(a[i_idx], b[j_idx]) >= min_start
         if excl is not None and len(excl):
             mn2 = np.minimum(a[i_idx], b[j_idx])
             mx2 = np.maximum(a[i_idx], b[j_idx])
@@ -208,8 +214,10 @@ def unordered_span_pf(
     while True:
         mn = min(heads)
         mx = max(heads)
-        if mx - mn - (n - 1) <= slop and (
-            max_end is None or mx + 1 <= max_end
+        if (
+            mx - mn - (n - 1) <= slop
+            and (max_end is None or mx + 1 <= max_end)
+            and (min_start is None or mn >= min_start)
         ):
             if not (
                 has_excl
@@ -234,6 +242,7 @@ def ordered_span_chains(
     excl: np.ndarray | None = None,
     pre: int = 0,
     post: int = 0,
+    min_start: int | None = None,
 ) -> list[list[int]]:
     """The surviving ordered matches' CLAUSE POSITIONS (one chain per
     candidate that passes slop/max_end/exclusion) — the highlighter's
@@ -262,6 +271,8 @@ def ordered_span_chains(
             continue
         if max_end is not None and prev_end > max_end:
             continue
+        if min_start is not None and chain[0] < min_start:
+            continue
         if (
             excl is not None
             and len(excl)
@@ -284,6 +295,7 @@ def unordered_span_states(
     excl: np.ndarray | None = None,
     pre: int = 0,
     post: int = 0,
+    min_start: int | None = None,
 ) -> list[list[int]]:
     """The surviving unordered merge-walk states' CLAUSE POSITIONS.
     Consistency pin: ``Σ 1/(1 + max - min)`` over the returned states
@@ -306,6 +318,7 @@ def unordered_span_states(
         if (
             mx - mn - (n - 1) <= slop
             and (max_end is None or mx + 1 <= max_end)
+            and (min_start is None or mn >= min_start)
             and not (
                 e is not None
                 and bool(
@@ -340,7 +353,7 @@ def _split_excl(pos_by_slot: list[np.ndarray], n_inc: int):
 
 def _adjusted_ordered_pf(
     slop: int, n_inc: int, max_end: int | None = None, pre: int = 0,
-    post: int = 0,
+    post: int = 0, min_start: int | None = None,
 ):
     """Adapter for make_sloppy_sweep_kernel's freq_of contract (the occ
     kernel ships ADJUSTED positions), ordered enumeration."""
@@ -348,7 +361,8 @@ def _adjusted_ordered_pf(
     def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
         raw, excl = _split_excl(pos_by_slot, n_inc)
         return ordered_span_pf(
-            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post
+            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post,
+            min_start=min_start,
         )
 
     return pf
@@ -356,20 +370,24 @@ def _adjusted_ordered_pf(
 
 def _adjusted_unordered_pf(
     slop: int, n_inc: int, max_end: int | None = None, pre: int = 0,
-    post: int = 0,
+    post: int = 0, min_start: int | None = None,
 ):
     """Same adapter for the unordered walk."""
 
     def pf(pos_by_slot: list[np.ndarray], s: int) -> float:
         raw, excl = _split_excl(pos_by_slot, n_inc)
         return unordered_span_pf(
-            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post
+            raw, slop, max_end=max_end, excl=excl, pre=pre, post=post,
+            min_start=min_start,
         )
 
     return pf
 
 
-def _term_span_pf(max_end: int | None = None, pre: int = 0, post: int = 0):
+def _term_span_pf(
+    max_end: int | None = None, pre: int = 0, post: int = 0,
+    min_start: int | None = None,
+):
     """Single include clause: every occurrence is a width-0 span
     [pos, pos+1) contributing sloppyFreq(0) = 1, filtered by the SpanFirst
     end bound (pos + 1 <= max_end) and/or the SpanNot exclusion overlap.
@@ -381,6 +399,8 @@ def _term_span_pf(max_end: int | None = None, pre: int = 0, post: int = 0):
         m = np.ones(len(p), dtype=bool)
         if max_end is not None:
             m &= p < max_end
+        if min_start is not None:
+            m &= p >= min_start
         if excl is not None and len(excl):
             m &= ~_excl_overlaps(p, p + 1, excl, pre, post)
         return float(np.count_nonzero(m))
@@ -401,6 +421,7 @@ def span_near_doc_scores(
     exclude: list[str] | None = None,
     pre: int = 0,
     post: int = 0,
+    min_start: int | None = None,
 ) -> DataFrame | None:
     """Per-doc float64 span-near BM25 scores (doc_id, score_d), matching
     docs only; None when some clause has no present alternative (the span
@@ -424,7 +445,7 @@ def span_near_doc_scores(
     only)."""
     clauses = [[c] if isinstance(c, str) else list(dict.fromkeys(c)) for c in clauses]
     n = len(clauses)
-    has_filters = max_end is not None or exclude
+    has_filters = max_end is not None or exclude or min_start is not None
     if n < 2 and not has_filters:
         raise ValueError("span_near needs >= 2 clauses")
     if n < 1 or any(not c for c in clauses):
@@ -481,14 +502,16 @@ def span_near_doc_scores(
     if n == 1:
         # single include clause (SpanFirst / SpanNot over a term-or span):
         # no conjunction phase — the kernel counts surviving positions
-        freq_of = _term_span_pf(max_end=max_end, pre=pre, post=post)
+        freq_of = _term_span_pf(
+            max_end=max_end, pre=pre, post=post, min_start=min_start
+        )
     elif in_order:
         freq_of = _adjusted_ordered_pf(
-            slop, n, max_end=max_end, pre=pre, post=post
+            slop, n, max_end=max_end, pre=pre, post=post, min_start=min_start
         )
     else:
         freq_of = _adjusted_unordered_pf(
-            slop, n, max_end=max_end, pre=pre, post=post
+            slop, n, max_end=max_end, pre=pre, post=post, min_start=min_start
         )
 
     swept = occ
@@ -652,6 +675,83 @@ def search_span_near(
     return _finish_span_topk(spark, rd, scored, empty, out_t, k)
 
 
+def search_span_range(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    start: int = 0,
+    end: int | None = None,
+    slop: int = 0,
+    k: int = 10,
+    in_order: bool = True,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    exclude: str | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """Top-k SpanPositionRangeQuery BM25 search: spans of the inner span
+    query that START at position >= ``start`` and (when ``end`` is given)
+    END at position + 1 <= ``end``. SpanFirstQuery is the start=0 special
+    case (search_span_first delegates here). One analyzed term = a filtered
+    term span (each surviving occurrence contributes 1 to the pseudo-term
+    frequency); two or more = a span-near (ordered by default,
+    ``in_order=False`` for the unordered walk) with both bounds applied
+    inside the SAME enumeration — Lucene's FilterSpans drops non-accepted
+    spans without changing the enumeration or the per-match weight.
+    ``query`` as a list gives per-clause SpanOr alternatives and
+    ``exclude``/``pre``/``post`` the SpanNot veto, all composing in one
+    enumeration. Returns (doc_id, score, conv_id, turn_idx); composes with
+    filter_cond and tombstones like every other search surface."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    if start < 0:
+        raise ValueError("start must be >= 0")
+    if start == 0 and end is None:
+        # no positional bound at all: the query IS its inner span — reuse
+        # search_span_near's routing (incl. the single-clause degenerations)
+        return search_span_near(
+            spark, index_dir, query, slop=slop, k=k, in_order=in_order,
+            filter_cond=filter_cond, reader=reader, float32=float32,
+            field=field, exclude=exclude, pre=pre, post=post,
+        )
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    clauses = _parse_clauses(rd, query)
+    excl_terms = rd.analyze(exclude) if exclude else []
+    if (
+        k <= 0 or not clauses or not rd.manifest["segments"]
+        or (end is not None and end < 1)
+        # an n-clause span occupies >= n positions: start > end - n is
+        # provably empty without running a job
+        or (end is not None and start > end - len(clauses))
+    ):
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    scored = span_near_doc_scores(
+        spark, rd, clauses, fld, slop,
+        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        in_order=in_order, max_end=int(end) if end is not None else None,
+        exclude=excl_terms or None, pre=pre, post=post,
+        min_start=int(start) if start > 0 else None,
+    )
+    return _finish_span_topk(spark, rd, scored, empty, out_t, k)
+
+
 def search_span_first(
     spark: SparkSession,
     index_dir: str,
@@ -670,46 +770,13 @@ def search_span_first(
 ) -> DataFrame:
     """Top-k SpanFirstQuery BM25 search: spans of the inner span query that
     END within the first ``end`` positions of the document (span end =
-    last matched position + 1 <= end). One analyzed term = a filtered term
-    span (each head occurrence contributes 1 to the pseudo-term frequency);
-    two or more = a span-near (ordered by default, ``in_order=False`` for
-    the unordered walk) with the end filter applied inside the SAME
-    enumeration — matching Lucene's FilterSpans, which drops non-accepted
-    spans without changing the enumeration or the per-match weight.
-    ``query`` as a list gives per-clause SpanOr alternatives and
-    ``exclude``/``pre``/``post`` the SpanNot veto, both composing with the
-    end filter inside one enumeration. Returns (doc_id, score, conv_id,
-    turn_idx); composes with filter_cond and tombstones like every other
-    search surface."""
-    if slop < 0:
-        raise ValueError("slop must be >= 0")
-    if pre < 0 or post < 0:
-        raise ValueError("pre/post must be >= 0")
-    rd = reader or IndexReader(spark, index_dir)
-    out_t = "float" if float32 else "double"
-    empty = spark.createDataFrame(
-        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    last matched position + 1 <= end) — SpanPositionRangeQuery with
+    start=0; delegates to search_span_range."""
+    return search_span_range(
+        spark, index_dir, query, start=0, end=end, slop=slop, k=k,
+        in_order=in_order, filter_cond=filter_cond, reader=reader,
+        float32=float32, field=field, exclude=exclude, pre=pre, post=post,
     )
-    clauses = _parse_clauses(rd, query)
-    excl_terms = rd.analyze(exclude) if exclude else []
-    if k <= 0 or not clauses or not rd.manifest["segments"] or end < 1:
-        # end < 1: no span can end at position <= 0 — provably empty
-        return empty
-    fld = rd.resolve_field(field)
-    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
-    if f_docs == 0:
-        return empty
-    k = min(k, f_docs)
-
-    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
-
-    scored = span_near_doc_scores(
-        spark, rd, clauses, fld, slop,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
-        in_order=in_order, max_end=int(end),
-        exclude=excl_terms or None, pre=pre, post=post,
-    )
-    return _finish_span_topk(spark, rd, scored, empty, out_t, k)
 
 
 def search_span_or(

@@ -57,6 +57,7 @@ def golden_queries() -> dict:
     from cuvs_lucene_spark.spans import search_span_first as _spanfirst
     from cuvs_lucene_spark.spans import search_span_near as _spannear
     from cuvs_lucene_spark.spans import search_span_or as _spanor
+    from cuvs_lucene_spark.spans import search_span_range as _spanrange
 
     def after_page2(s, d):
         page1 = search(s, d, "world school still try", k=10).collect()
@@ -144,6 +145,9 @@ def golden_queries() -> dict:
         ),
         "spanfirst_term_end5": lambda s, d: _spanfirst(
             s, d, "world", end=5, k=10
+        ),
+        "spanrange_2_30": lambda s, d: _spanrange(
+            s, d, "the world", start=2, end=30, slop=4, k=10
         ),
         "spanor_ws": lambda s, d: _spanor(s, d, "world school", k=10),
         "boolean_span_leaf": lambda s, d: search_boolean(

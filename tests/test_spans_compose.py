@@ -681,3 +681,246 @@ class TestSpanInBoolean:
             Q.span_near(["world school"])
         with pytest.raises(ValueError, match="repeated"):
             Q.span_near("world world")
+
+
+# ---------------------------------------------------------------------------
+# SpanPositionRangeQuery: start/end bounds on the span extent
+# ---------------------------------------------------------------------------
+
+
+class TestSpanRangeKernel:
+    @pytest.mark.parametrize("seed", range(15))
+    def test_ordered_min_start_matches_loop_spec(self, seed):
+        rng = random.Random(11000 + seed)
+        n = rng.randint(2, 4)
+        pos = [
+            sorted(rng.sample(range(40), rng.randint(0, 8))) for _ in range(n)
+        ]
+        slop = rng.randint(0, 10)
+        start = rng.randint(0, 30)
+        end = rng.choice([None, rng.randint(1, 45)])
+
+        def loop_spec():
+            freq = 0.0
+            for p in pos[0]:
+                prev_end, width, ok = p + 1, 0, True
+                for later in pos[1:]:
+                    nxt = [x for x in later if x >= prev_end]
+                    if not nxt:
+                        ok = False
+                        break
+                    q = min(nxt)
+                    width += q - prev_end
+                    prev_end = q + 1
+                if (
+                    ok and width <= slop and p >= start
+                    and (end is None or prev_end <= end)
+                ):
+                    freq += 1.0 / (1.0 + width)
+            return freq
+
+        got = ordered_span_pf(
+            [np.array(p, dtype=np.int64) for p in pos], slop,
+            min_start=start, max_end=end,
+        )
+        assert got == pytest.approx(loop_spec())
+
+    @pytest.mark.parametrize("seed", range(15))
+    def test_unordered_min_start_matches_loop_spec(self, seed):
+        rng = random.Random(12000 + seed)
+        n = rng.randint(2, 3)
+        sample = rng.sample(range(50), 14)
+        pools, at = [], 0
+        for _ in range(n):
+            take = rng.randint(1, 5)
+            pools.append(sorted(sample[at:at + take]))
+            at += take
+        slop = rng.randint(0, 10)
+        start = rng.randint(0, 40)
+
+        import itertools
+
+        def loop_spec():
+            pf = 0.0
+            for combo in itertools.product(*[range(len(p)) for p in pools]):
+                consumed = [
+                    pools[t][i - 1] for t, i in enumerate(combo) if i > 0
+                ]
+                currents = [pools[t][i] for t, i in enumerate(combo)]
+                if consumed and max(consumed) >= min(currents):
+                    continue
+                mn, mx = min(currents), max(currents)
+                if mx - mn - (n - 1) <= slop and mn >= start:
+                    pf += 1.0 / (1.0 + (mx - mn))
+            return pf
+
+        got = unordered_span_pf(
+            [np.array(p, dtype=np.int64) for p in pools], slop,
+            min_start=start,
+        )
+        assert got == pytest.approx(loop_spec())
+
+
+class TestSearchSpanRange:
+    def test_start_zero_equals_span_first(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        a = _hits(
+            search_span_range(
+                spark, pos_index, "world school", start=0, end=30, slop=4,
+                k=10, float32=False,
+            )
+        )
+        b = _hits(
+            search_span_first(
+                spark, pos_index, "world school", end=30, slop=4, k=10,
+                float32=False,
+            )
+        )
+        assert a == b
+
+    def test_unbounded_equals_span_near(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        a = _hits(
+            search_span_range(
+                spark, pos_index, "world school", start=0, end=None, slop=4,
+                k=10, float32=False,
+            )
+        )
+        b = _hits(
+            search_span_near(
+                spark, pos_index, "world school", slop=4, k=10, float32=False
+            )
+        )
+        assert a and a == b
+
+    def test_matches_corpus_oracle(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        start, end, slop = 3, 30, 4
+
+        def pf_of(_doc_id, toks):
+            pos = [
+                [i for i, w in enumerate(toks) if w == t]
+                for t in ("world", "school")
+            ]
+            if any(not p for p in pos):
+                return 0.0
+            freq = 0.0
+            for p in pos[0]:
+                nxt = [x for x in pos[1] if x >= p + 1]
+                if not nxt:
+                    continue
+                q = min(nxt)
+                width = q - p - 1
+                if width <= slop and p >= start and q + 1 <= end:
+                    freq += 1.0 / (1.0 + width)
+            return freq
+
+        exp = [
+            (c, t, s)
+            for _, c, t, s in _bm25(
+                corpus_toks, pf_of, ["world", "school"]
+            )[:10]
+        ]
+        got = _hits(
+            search_span_range(
+                spark, pos_index, "world school", start=start, end=end,
+                slop=slop, k=10, float32=False,
+            )
+        )
+        _check(got, exp, "span_range")
+
+    def test_range_window_monotone(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        narrow = {
+            r["doc_id"]
+            for r in search_span_range(
+                spark, pos_index, "world school", start=5, end=20, slop=4,
+                k=10**9,
+            ).collect()
+        }
+        wide = {
+            r["doc_id"]
+            for r in search_span_range(
+                spark, pos_index, "world school", start=2, end=40, slop=4,
+                k=10**9,
+            ).collect()
+        }
+        assert narrow <= wide
+
+    def test_provably_empty_window(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        # 2-clause span needs >= 2 positions: start=9, end=10 can't fit
+        assert (
+            search_span_range(
+                spark, pos_index, "world school", start=9, end=10, slop=4
+            ).count()
+            == 0
+        )
+        with pytest.raises(ValueError, match="start"):
+            search_span_range(spark, pos_index, "world school", start=-1)
+
+    def test_single_term_start_bound(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.spans import search_span_range
+
+        start = 6
+
+        def pf_of(_doc_id, toks):
+            return float(
+                sum(1 for i, w in enumerate(toks) if w == "world" and i >= start)
+            )
+
+        exp = [
+            (c, t, s)
+            for _, c, t, s in _bm25(corpus_toks, pf_of, ["world"])[:10]
+        ]
+        got = _hits(
+            search_span_range(
+                spark, pos_index, "world", start=start, k=10, float32=False
+            )
+        )
+        _check(got, exp, "term start bound")
+
+    def test_start_bound_monotone_and_unfiltered_degeneration(
+        self, spark, pos_index
+    ):
+        from cuvs_lucene_spark.query import search_phrase
+        from cuvs_lucene_spark.spans import search_span_range
+
+        lo = search_span_range(
+            spark, pos_index, "world", start=8, k=10**9
+        ).count()
+        hi = search_span_range(
+            spark, pos_index, "world", start=0, k=10**9
+        ).count()
+        assert lo <= hi and hi > 0
+        # start=0/end=None single term = the bare term span = phrase scoring
+        a = [
+            (r["doc_id"], r["score"])
+            for r in search_span_range(
+                spark, pos_index, "world", start=0, k=10
+            ).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in search_phrase(spark, pos_index, "world", k=10).collect()
+        ]
+        assert a == b
+
+    def test_highlight_respects_start_bound(self, spark, pos_index, tiny_df):
+        from cuvs_lucene_spark.highlight import highlight_spans
+
+        rows = highlight_spans(
+            spark, pos_index, tiny_df, "world", start=6, k=10,
+            window_size=10, lead=2,
+        ).collect()
+        assert rows
+        for r in rows:
+            # the window anchors at the first SURVIVING position, which the
+            # start bound forces to >= 6; with lead=2 start_pos >= 4
+            assert r["start_pos"] >= 4
+            assert "<em>" in r["snippet_tokens"]
