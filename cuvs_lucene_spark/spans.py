@@ -601,6 +601,243 @@ def _finish_span_topk(
     )
 
 
+def span_contain_doc_scores(
+    spark: SparkSession,
+    rd: IndexReader,
+    big: list[list[str]],
+    little: list[list[str]],
+    fld: str,
+    big_slop: int,
+    little_slop: int,
+    mode: str,
+    del_ids: DataFrame | None = None,
+    filter_cond: Column | str | None = None,
+) -> DataFrame | None:
+    """Per-doc float64 SpanContaining/SpanWithin BM25 scores.
+
+    mode="containing": spans FROM BIG that enclose >= 1 little span
+    (big.start <= little.start AND little.end <= big.end) — each surviving
+    big span contributes sloppyFreq(big width). mode="within": spans FROM
+    LITTLE that lie inside >= 1 big span, weighted by the little width.
+    Both enumerations are the ordered minimal-stretch chains (clauses may
+    carry SpanOr alternatives — union positions). idf = Σ idf over the
+    DISTINCT terms of big ∪ little (Lucene's SpanContainQuery weight merges
+    both sides' term states into one sim weight, each term once). A term
+    may appear in both big and little (the little query is typically a
+    fragment of the big one); repeats WITHIN either side are rejected.
+    None when any clause of either side has no present alternative — the
+    contain relation then provably matches nothing."""
+    if mode not in ("containing", "within"):
+        raise ValueError(f"mode must be containing|within, got {mode!r}")
+    nb, nl = len(big), len(little)
+    if nb < 1 or nl < 1 or any(not c for c in (*big, *little)):
+        raise ValueError("big and little each need >= 1 non-empty clause")
+    for side, cl in (("big", big), ("little", little)):
+        flat = [t for c in cl for t in c]
+        if len(set(flat)) != len(flat):
+            raise ValueError(
+                f"repeated clause terms within the {side} span are not "
+                "supported (Lucene's repeats machinery)"
+            )
+    if not all(s.get("positions", False) for s in rd.manifest["segments"]):
+        raise ValueError(
+            "span search requires an index built with positions=True"
+        )
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return None
+    all_terms = list(dict.fromkeys(t for c in (*big, *little) for t in c))
+    stats = rd.term_stats(all_terms, fld)
+
+    def _df(t: str) -> int:
+        return stats.get(t, (0, 0))[0]
+
+    big = [[t for t in c if _df(t) > 0] for c in big]
+    little = [[t for t in c if _df(t) > 0] for c in little]
+    if any(not c for c in (*big, *little)):
+        return None
+    present = list(dict.fromkeys(t for c in (*big, *little) for t in c))
+    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in present))
+
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(present)
+    )
+    # slots 0..nb-1 = big clauses; nb..nb+nl-1 = little clauses; a term in
+    # both sides fans out to both slots
+    slot_of_term: dict[str, list[int]] = {}
+    for i, c in enumerate(big):
+        for t in c:
+            slot_of_term.setdefault(t, []).append(i)
+    for j, c in enumerate(little):
+        for t in c:
+            slot_of_term.setdefault(t, []).append(nb + j)
+    occ = postings.mapInPandas(
+        make_phrase_occ_kernel(slot_of_term, keep_negative_adj=True),
+        PHRASE_OCC_SCHEMA,
+    )
+    if del_ids is not None:
+        occ = occ.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        occ = occ.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+
+    # conjunction approximation over BOTH sides' clauses, positions unread
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    clause_pairs = [
+        (t, i) for i, c in enumerate(big) for t in c
+    ] + [(t, nb + j) for j, c in enumerate(little) for t in c]
+    # a term may map to two clause ids; encode per-term the SET of ids it
+    # covers via two maps (big side, little side) — count distinct over both
+    clause_of = {}
+    for t, i in clause_pairs:
+        clause_of.setdefault(t, []).append(i)
+    cov = F.array(*[
+        F.when(F.col("term").isin([t for t, ids in clause_of.items() if i in ids]), i)
+        for i in range(nb + nl)
+    ])
+    cand = (
+        decode_postings(postings)
+        .select("doc_id", "term")
+        .select("doc_id", F.explode(F.array_compact(cov)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_c").alias("_nt"))
+        .where(F.col("_nt") == F.lit(nb + nl))
+        .select("doc_id")
+    )
+
+    def contain_pf(pos_by_slot: list[np.ndarray], s: int) -> float:
+        raw = [
+            np.asarray(a, dtype=np.int64) + i
+            for i, a in enumerate(pos_by_slot)
+        ]
+        big_chains = ordered_span_chains(raw[:nb], big_slop)
+        if not big_chains:
+            return 0.0
+        little_chains = ordered_span_chains(raw[nb:], little_slop)
+        if not little_chains:
+            return 0.0
+        lit = [(c[0], c[-1] + 1) for c in little_chains]
+        total = 0.0
+        if mode == "containing":
+            for b in big_chains:
+                bs, be = b[0], b[-1] + 1
+                if any(bs <= ls and le <= be for ls, le in lit):
+                    total += 1.0 / (1.0 + (be - bs - nb))
+        else:  # within
+            bigi = [(c[0], c[-1] + 1) for c in big_chains]
+            for ls, le in lit:
+                if any(bs <= ls and le <= be for bs, be in bigi):
+                    total += 1.0 / (1.0 + (le - ls - nl))
+        return total
+
+    pf = (
+        occ.join(cand, "doc_id", "left_semi")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(
+            make_sloppy_sweep_kernel(nb + nl, 0, freq_of=contain_pf),
+            SLOPPY_PF_SCHEMA,
+        )
+    )
+    kf = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl_d") / F.lit(f_avgdl)
+    )
+    return pf.select(
+        "doc_id",
+        (F.lit(idf_sum) * F.col("pf").cast("double")
+         / (F.col("pf").cast("double") + kf)).alias("score_d"),
+    )
+
+
+def _search_span_contain(
+    spark: SparkSession,
+    index_dir: str,
+    big: str | list[str],
+    little: str | list[str],
+    mode: str,
+    big_slop: int,
+    little_slop: int,
+    k: int,
+    filter_cond: Column | str | None,
+    reader: IndexReader | None,
+    float32: bool,
+    field: str | None,
+) -> DataFrame:
+    if big_slop < 0 or little_slop < 0:
+        raise ValueError("slop must be >= 0")
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    big_c = _parse_clauses(rd, big)
+    little_c = _parse_clauses(rd, little)
+    if k <= 0 or not big_c or not little_c or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    scored = span_contain_doc_scores(
+        spark, rd, big_c, little_c, fld, big_slop, little_slop, mode,
+        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+    )
+    return _finish_span_topk(spark, rd, scored, empty, out_t, k)
+
+
+def search_span_containing(
+    spark: SparkSession,
+    index_dir: str,
+    big: str | list[str],
+    little: str | list[str],
+    big_slop: int = 0,
+    little_slop: int = 0,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Top-k SpanContainingQuery BM25 search: spans of ``big`` (an ordered
+    span-near; lists give per-clause SpanOr alternatives) that ENCLOSE at
+    least one span of ``little`` — big.start <= little.start AND
+    little.end <= big.end. Survivors keep big's sloppyFreq weight; idf sums
+    the DISTINCT terms of both sides once each (the two weights merge into
+    one sim weight). Returns (doc_id, score, conv_id, turn_idx)."""
+    return _search_span_contain(
+        spark, index_dir, big, little, "containing", big_slop, little_slop,
+        k, filter_cond, reader, float32, field,
+    )
+
+
+def search_span_within(
+    spark: SparkSession,
+    index_dir: str,
+    big: str | list[str],
+    little: str | list[str],
+    big_slop: int = 0,
+    little_slop: int = 0,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Top-k SpanWithinQuery BM25 search: spans of ``little`` that lie
+    INSIDE at least one span of ``big`` (the containment dual — survivors
+    keep little's sloppyFreq weight). Same idf merge as containing."""
+    return _search_span_contain(
+        spark, index_dir, big, little, "within", big_slop, little_slop,
+        k, filter_cond, reader, float32, field,
+    )
+
+
 def search_span_near(
     spark: SparkSession,
     index_dir: str,

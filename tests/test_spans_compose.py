@@ -924,3 +924,186 @@ class TestSearchSpanRange:
             # start bound forces to >= 6; with lead=2 start_pos >= 4
             assert r["start_pos"] >= 4
             assert "<em>" in r["snippet_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# SpanContaining / SpanWithin (big spans enclosing little spans)
+# ---------------------------------------------------------------------------
+
+
+def loop_chains(pos_by_slot, slop):
+    """Independent ordered-chain collector (minimal stretch), test-only."""
+    chains = []
+    for p in pos_by_slot[0]:
+        prev_end, chain, width, ok = p + 1, [p], 0, True
+        for later in pos_by_slot[1:]:
+            nxt = [x for x in later if x >= prev_end]
+            if not nxt:
+                ok = False
+                break
+            q = min(nxt)
+            width += q - prev_end
+            chain.append(q)
+            prev_end = q + 1
+        if ok and width <= slop:
+            chains.append(chain)
+    return chains
+
+
+def oracle_span_contain(
+    corpus_toks, big_terms, little_terms, big_slop, little_slop, mode, k
+):
+    """[(conv, turn, score)] for containing/within via the loop chains."""
+    nb, nl = len(big_terms), len(little_terms)
+
+    def pf_of(_doc_id, toks):
+        bpos = [[i for i, w in enumerate(toks) if w == t] for t in big_terms]
+        lpos = [[i for i, w in enumerate(toks) if w == t] for t in little_terms]
+        if any(not p for p in (*bpos, *lpos)):
+            return 0.0
+        bch = loop_chains(bpos, big_slop)
+        lch = loop_chains(lpos, little_slop)
+        lit = [(c[0], c[-1] + 1) for c in lch]
+        bigi = [(c[0], c[-1] + 1) for c in bch]
+        pf = 0.0
+        if mode == "containing":
+            for bs, be in bigi:
+                if any(bs <= ls and le <= be for ls, le in lit):
+                    pf += 1.0 / (1.0 + (be - bs - nb))
+        else:
+            for ls, le in lit:
+                if any(bs <= ls and le <= be for bs, be in bigi):
+                    pf += 1.0 / (1.0 + (le - ls - nl))
+        return pf
+
+    idf_terms = list(dict.fromkeys(big_terms + little_terms))
+    return [
+        (c, t, s) for _, c, t, s in _bm25(corpus_toks, pf_of, idf_terms)[:k]
+    ]
+
+
+class TestSpanContain:
+    @pytest.mark.parametrize(
+        "big,little,bs,ls,mode",
+        [
+            ("the world", "world", 4, 0, "containing"),
+            ("the world", "world", 4, 0, "within"),
+            ("the school", "school", 6, 0, "containing"),
+            ("the help world", "help world", 8, 3, "containing"),
+            ("the help world", "help world", 8, 3, "within"),
+        ],
+    )
+    def test_matches_oracle(
+        self, spark, pos_index, corpus_toks, big, little, bs, ls, mode
+    ):
+        from cuvs_lucene_spark.spans import (
+            search_span_containing, search_span_within,
+        )
+
+        fn = search_span_containing if mode == "containing" else search_span_within
+        exp = oracle_span_contain(
+            corpus_toks, tokenize_py(big), tokenize_py(little), bs, ls,
+            mode, 10,
+        )
+        got = _hits(
+            fn(
+                spark, pos_index, big, little, big_slop=bs, little_slop=ls,
+                k=10, float32=False,
+            )
+        )
+        _check(got, exp, (big, little, bs, ls, mode))
+
+    def test_containing_docs_subset_of_big_near(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_containing
+
+        cont = {
+            r["doc_id"]
+            for r in search_span_containing(
+                spark, pos_index, "the world", "world", big_slop=4, k=10**9
+            ).collect()
+        }
+        big = {
+            r["doc_id"]
+            for r in search_span_near(
+                spark, pos_index, "the world", slop=4, k=10**9
+            ).collect()
+        }
+        assert cont and cont <= big
+
+    def test_within_docs_subset_of_containing_docs(self, spark, pos_index):
+        """Both sides filter on the same (big, little) pairs existing, so
+        the DOC sets coincide; only the weights differ."""
+        from cuvs_lucene_spark.spans import (
+            search_span_containing, search_span_within,
+        )
+
+        a = {
+            r["doc_id"]
+            for r in search_span_containing(
+                spark, pos_index, "the world", "world", big_slop=4, k=10**9
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in search_span_within(
+                spark, pos_index, "the world", "world", big_slop=4, k=10**9
+            ).collect()
+        }
+        assert a and a == b
+
+    def test_guards_and_degenerates(self, spark, pos_index):
+        from cuvs_lucene_spark.spans import search_span_containing
+
+        with pytest.raises(ValueError, match="repeated"):
+            search_span_containing(
+                spark, pos_index, "world world", "school"
+            ).collect()
+        with pytest.raises(ValueError, match="slop"):
+            search_span_containing(
+                spark, pos_index, "the world", "world", big_slop=-1
+            )
+        # absent little term: containment provably empty
+        assert (
+            search_span_containing(
+                spark, pos_index, "the world", "zzqq", big_slop=4
+            ).count()
+            == 0
+        )
+        assert (
+            search_span_containing(spark, pos_index, "", "world").count() == 0
+        )
+
+    def test_or_alternatives_in_big(self, spark, pos_index, corpus_toks):
+        """A big clause with SpanOr alternatives: union positions."""
+        from cuvs_lucene_spark.spans import search_span_containing
+
+        # oracle: big clause 1 = {the}, clause 2 = {world, school} union
+        def pf_of(_doc_id, toks):
+            bpos = [
+                [i for i, w in enumerate(toks) if w == "the"],
+                [i for i, w in enumerate(toks) if w in ("world", "school")],
+            ]
+            lpos = [[i for i, w in enumerate(toks) if w == "world"]]
+            if any(not p for p in (*bpos, *lpos)):
+                return 0.0
+            bch = loop_chains(bpos, 5)
+            lit = [(c[0], c[-1] + 1) for c in loop_chains(lpos, 0)]
+            pf = 0.0
+            for b in bch:
+                bs_, be = b[0], b[-1] + 1
+                if any(bs_ <= ls and le <= be for ls, le in lit):
+                    pf += 1.0 / (1.0 + (be - bs_ - 2))
+            return pf
+
+        idf_terms = ["the", "world", "school"]
+        exp = [
+            (c, t, s)
+            for _, c, t, s in _bm25(corpus_toks, pf_of, idf_terms)[:10]
+        ]
+        got = _hits(
+            search_span_containing(
+                spark, pos_index, ["the", "world school"], "world",
+                big_slop=5, k=10, float32=False,
+            )
+        )
+        _check(got, exp, "or-alternatives big")
