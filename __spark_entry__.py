@@ -1620,6 +1620,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_spannot"] = spannot
 
+    def spancontaining(s: SparkSession, d: str) -> DataFrame:
+        # SpanContainingQuery analog: big = ordered near "merge join"~8,
+        # little = term 'sort'; big spans survive iff they ENCLOSE a
+        # little span (big.start <= little.start AND little.end <=
+        # big.end), keeping big's 1/(1+width) weight; idf sums the
+        # DISTINCT terms of both sides once. Oracle: the min-position
+        # chain + EXISTS over the little positions in [p0, p1].
+        from cuvs_lucene_spark.spans import search_span_containing
+
+        return _ranked(
+            search_span_containing(
+                s, _index_for(s, d), "merge join", "sort", big_slop=8,
+                k=10, float32=False,
+            )
+        )
+
+    q["fts_topk_spancontaining"] = spancontaining
+
+    def spanwithin(s: SparkSession, d: str) -> DataFrame:
+        # SpanWithinQuery analog (containment dual): little = term
+        # 'sort' spans survive iff they lie INSIDE a big "merge join"~8
+        # span, keeping little's weight (width 0 -> 1.0 each). Same idf
+        # merge as containing. Oracle: EXISTS over the big chains.
+        from cuvs_lucene_spark.spans import search_span_within
+
+        return _ranked(
+            search_span_within(
+                s, _index_for(s, d), "merge join", "sort", big_slop=8,
+                k=10, float32=False,
+            )
+        )
+
+    q["fts_topk_spanwithin"] = spanwithin
+
     def dictionary(s: SparkSession, d: str) -> DataFrame:
         from cuvs_lucene_spark.query import IndexReader
 
@@ -2480,6 +2514,103 @@ idfs AS (
     SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
               / (count(*) + 0.5)) AS idf
     FROM tf WHERE term IN ('merge', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    # SpanContaining / SpanWithin: big = ordered chain "merge join"~8
+    # (min-position correlated subquery), little = single-term 'sort'
+    # spans; containment is a plain EXISTS between the two position sets.
+    # idf sums the DISTINCT terms of big ∪ little (one merged sim weight).
+    o["fts_topk_spancontaining"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'join'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+bigch AS (
+  SELECT doc_id, p0, p1, p1 - p0 - 1 AS width
+  FROM m1 WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= 8
+),
+pfq AS (
+  SELECT b.doc_id, sum(1.0 / (1.0 + b.width)) AS pf
+  FROM bigch b
+  WHERE EXISTS (SELECT 1 FROM tokpos t
+                WHERE t.doc_id = b.doc_id AND t.term = 'sort'
+                  AND t.pos >= b.p0 AND t.pos <= b.p1)
+  GROUP BY b.doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'join', 'sort') GROUP BY term)
+),
+spanscores AS (
+  SELECT p.doc_id,
+         (SELECT idf_sum FROM idfs) * p.pf
+           / (p.pf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl_d
+                / (SELECT avgdl FROM stats))) AS score
+  FROM pfq p JOIN dlq d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM spanscores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+    o["fts_topk_spanwithin"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+m0 AS (SELECT doc_id, pos AS p0 FROM tokpos WHERE term = 'merge'),
+m1 AS (SELECT m0.doc_id, p0,
+         (SELECT min(pos) FROM tokpos t
+          WHERE t.doc_id = m0.doc_id AND t.term = 'join'
+            AND t.pos >= m0.p0 + 1) AS p1
+       FROM m0),
+bigch AS (
+  SELECT doc_id, p0, p1 FROM m1
+  WHERE p1 IS NOT NULL AND p1 - p0 - 1 <= 8
+),
+littles AS (SELECT doc_id, pos FROM tokpos WHERE term = 'sort'),
+pfq AS (
+  SELECT l.doc_id, cast(count(*) AS double) AS pf
+  FROM littles l
+  WHERE EXISTS (SELECT 1 FROM bigch b
+                WHERE b.doc_id = l.doc_id
+                  AND b.p0 <= l.pos AND l.pos <= b.p1)
+  GROUP BY l.doc_id
+),
+idfs AS (
+  SELECT sum(idf) AS idf_sum FROM (
+    SELECT ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+              / (count(*) + 0.5)) AS idf
+    FROM tf WHERE term IN ('merge', 'join', 'sort') GROUP BY term)
 ),
 spanscores AS (
   SELECT p.doc_id,
