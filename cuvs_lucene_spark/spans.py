@@ -562,16 +562,64 @@ def span_near_doc_scores(
     )
 
 
-def _parse_clauses(rd: IndexReader, query: str | list[str]) -> list[list[str]]:
+_MULTITERM_KEYS = ("prefix", "wildcard", "fuzzy", "regexp", "term_range")
+
+
+def _expand_clause(
+    rd: IndexReader, spec: dict, field: str | None
+) -> list[str]:
+    """SpanMultiTermQueryWrapper analog: a dict span clause names exactly
+    one MultiTermQuery pattern (``{"prefix": "sor"}``, ``{"wildcard":
+    "s?rt"}``, ``{"fuzzy": "sorr"}``, ``{"regexp": "so.+"}``,
+    ``{"term_range": ("sa", "so")}``, optional ``max_expansions`` /
+    ``max_edits``) and is rewritten against the term DICTIONARY into the
+    clause's alternative terms — Lucene's SpanOrQuery rewrite
+    (``SpanMultiTermQueryWrapper.SCORING_SPAN_QUERY_REWRITE``). Terms come
+    back already analyzed (dictionary entries are post-analysis), so they
+    are used verbatim, never re-analyzed. An empty expansion means the
+    clause — and therefore the whole span query — provably matches
+    nothing (SpanMatchNoDocs), NOT an error. TooManyClauses propagates."""
+    from cuvs_lucene_spark.multiterm import expand_terms
+
+    opts = dict(spec)
+    kw = {}
+    for o in ("max_expansions", "max_edits", "include_lower", "include_upper"):
+        if o in opts:
+            kw[o] = opts.pop(o)
+    if len(opts) != 1 or next(iter(opts)) not in _MULTITERM_KEYS:
+        raise ValueError(
+            f"a dict span clause needs exactly one of {_MULTITERM_KEYS} "
+            f"(plus optional max_expansions/max_edits/include_lower/"
+            f"include_upper), got {sorted(spec)}"
+        )
+    return expand_terms(rd, field, **opts, **kw)
+
+
+def _parse_clauses(
+    rd: IndexReader,
+    query: str | list[str | dict],
+    field: str | None = None,
+) -> list[list[str]]:
     """Analyzed clause lists: a str query is one single-term clause per
     analyzed token (the classic SpanNear of term spans); a list query
     analyzes EACH element into that clause's alternative terms — a
     SpanOrQuery of term spans (``["merge join", "sort"]`` = near(or(merge,
-    join), sort)). Elements that analyze to nothing are rejected loudly —
-    silently dropping a clause would change the query's arity."""
+    join), sort)). A DICT element is a multi-term clause expanded against
+    the dictionary (see _expand_clause); if any such pattern matches no
+    term the whole query is provably empty and [] is returned. String
+    elements that analyze to nothing are rejected loudly — silently
+    dropping a clause would change the query's arity."""
     if isinstance(query, str):
         return [[t] for t in rd.analyze(query)]
-    clauses = [rd.analyze(c) for c in query]
+    clauses: list[list[str]] = []
+    for c in query:
+        if isinstance(c, dict):
+            alts = _expand_clause(rd, c, field)
+            if not alts:
+                return []  # SpanMatchNoDocs: pattern matched no term
+            clauses.append(alts)
+        else:
+            clauses.append(rd.analyze(c))
     if any(not c for c in clauses) and any(c for c in clauses):
         raise ValueError("a span clause analyzed to no terms")
     return [c for c in clauses if c]
@@ -754,8 +802,8 @@ def span_contain_doc_scores(
 def _search_span_contain(
     spark: SparkSession,
     index_dir: str,
-    big: str | list[str],
-    little: str | list[str],
+    big: str | list[str | dict],
+    little: str | list[str | dict],
     mode: str,
     big_slop: int,
     little_slop: int,
@@ -772,8 +820,8 @@ def _search_span_contain(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    big_c = _parse_clauses(rd, big)
-    little_c = _parse_clauses(rd, little)
+    big_c = _parse_clauses(rd, big, field)
+    little_c = _parse_clauses(rd, little, field)
     if k <= 0 or not big_c or not little_c or not rd.manifest["segments"]:
         return empty
     fld = rd.resolve_field(field)
@@ -794,8 +842,8 @@ def _search_span_contain(
 def search_span_containing(
     spark: SparkSession,
     index_dir: str,
-    big: str | list[str],
-    little: str | list[str],
+    big: str | list[str | dict],
+    little: str | list[str | dict],
     big_slop: int = 0,
     little_slop: int = 0,
     k: int = 10,
@@ -819,8 +867,8 @@ def search_span_containing(
 def search_span_within(
     spark: SparkSession,
     index_dir: str,
-    big: str | list[str],
-    little: str | list[str],
+    big: str | list[str | dict],
+    little: str | list[str | dict],
     big_slop: int = 0,
     little_slop: int = 0,
     k: int = 10,
@@ -841,7 +889,7 @@ def search_span_within(
 def search_span_near(
     spark: SparkSession,
     index_dir: str,
-    query: str | list[str],
+    query: str | list[str | dict],
     slop: int = 0,
     k: int = 10,
     in_order: bool = True,
@@ -862,7 +910,14 @@ def search_span_near(
 
     ``query`` may be a list of clause strings, each analyzed into that
     clause's ALTERNATIVE terms (SpanOrQuery inside the near — matches at
-    the union of the alternatives' positions). ``exclude`` wraps the whole
+    the union of the alternatives' positions). A DICT clause is the
+    SpanMultiTermQueryWrapper analog: ``{"prefix": "sor"}`` /
+    ``{"wildcard": "s?rt"}`` / ``{"fuzzy": "sorr"}`` / ``{"regexp":
+    "so.+"}`` / ``{"term_range": ("sa", "so")}`` (optional
+    ``max_expansions``/``max_edits``) is rewritten against the term
+    dictionary into that clause's alternatives — Lucene's SpanOr scoring
+    rewrite; a pattern matching no term makes the whole query match
+    nothing (SpanMatchNoDocs), and TooManyClauses applies. ``exclude`` wraps the whole
     query in a SpanNotQuery: its analyzed terms' occurrences, widened by
     ``pre`` positions before / ``post`` after, veto overlapping spans
     (exclusion terms contribute no idf, as in SpanNotWeight). Returns
@@ -877,7 +932,7 @@ def search_span_near(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    clauses = _parse_clauses(rd, query)
+    clauses = _parse_clauses(rd, query, field)
     excl_terms = rd.analyze(exclude) if exclude else []
     if k <= 0 or not clauses or not rd.manifest["segments"]:
         return empty
@@ -894,7 +949,7 @@ def search_span_near(
             )
         return search_span_or(
             spark, index_dir, clauses[0], k=k, filter_cond=filter_cond,
-            reader=rd, float32=float32, field=field,
+            reader=rd, float32=float32, field=field, _pre_analyzed=True,
         )
     fld = rd.resolve_field(field)
     f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
@@ -915,7 +970,7 @@ def search_span_near(
 def search_span_range(
     spark: SparkSession,
     index_dir: str,
-    query: str | list[str],
+    query: str | list[str | dict],
     start: int = 0,
     end: int | None = None,
     slop: int = 0,
@@ -961,7 +1016,7 @@ def search_span_range(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    clauses = _parse_clauses(rd, query)
+    clauses = _parse_clauses(rd, query, field)
     excl_terms = rd.analyze(exclude) if exclude else []
     if (
         k <= 0 or not clauses or not rd.manifest["segments"]
@@ -992,7 +1047,7 @@ def search_span_range(
 def search_span_first(
     spark: SparkSession,
     index_dir: str,
-    query: str | list[str],
+    query: str | list[str | dict],
     end: int,
     slop: int = 0,
     k: int = 10,
@@ -1019,12 +1074,13 @@ def search_span_first(
 def search_span_or(
     spark: SparkSession,
     index_dir: str,
-    query: str | list[str],
+    query: str | list[str | dict],
     k: int = 10,
     filter_cond: Column | str | None = None,
     reader: IndexReader | None = None,
     float32: bool = True,
     field: str | None = None,
+    _pre_analyzed: bool = False,
 ) -> DataFrame:
     """Top-k SpanOrQuery BM25 search: the union of the analyzed terms'
     spans scored as ONE pseudo-term — every occurrence of any term is a
@@ -1044,10 +1100,23 @@ def search_span_or(
     empty = spark.createDataFrame(
         [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
     )
-    if isinstance(query, str):
+    if _pre_analyzed:
+        # internal: query is a list of post-analysis terms (e.g. a one-clause
+        # near whose clause was dictionary-expanded) — re-analysis would
+        # re-stem dictionary entries
+        terms = list(query)
+    elif isinstance(query, str):
         terms = rd.analyze(query)
     else:
-        terms = [t for c in query for t in rd.analyze(c)]
+        # list elements: str -> analyzed alternatives; dict -> multi-term
+        # pattern expanded against the dictionary (SpanMultiTermQueryWrapper
+        # rewrite — expansion terms are post-analysis, used verbatim)
+        terms = []
+        for c in query:
+            if isinstance(c, dict):
+                terms.extend(_expand_clause(rd, c, field))
+            else:
+                terms.extend(rd.analyze(c))
     terms = list(dict.fromkeys(terms))
     if k <= 0 or not terms or not rd.manifest["segments"]:
         return empty
