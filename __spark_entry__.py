@@ -353,6 +353,42 @@ ORDER BY rank
 """
 
 
+def _oracle_synonym_sql(terms: list[str], k: int) -> str:
+    """SynonymQuery BM25 top-k in DuckDB SQL — the oracle twin of
+    query.search_synonym. The synonym set scores as ONE pseudo-term: per-doc
+    freq = Σ tf over the set (integer sum — exact, order-free), idf from the
+    MAX docFreq of the member terms (Lucene SynonymQuery merged collection
+    stats), one BM25 saturation over the summed freq."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""{_ORACLE_PREFIX},
+syn AS (
+  SELECT doc_id, sum(tf) AS tf FROM tf WHERE term IN ({in_list}) GROUP BY doc_id
+),
+sdf AS (
+  SELECT max(df) AS df
+  FROM (SELECT count(*) AS df FROM tf WHERE term IN ({in_list}) GROUP BY term)
+),
+scores AS (
+  SELECT p.doc_id,
+         ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5)/(f.df + 0.5))
+           * cast(p.tf AS double)
+           / (cast(p.tf AS double) + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM syn p JOIN dlq d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s CROSS JOIN sdf f
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_group_topk_sql(terms: list[str], k: int, group_col: str) -> str:
     """Grouped top-k oracle: the same pivoted-BM25 scores CTE as
     _oracle_topk_sql, ranked per group with a window instead of a global
@@ -1326,6 +1362,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_regexp"] = regexp_q
+
+    def synonym_q(s: SparkSession, d: str) -> DataFrame:
+        # SynonymQuery {merge, join}: tf-blended BEFORE the BM25 saturation,
+        # idf from the max member docFreq — NOT an OR of two TermQueries
+        from cuvs_lucene_spark.query import search_synonym
+
+        return _ranked(
+            search_synonym(
+                s, _index_for(s, d), ["merge", "join"], k=10, float32=False
+            )
+        )
+
+    q["fts_topk_synonym"] = synonym_q
 
     def trange_q(s: SparkSession, d: str) -> DataFrame:
         # TermRangeQuery ['sa','so') — lexicographic dictionary-range
@@ -2660,6 +2709,7 @@ SELECT facet, n_docs FROM counts ORDER BY facet
     o["fts_topk_regexp"] = _oracle_multiterm_sql(
         "regexp_matches(term, '^(?:s[a-z]*n)$')", 10
     )
+    o["fts_topk_synonym"] = _oracle_synonym_sql(["merge", "join"], 10)
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
     o["fts_topk_boolean_span"] = _oracle_boolean_span_sql(10)

@@ -169,3 +169,30 @@ def oracle_search(
     scores = acc[cand].astype(np.float32)
     order = np.lexsort((idx.doc_ids[cand], -scores))[: min(k, len(cand))]
     return [(int(idx.doc_ids[cand[i]]), float(scores[i])) for i in order]
+
+
+def oracle_synonym_search(
+    idx: OracleIndex, terms: list[str], k: int = 10
+) -> list[tuple[int, float]]:
+    """SynonymQuery twin of query.search_synonym (float64 path):
+    per-doc freq = Σ tf over the synonym set (exact integer sum), idf from
+    the MAX member docFreq (Lucene SynonymQuery merged collection stats:
+    docFreq = max, so two rare synonyms never double-idf), ONE BM25
+    saturation over the blended freq."""
+    present = [t for t in sorted(set(terms)) if t in idx.postings]
+    if k <= 0 or not present or idx.n_docs == 0:
+        return []
+    df_max = max(len(idx.postings[t][0]) for t in present)
+    idf = float(np.log(1.0 + (idx.n_docs - df_max + 0.5) / (df_max + 0.5)))
+    tf_sum = np.zeros(len(idx.doc_ids), dtype=np.int64)
+    for t in present:
+        d, tf = idx.postings[t]
+        tf_sum[d] += tf
+    cand = np.flatnonzero(tf_sum > 0)
+    if len(cand) == 0:
+        return []
+    tf64 = tf_sum[cand].astype(np.float64)
+    kf = BM25_K1 * (1.0 - BM25_B + BM25_B * idx.dl_d[cand].astype(np.float64) / idx.avgdl)
+    scores = idf * tf64 / (tf64 + kf)
+    order = np.lexsort((idx.doc_ids[cand], -scores))[: min(k, len(cand))]
+    return [(int(idx.doc_ids[cand[i]]), float(scores[i])) for i in order]

@@ -1938,3 +1938,105 @@ def _prune_blocks(
         )
     return kept
 
+
+# Lucene SmallFloat.byte4ToInt as a SQL expression over the quantized-norm
+# byte column `c` (the inverse of analysis.small_float_int_to_byte4):
+# bits = c & 7, shift = (c >> 3) - 1; shift == -1 → bits, else (bits|8)<<shift.
+def _dequant_dl_col(c: str) -> Column:
+    return F.expr(
+        f"CASE WHEN shiftright({c}, 3) = 0 THEN cast({c} & 7 AS bigint) "
+        f"ELSE shiftleft(cast(({c} & 7) | 8 AS bigint), shiftright({c}, 3) - 1) "
+        f"END"
+    )
+
+
+def search_synonym(
+    spark: SparkSession,
+    index_dir: str,
+    synonyms: str | list[str],
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Blended multi-term scoring — the Lucene ``SynonymQuery`` analog
+    [Lucene-10.2.0, via the reference's ``pom.xml:42-43``; SynonymQuery is
+    the rewrite target Lucene's query parsers emit for analysis-time
+    synonym expansion].
+
+    Semantics (Lucene SynonymQuery, default boosts): the synonym set scores
+    as ONE pseudo-term —
+      - within-doc freq  = Σ tf over the synonym terms present in the doc
+        (SynonymQuery's DisiWrapper sums the positional freqs);
+      - docFreq for idf  = max over the terms' docFreqs (SynonymQuery merges
+        collection stats with ``docFreq = max``, so idf is NOT summed — a
+        doc matching two rare synonyms is not double-idf'd);
+      - one BM25 saturation over the summed freq (tf-blending happens
+        BEFORE the nonlinearity, which is exactly what distinguishes
+        SynonymQuery from a BooleanQuery OR of the same terms).
+
+    Plan shape at scale: bucket+term-pruned postings scan for the synonym
+    terms → Arrow decode to (doc_id, tf, dl_q) → ONE map-side-combinable
+    groupBy(doc_id) summing integer tfs (exact, order-free) → JVM-side BM25
+    expression (whole-stage codegen; norms dequantized inline via
+    ``_dequant_dl_col``) → TakeOrderedAndProject(k) → broadcast join of the
+    k-row top-k against doc_dim. No Python in the scoring expression; the
+    only kernel is the shared block decoder.
+    """
+    from cuvs_lucene_spark.analysis import bm25_term_score_expr
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    rd = reader or IndexReader(spark, index_dir)
+    score_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {score_t}, conv_id string, turn_idx int"
+    )
+    text = synonyms if isinstance(synonyms, str) else " ".join(synonyms)
+    terms = sorted(set(rd.analyze(text)))
+    if k <= 0 or not terms or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+    stats = rd.term_stats(terms, fld)
+    present = [t for t in terms if stats.get(t, (0, 0))[0] > 0]
+    if not present:
+        return empty
+    # merged collection stats: docFreq = max (SynonymQuery.createWeight)
+    df_syn = max(stats[t][0] for t in present)
+    idf = float(rd.idf(df_syn, f_docs))
+
+    postings = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({stats[t][1] for t in present}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(present)
+    )
+    rows = decode_postings(postings).select("doc_id", "tf", "dl_q")
+    del_ids = deleted_doc_ids(spark, index_dir)
+    if del_ids is not None:
+        rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        rows = rows.join(_accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi")
+    # integer tf sum is exact and order-independent — no pivot ordering
+    # needed (unlike _finish's float sums); dl_q is constant per doc
+    agg = rows.groupBy("doc_id").agg(
+        F.sum("tf").alias("tf_syn"), F.max("dl_q").alias("dl_q")
+    )
+    scored = agg.select(
+        "doc_id",
+        bm25_term_score_expr(
+            F.col("tf_syn"), F.lit(idf), _dequant_dl_col("dl_q"), f_avgdl
+        ).cast(score_t).alias("score"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
