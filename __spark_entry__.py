@@ -1891,6 +1891,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_facet_role"] = fts_facet_role
 
+    def fts_facet_pivot(s, d):
+        """Pivot facet (taxonomy multi-level dimension / Solr facet.pivot
+        analog): per-(role, tool) live-doc match counts over an OR query's
+        match set — one hash aggregate on the dim tuple; NULL tool is its
+        own bucket."""
+        from cuvs_lucene_spark.query import facet_pivot
+
+        return facet_pivot(
+            s, _index_for(s, d), "merge sort join", dims=["role", "tool"],
+        ).select("role", "tool", F.col("n_docs").cast("long"))
+
+    q["fts_facet_pivot"] = fts_facet_pivot
+
+    def fts_facet_stats(s, d):
+        """Stats facet (taxonomy value-association / Solr stats component
+        analog): five single-pass statistics of turn_idx per role over the
+        match set."""
+        from cuvs_lucene_spark.query import facet_stats
+
+        return facet_stats(
+            s, _index_for(s, d), "merge sort join", on="turn_idx", by="role"
+        ).select(
+            "facet",
+            F.col("n_docs").cast("long"),
+            F.col("min_v").cast("long").alias("min_v"),
+            F.col("max_v").cast("long").alias("max_v"),
+            F.col("sum_v").cast("long").alias("sum_v"),
+            F.round("avg_v", 4).alias("avg_v"),
+        )
+
+    q["fts_facet_stats"] = fts_facet_stats
+
     def fts_group_topk(s, d):
         """Grouped search (Lucene grouping-module analog, TopGroups): the 3
         best BM25 hits per role over an OR query — full scored match set,
@@ -2743,6 +2775,30 @@ SELECT d.role AS facet, cast(count(DISTINCT t.doc_id) AS bigint) AS n_docs
 FROM tf t JOIN dlq d ON t.doc_id = d.doc_id
 WHERE t.term IN ('merge', 'sort', 'join')
 GROUP BY d.role ORDER BY n_docs DESC, facet ASC
+"""
+    o["fts_facet_pivot"] = f"""{_ORACLE_PREFIX},
+mset AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'sort', 'join')
+)
+SELECT b.role AS role, b.tool AS tool, cast(count(*) AS bigint) AS n_docs
+FROM mset m
+JOIN (SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+             role, tool
+      FROM base) b ON m.doc_id = b.doc_id
+GROUP BY b.role, b.tool
+ORDER BY n_docs DESC, role ASC, tool ASC
+"""
+    o["fts_facet_stats"] = f"""{_ORACLE_PREFIX},
+mset AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'sort', 'join')
+)
+SELECT d.role AS facet, cast(count(*) AS bigint) AS n_docs,
+       cast(min(d.turn_idx) AS bigint) AS min_v,
+       cast(max(d.turn_idx) AS bigint) AS max_v,
+       cast(sum(d.turn_idx) AS bigint) AS sum_v,
+       round(avg(cast(d.turn_idx AS double)), 4) AS avg_v
+FROM mset m JOIN dlq d ON m.doc_id = d.doc_id
+GROUP BY d.role ORDER BY facet ASC
 """
     o["fts_group_topk"] = _oracle_group_topk_sql(["merge", "sort", "join"], 3, "role")
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)

@@ -1101,6 +1101,112 @@ def facet_ranges(
     ).select(F.col("facet"), F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def facet_pivot(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dims: list[str],
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Multi-level (pivot) facet counts over the query's match set — the
+    Lucene taxonomy-facets multi-level dimension analog (Solr calls the same
+    shape ``facet.pivot``; the facets module sits beside the codec surface
+    the reference plugs into via its Lucene dependency, ``pom.xml:42-43``).
+
+    ``dims`` is an ordered list of doc_dim column names (e.g.
+    ``["role", "tool"]``); the result has one row per observed value
+    combination, columns named after the dims plus ``n_docs``, ordered
+    n_docs DESC then dims ASC (deterministic ties). NULL dim values are kept
+    as their own bucket (Lucene represents a missing path component the same
+    way a drill-down on an absent label would).
+
+    Plan shape at scale: identical to facet_counts — the distinct-docID
+    match set semi-joins a (doc_id, dims)-projected doc_dim scan, then ONE
+    hash aggregate on the dim tuple; output is bounded by the cross
+    cardinality of the observed dim values, never corpus size."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    if ids is None:
+        if not rd.manifest["segments"]:
+            schema = ", ".join(f"`{c}` string" for c in dims)
+            return spark.createDataFrame([], f"{schema}, n_docs long")
+        ids = spark.createDataFrame([], "doc_id long")
+    dd = rd.cat.read_doc_dim(spark)
+    out = (
+        dd.join(ids, "doc_id", "left_semi")
+        .groupBy(*[F.col(c) for c in dims])
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(c) for c in dims])
+    )
+    return out.limit(top_n) if top_n is not None else out
+
+
+def facet_stats(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    on: Column | str,
+    by: Column | str = "role",
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+) -> DataFrame:
+    """Per-facet numeric statistics over the query's match set — the Lucene
+    facets-module value-association analog (``TaxonomyFacetIntAssociations``
+    aggregates a numeric per-doc value under each label; Solr exposes the
+    same shape as the stats component with ``stats.facet``).
+
+    ``on`` is the numeric doc_dim column/expression to aggregate; ``by`` is
+    the facet key. Returns (facet, n_docs, min_v, max_v, sum_v, avg_v)
+    ordered by facet ASC. min/max/sum stay in the column's own type family
+    (exact for integers); avg_v is float64.
+
+    Plan shape at scale: match-set semi-join into a (doc_id, by, on)
+    projection, ONE hash aggregate on the facet key — all five statistics
+    computed in the same single pass (no per-stat scan)."""
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    on_col = F.col(on) if isinstance(on, str) else on
+    by_col = F.col(by) if isinstance(by, str) else by
+    if ids is None:
+        if not rd.manifest["segments"]:
+            return spark.createDataFrame(
+                [],
+                "facet string, n_docs long, min_v double, max_v double, "
+                "sum_v double, avg_v double",
+            )
+        ids = spark.createDataFrame([], "doc_id long")
+    dd = rd.cat.read_doc_dim(spark)
+    return (
+        dd.join(ids, "doc_id", "left_semi")
+        .select(by_col.alias("facet"), on_col.alias("_v"))
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.sum("_v").alias("sum_v"),
+            F.avg("_v").alias("avg_v"),
+        )
+        .orderBy(F.asc("facet"))
+    )
+
+
 def _sql_quote(s: str) -> str:
     return str(s).replace("\\", "\\\\").replace("'", "\\'")
 

@@ -330,6 +330,63 @@ def test_facet_counts_match_search_partition(spark, tiny_index):
     assert facet_counts(spark, tiny_index, "zzzzqqqq", facet="role").count() == 0
 
 
+def test_facet_pivot_matches_search_partition(spark, tiny_index):
+    """Pivot facet == exhaustive match set grouped by the dim tuple; NULL
+    dim values form their own bucket; totals sum to count_matches; top_n
+    caps rows; absent term → empty."""
+    from collections import Counter
+
+    from cuvs_lucene_spark.query import count_matches, facet_pivot, IndexReader, search
+
+    q = "world school student"
+    rows = facet_pivot(spark, tiny_index, q, dims=["role", "turn_idx"]).collect()
+    got = {(r["role"], r["turn_idx"]): r["n_docs"] for r in rows}
+    full = search(spark, tiny_index, q, k=10**9).collect()
+    rd = IndexReader(spark, tiny_index)
+    dd = {
+        r["doc_id"]: (r["role"], r["turn_idx"])
+        for r in rd.cat.read_doc_dim(spark)
+        .select("doc_id", "role", "turn_idx")
+        .collect()
+    }
+    assert got == dict(Counter(dd[r["doc_id"]] for r in full))
+    assert sum(got.values()) == count_matches(spark, tiny_index, q)
+    assert len(facet_pivot(spark, tiny_index, q, dims=["role"], top_n=2).collect()) == 2
+    assert facet_pivot(spark, tiny_index, "zzzzqqqq", dims=["role"]).count() == 0
+    with pytest.raises(ValueError):
+        facet_pivot(spark, tiny_index, q, dims=[])
+
+
+def test_facet_stats_matches_search_partition(spark, tiny_index):
+    """Stats facet == per-facet min/max/sum/avg of the value column over the
+    exhaustive match set, all from one pass; absent term → empty."""
+    from cuvs_lucene_spark.query import facet_stats, IndexReader, search
+
+    q = "world school student"
+    rows = facet_stats(spark, tiny_index, q, on="turn_idx", by="role").collect()
+    full = search(spark, tiny_index, q, k=10**9).collect()
+    rd = IndexReader(spark, tiny_index)
+    dd = {
+        r["doc_id"]: (r["role"], r["turn_idx"])
+        for r in rd.cat.read_doc_dim(spark)
+        .select("doc_id", "role", "turn_idx")
+        .collect()
+    }
+    by_role: dict[str, list[int]] = {}
+    for r in full:
+        role, ti = dd[r["doc_id"]]
+        by_role.setdefault(role, []).append(ti)
+    assert len(rows) == len(by_role)
+    for r in rows:
+        vals = by_role[r["facet"]]
+        assert r["n_docs"] == len(vals)
+        assert r["min_v"] == min(vals)
+        assert r["max_v"] == max(vals)
+        assert r["sum_v"] == sum(vals)
+        assert r["avg_v"] == pytest.approx(sum(vals) / len(vals), abs=1e-9)
+    assert facet_stats(spark, tiny_index, "zzzzqqqq", on="turn_idx").count() == 0
+
+
 def test_facet_ranges_match_search_partition(spark, tiny_index):
     """Range facets == independent per-range counts over the exhaustive
     match set (half-open [lo, hi) semantics, overlap counted in BOTH ranges,
