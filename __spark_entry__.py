@@ -295,8 +295,12 @@ def _oracle_topk_sql(
     exclude: list[str] | None = None,
     msm: int | None = None,
     analyzer: str = "standard",
+    boost_sql: str | None = None,
 ) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
+    boost_sql — FunctionScore factor over the doc row `d` (dlq columns),
+    multiplied into the pivoted float64 total exactly like the engine's
+    boost_by (search(boost_by=...)).
 
     The per-doc total is a PIVOTED sum — one max(CASE term) aggregate per
     query term (≤1 row per (doc, term)), added left-to-right in sorted-term
@@ -325,13 +329,18 @@ def _oracle_topk_sql(
         f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
         for t in sorted(set(terms))
     )
+    total = f"({pivot})"
+    if boost_sql:
+        # boost factors reference doc columns through the grouped row — pull
+        # them via max() (constant within the doc_id group, ≤1 dlq row/doc)
+        total = f"({pivot}) * (max({boost_sql}))"
     return f"""{_oracle_prefix(field_expr, analyzer=analyzer)},
 qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
 ts AS (SELECT term, count(*) AS df,
               ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
        FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
 scores AS (
-  SELECT tf.doc_id, ({pivot}) AS score
+  SELECT tf.doc_id, {total} AS score
   FROM tf
   JOIN qt ON tf.term = qt.term
   JOIN ts ON tf.term = ts.term
@@ -1375,6 +1384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_synonym"] = synonym_q
+
+    def funcscore_q(s: SparkSession, d: str) -> DataFrame:
+        # FunctionScoreQuery analog: BM25 total × a doc_dim-derived factor
+        # (here a turn-position boost; a ts-recency decay works identically),
+        # applied BEFORE top-k so the boost re-ranks, not just re-labels
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10, float32=False,
+            boost_by="1.0 + cast(turn_idx as double) / 100.0",
+        )
+        return _ranked(res)
+
+    q["fts_topk_funcscore"] = funcscore_q
 
     def trange_q(s: SparkSession, d: str) -> DataFrame:
         # TermRangeQuery ['sa','so') — lexicographic dictionary-range
@@ -2742,6 +2765,10 @@ SELECT facet, n_docs FROM counts ORDER BY facet
         "regexp_matches(term, '^(?:s[a-z]*n)$')", 10
     )
     o["fts_topk_synonym"] = _oracle_synonym_sql(["merge", "join"], 10)
+    o["fts_topk_funcscore"] = _oracle_topk_sql(
+        ["merge", "sort", "join"], 10, "or", None,
+        boost_sql="1.0 + cast(d.turn_idx AS double) / 100.0",
+    )
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
     o["fts_topk_boolean_span"] = _oracle_boolean_span_sql(10)

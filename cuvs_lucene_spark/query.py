@@ -339,6 +339,7 @@ def search(
     group_by: str | None = None,
     collapse_by: str | None = None,
     similarity: str = "bm25",
+    boost_by: Column | str | None = None,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -397,6 +398,15 @@ def search(
         norms). Composes with pruning: the block upper bound
         idf'² · √max_tf / √min_dl_d is monotone in the same per-block stats
         BM25's bound uses, so block-max pruning stays lossless.
+    boost_by — a Column (or SQL string) over doc_dim columns multiplied into
+        every matching doc's float64 score BEFORE top-k selection — the
+        Lucene FunctionScoreQuery / DoubleValuesSource analog (e.g. a
+        recency decay over `ts`, or `1.0 + turn_idx/100.0`). Applied after
+        the deterministic pivot sum and before the `after` cursor filter, so
+        pagination addresses the BOOSTED ranking. prune=True raises: the
+        block-max θ bounds the UNboosted score, so any boost > 1 could
+        prune a true hit; prune="auto" silently stays exhaustive. Composes
+        with group_by/collapse_by (boost happens first).
     """
     rd = reader or IndexReader(spark, index_dir)
     if group_by is not None and collapse_by is not None:
@@ -416,6 +426,13 @@ def search(
                 "prune=True with collapse_by is unsound (θ from the "
                 "uncollapsed ranking can prune a group representative); use "
                 "prune='auto' or prune=False"
+            )
+        prune = False
+    if boost_by is not None:
+        if prune is True:
+            raise ValueError(
+                "prune=True with boost_by is unsound (block-max θ bounds the "
+                "UNboosted score); use prune='auto' or prune=False"
             )
         prune = False
     score_t = "float" if float32 else "double"
@@ -541,7 +558,7 @@ def search(
     return _finish(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
         del_ids, n_present_terms=len(present), after=after, msm=eff_msm,
-        group_by=group_by, collapse_by=collapse_by,
+        group_by=group_by, collapse_by=collapse_by, boost_by=boost_by,
     )
 
 
@@ -1329,6 +1346,7 @@ def _finish(
     msm: int = 1,
     group_by: str | None = None,
     collapse_by: str | None = None,
+    boost_by: Column | str | None = None,
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -1360,6 +1378,17 @@ def _finish(
         # row per (doc, term) — a (doc, term) lives in exactly one block)
         agg = agg.where(F.col("nt") >= F.lit(msm))
     out_t = "float" if float32 else "double"
+    if boost_by is not None:
+        # FunctionScoreQuery analog: multiply the float64 pivot total by a
+        # doc_dim-derived factor BEFORE the output cast and top-k. Plan
+        # shape: match-set (one row per doc) shuffle-joins doc_dim — the
+        # same shape the group_by path already uses; the boost expression
+        # stays whole-stage-codegen JVM-side.
+        b = F.expr(boost_by) if isinstance(boost_by, str) else boost_by
+        agg = agg.join(rd.cat.read_doc_dim(spark), "doc_id").select(
+            "doc_id",
+            (F.col("score_d") * b.cast("double")).alias("score_d"),
+        )
     ranked = agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
     if after is not None and collapse_by is None:
         # strictly after the cursor in (score desc, doc_id asc) order; the

@@ -330,6 +330,44 @@ def test_facet_counts_match_search_partition(spark, tiny_index):
     assert facet_counts(spark, tiny_index, "zzzzqqqq", facet="role").count() == 0
 
 
+def test_boost_by_reranks_and_matches_manual_boost(spark, tiny_index):
+    """FunctionScoreQuery analog: boost_by multiplies the float64 total per
+    doc BEFORE top-k — equal to manually boosting the exhaustive unboosted
+    match set; prune=True raises; `after` paginates the BOOSTED ranking."""
+    from cuvs_lucene_spark.query import IndexReader, search
+
+    q = "world school student"
+    boost = "1.0 + cast(turn_idx as double) / 10.0"
+    got = search(spark, tiny_index, q, k=12, float32=False, boost_by=boost).collect()
+
+    full = search(spark, tiny_index, q, k=10**9, float32=False).collect()
+    rd = IndexReader(spark, tiny_index)
+    ti = {
+        r["doc_id"]: r["turn_idx"]
+        for r in rd.cat.read_doc_dim(spark).select("doc_id", "turn_idx").collect()
+    }
+    exp = sorted(
+        ((r["doc_id"], r["score"] * (1.0 + ti[r["doc_id"]] / 10.0)) for r in full),
+        key=lambda t: (-t[1], t[0]),
+    )[:12]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, es) in zip(got, exp):
+        assert r["score"] == pytest.approx(es, abs=1e-9)
+    # the boost genuinely re-ranks (not a monotone relabel) on this corpus
+    assert [r["doc_id"] for r in got] != [r["doc_id"] for r in full[:12]]
+
+    with pytest.raises(ValueError, match="boost_by"):
+        search(spark, tiny_index, q, k=5, prune=True, boost_by=boost)
+
+    # pagination addresses the boosted ranking
+    pg1 = got[:6]
+    pg2 = search(
+        spark, tiny_index, q, k=6, float32=False, boost_by=boost,
+        after=(pg1[-1]["score"], pg1[-1]["doc_id"]),
+    ).collect()
+    assert [r["doc_id"] for r in pg2] == [r["doc_id"] for r in got[6:12]]
+
+
 def test_facet_pivot_matches_search_partition(spark, tiny_index):
     """Pivot facet == exhaustive match set grouped by the dim tuple; NULL
     dim values form their own bucket; totals sum to count_matches; top_n
