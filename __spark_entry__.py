@@ -362,6 +362,66 @@ ORDER BY rank
 """
 
 
+def _scores_cte(terms: list[str], mode: str, sfx: str) -> str:
+    """Generic pivoted-BM25 per-doc scores CTE (``scores{sfx}``) over the
+    shared tf/dlq/stats chain — the reusable core of _oracle_topk_sql, used
+    where one statement needs several scored queries (rescoring)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts{sfx}.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    having = f"HAVING count(*) = {len(set(terms))}" if mode == "and" else ""
+    return f"""qt{sfx} AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts{sfx} AS (SELECT term,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt{sfx}) GROUP BY term),
+scores{sfx} AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt{sfx} ON tf.term = qt{sfx}.term
+  JOIN ts{sfx} ON tf.term = ts{sfx}.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {having}
+)"""
+
+
+def _oracle_rescore_sql(
+    terms1: list[str], mode1: str, terms2: list[str], mode2: str,
+    window: int, k: int, w1: float, w2: float,
+) -> str:
+    """QueryRescorer oracle twin: top-`window` of query 1, combined with
+    query 2's scores on exactly those docs (0 where unmatched), top-k of
+    w1·s1 + w2·s2."""
+    return f"""{_ORACLE_PREFIX},
+{_scores_cte(terms1, mode1, "a")},
+{_scores_cte(terms2, mode2, "b")},
+win AS (
+  SELECT doc_id, score AS s1 FROM scoresa
+  ORDER BY score DESC, doc_id ASC LIMIT {window}
+),
+comb AS (
+  SELECT w.doc_id, {w1!r} * w.s1 + {w2!r} * COALESCE(b.score, 0.0) AS score
+  FROM win w LEFT JOIN scoresb b USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_synonym_sql(terms: list[str], k: int) -> str:
     """SynonymQuery BM25 top-k in DuckDB SQL — the oracle twin of
     query.search_synonym. The synonym set scores as ONE pseudo-term: per-doc
@@ -1398,6 +1458,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked(res)
 
     q["fts_topk_funcscore"] = funcscore_q
+
+    def rescore_q(s: SparkSession, d: str) -> DataFrame:
+        # QueryRescorer analog: broad OR first pass (window 30) re-ranked by
+        # a conjunctive second query at double weight
+        from cuvs_lucene_spark.query import rescore
+
+        res = rescore(
+            s, _index_for(s, d), "merge sort join", "merge sort",
+            k=10, window=30, query_weight=1.0, rescore_weight=2.0,
+            mode="or", rescore_mode="and", float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_rescore"] = rescore_q
 
     def trange_q(s: SparkSession, d: str) -> DataFrame:
         # TermRangeQuery ['sa','so') — lexicographic dictionary-range
@@ -2768,6 +2842,10 @@ SELECT facet, n_docs FROM counts ORDER BY facet
     o["fts_topk_funcscore"] = _oracle_topk_sql(
         ["merge", "sort", "join"], 10, "or", None,
         boost_sql="1.0 + cast(d.turn_idx AS double) / 100.0",
+    )
+    o["fts_topk_rescore"] = _oracle_rescore_sql(
+        ["merge", "sort", "join"], "or", ["merge", "sort"], "and",
+        30, 10, 1.0, 2.0,
     )
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)

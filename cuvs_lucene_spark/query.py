@@ -2175,3 +2175,100 @@ def search_synonym(
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
+
+
+RESCORE_MAX_WINDOW = 10_000
+
+
+def rescore(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    rescore_query: str,
+    k: int = 10,
+    window: int = 30,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    mode: str = "or",
+    rescore_mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    prune: bool | str = "auto",
+) -> DataFrame:
+    """Two-pass rescoring — the Lucene ``QueryRescorer`` analog
+    [Lucene-10.2.0, via the reference's ``pom.xml:42-43``]: retrieve the
+    top-``window`` hits of ``query``, re-score exactly those docs with
+    ``rescore_query``, and return the top-``k`` under the combined score
+
+        combined = query_weight * first + rescore_weight * second
+
+    where ``second`` is 0 for window docs the rescore query does not match
+    (QueryRescorer.combine(firstPassScore, secondPassMatches=false, _)).
+    The canonical use is a cheap broad first pass re-ranked by a more
+    precise (e.g. conjunctive or phrase-adjacent) second query.
+
+    Like Lucene's Rescorer -- which operates on a materialized TopDocs --
+    the window doc_ids pass through the driver; ``window`` is capped at
+    RESCORE_MAX_WINDOW (loud error, never a silent OOM). Plan shape at
+    scale: the first pass is the ordinary pruned/exhaustive top-k (the
+    driver holds only `window` rows); the second pass scores ONLY the
+    window docs -- its postings decode is cut down by an `isin(window_ids)`
+    pre-filter pushed through `_accepted_doc_ids` -- then a broadcast
+    k-row combine. Both passes' totals are deterministic float64 pivot
+    sums; the combine is one fixed-order multiply-add per doc."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+    if window > RESCORE_MAX_WINDOW:
+        raise ValueError(
+            f"window={window} exceeds RESCORE_MAX_WINDOW={RESCORE_MAX_WINDOW} "
+            "(the window materializes driver-side, exactly like Lucene's "
+            "TopDocs-based Rescorer)"
+        )
+    rd = reader or IndexReader(spark, index_dir)
+    first = search(
+        spark, index_dir, query, k=window, mode=mode,
+        filter_cond=filter_cond, reader=rd, float32=False, field=field,
+        prune=prune,
+    )
+    win = first.select("doc_id", "score", "conv_id", "turn_idx").collect()
+    score_t = "float" if float32 else "double"
+    if not win:
+        return spark.createDataFrame(
+            [], f"doc_id long, score {score_t}, conv_id string, turn_idx int"
+        )
+    win_ids = [int(r["doc_id"]) for r in win]
+    second = search(
+        spark, index_dir, rescore_query, k=len(win_ids), mode=rescore_mode,
+        filter_cond=F.col("doc_id").isin(win_ids), reader=rd, float32=False,
+        field=field, prune=False,
+    ).select("doc_id", F.col("score").alias("_s2"))
+    first_df = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), float(r["score"]), r["conv_id"], int(r["turn_idx"]))
+            for r in win
+        ],
+        "doc_id long, _s1 double, conv_id string, turn_idx int",
+    )
+    w1, w2 = float(query_weight), float(rescore_weight)
+    # broadcast the RIGHT side: Spark only builds the broadcast hash table on
+    # the non-preserved side of a left-outer join (both sides are ≤window
+    # rows; the hint keeps the combine shuffle-free)
+    combined = (
+        first_df
+        .join(F.broadcast(second), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(w1) * F.col("_s1")
+                + F.lit(w2) * F.coalesce(F.col("_s2"), F.lit(0.0))
+            ).cast(score_t).alias("score"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
+    return (
+        combined.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(min(k, len(win_ids)))
+    )

@@ -330,6 +330,45 @@ def test_facet_counts_match_search_partition(spark, tiny_index):
     assert facet_counts(spark, tiny_index, "zzzzqqqq", facet="role").count() == 0
 
 
+def test_rescore_matches_manual_two_pass(spark, tiny_index):
+    """QueryRescorer analog: top-window of q1 combined with q2's scores on
+    exactly those docs (0 where unmatched), top-k of w1·s1 + w2·s2; docs
+    outside the window never return regardless of their q2 score; window
+    cap raises loudly."""
+    from cuvs_lucene_spark.query import RESCORE_MAX_WINDOW, rescore, search
+
+    q1, q2, window, w1, w2 = "world school student", "world school", 25, 1.0, 2.0
+    got = rescore(
+        spark, tiny_index, q1, q2, k=10, window=window,
+        query_weight=w1, rescore_weight=w2, rescore_mode="and", float32=False,
+    ).collect()
+
+    first = search(spark, tiny_index, q1, k=window, float32=False).collect()
+    second = {
+        r["doc_id"]: r["score"]
+        for r in search(
+            spark, tiny_index, q2, k=10**9, mode="and", float32=False
+        ).collect()
+    }
+    exp = sorted(
+        (
+            (r["doc_id"], w1 * r["score"] + w2 * second.get(r["doc_id"], 0.0))
+            for r in first
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, es) in zip(got, exp):
+        assert r["score"] == pytest.approx(es, abs=1e-9)
+    # window semantics: a doc q2 matches but q1 ranks below the window stays out
+    window_ids = {r["doc_id"] for r in first}
+    assert all(r["doc_id"] in window_ids for r in got)
+
+    with pytest.raises(ValueError, match="RESCORE_MAX_WINDOW"):
+        rescore(spark, tiny_index, q1, q2, window=RESCORE_MAX_WINDOW + 1)
+    assert rescore(spark, tiny_index, "zzzznoterm", q2, k=5).count() == 0
+
+
 def test_boost_by_reranks_and_matches_manual_boost(spark, tiny_index):
     """FunctionScoreQuery analog: boost_by multiplies the float64 total per
     doc BEFORE top-k — equal to manually boosting the exhaustive unboosted
