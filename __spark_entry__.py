@@ -545,6 +545,33 @@ ORDER BY rank
 """
 
 
+def _oracle_blockjoin_sql(terms: list[str], k: int, parent_col: str) -> str:
+    """Block-join oracle (ToParentBlockJoinQuery / ScoreMode.Total twin):
+    the same pivoted-BM25 scores CTE rolled up to the parent key. Children
+    are summed as DECIMAL(38,10) — the per-child doubles are bit-identical
+    to the engine's pivot totals, so the exact decimal sum is
+    order-independent and matches the engine's decimal aggregation."""
+    return f"""{_ORACLE_PREFIX},
+{_scores_cte(terms, "or", "")},
+parents AS (
+  SELECT d.{parent_col} AS parent,
+         CAST(sum(CAST(s.score AS DECIMAL(38,10))) AS DOUBLE) AS score,
+         count(*) AS n_hits
+  FROM scores s JOIN dlq d USING (doc_id)
+  GROUP BY d.{parent_col}
+),
+topk AS (
+  SELECT parent, round(score, 4) AS score_r, n_hits
+  FROM parents ORDER BY score DESC, parent ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_r DESC, parent ASC) AS rank,
+       parent AS {parent_col}, cast(n_hits AS bigint) AS n_hits,
+       score_r AS score
+FROM topk
+ORDER BY rank
+"""
+
+
 def _oracle_classic_sql(terms: list[str], k: int) -> str:
     """TFIDFSimilarity ("classic") top-k oracle: per-term score
     idf'² · √tf · 1/√dl_d with idf' = 1 + ln((N+1)/(df+1)), same pivoted
@@ -2075,6 +2102,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_collapse_conv"] = fts_collapse_conv
 
+    def fts_join_conv(s, d):
+        """Block join (Lucene join-module ToParentBlockJoinQuery analog,
+        ScoreMode.Total): top conversations by the SUM of their turns' BM25
+        scores — scored match set, one doc_dim join, one groupBy shuffle on
+        the parent key, TakeOrderedAndProject. Children are summed as
+        DECIMAL(38,10) so the total is order-independent and hash-matches
+        the oracle exactly."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            parent_by="conv_id", score_mode="total", float32=False,
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("conv_id"))
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                "conv_id",
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank")
+        )
+
+    q["fts_join_conv"] = fts_join_conv
+
     def fts_highlight(s, d):
         """Highlighter (Lucene Highlighter analog): top-k hits joined back
         to the source transcripts (k-key IN-filter pushed into the scan),
@@ -2908,6 +2963,7 @@ GROUP BY d.role ORDER BY facet ASC
     o["fts_group_topk"] = _oracle_group_topk_sql(["merge", "sort", "join"], 3, "role")
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
+    o["fts_join_conv"] = _oracle_blockjoin_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
     # span-accurate highlighter: topk + marked set from the SAME ordered
     # min-position chain ("merge sort"~5); window/tagging as fts_highlight

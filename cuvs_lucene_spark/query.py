@@ -340,6 +340,8 @@ def search(
     collapse_by: str | None = None,
     similarity: str = "bm25",
     boost_by: Column | str | None = None,
+    parent_by: str | None = None,
+    score_mode: str = "max",
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -407,8 +409,42 @@ def search(
         block-max θ bounds the UNboosted score, so any boost > 1 could
         prune a true hit; prune="auto" silently stays exhaustive. Composes
         with group_by/collapse_by (boost happens first).
+    parent_by — a doc_dim column naming the PARENT entity of each hit (for
+        transcripts: `conv_id`): return the top-k PARENTS instead of turns —
+        the Lucene join-module ToParentBlockJoinQuery analog
+        [Lucene-10.2.0, via pom.xml:42-43], where child hits (turns) roll up
+        to their parent (conversation) under `score_mode`. Output schema
+        becomes (<parent_by>, score, n_hits) with n_hits = the parent's
+        matching-child count. score_mode ∈ {'max','min','total','avg'} =
+        Lucene ScoreMode: the parent score is the max / min / sum / mean of
+        its children's float64 scores. 'total'/'avg' sums are made
+        order-independent (hence deterministic under Spark's nondeterministic
+        shuffle arrival) by summing the children as DECIMAL(38,10) — the
+        per-child float64 scores are already bit-exact (pivoted), so the
+        decimal total is reproducible run-to-run and matches the SQL oracle
+        exactly. Mutually exclusive with group_by/collapse_by/after;
+        prune=True raises (the block-max θ derives from the CHILD ranking —
+        parents dedupe children, so the parent k-th best can sit below the
+        child θ and a representative child could be pruned);
+        prune="auto" silently stays exhaustive.
     """
     rd = reader or IndexReader(spark, index_dir)
+    if parent_by is not None:
+        if score_mode not in ("max", "min", "total", "avg"):
+            raise ValueError("score_mode must be one of max|min|total|avg")
+        if group_by is not None or collapse_by is not None:
+            raise ValueError(
+                "parent_by is mutually exclusive with group_by/collapse_by"
+            )
+        if after is not None:
+            raise ValueError("parent_by does not compose with after= pagination")
+        if prune is True:
+            raise ValueError(
+                "prune=True with parent_by is unsound (θ from the child "
+                "ranking can prune a parent's only child); use prune='auto' "
+                "or prune=False"
+            )
+        prune = False
     if group_by is not None and collapse_by is not None:
         raise ValueError("group_by and collapse_by are mutually exclusive")
     if group_by is not None:
@@ -436,7 +472,16 @@ def search(
             )
         prune = False
     score_t = "float" if float32 else "double"
-    if group_by is None and collapse_by is None:
+    if parent_by is not None:
+        par_t = (
+            dict(rd.cat.read_doc_dim(spark).dtypes)[parent_by]
+            if rd.manifest["segments"]
+            else "string"
+        )
+        empty = spark.createDataFrame(
+            [], f"`{parent_by}` {par_t}, score {score_t}, n_hits long"
+        )
+    elif group_by is None and collapse_by is None:
         empty = spark.createDataFrame(
             [], f"doc_id long, score {score_t}, conv_id string, turn_idx int"
         )
@@ -559,6 +604,7 @@ def search(
         spark, rd, score_rows, len(weights), k, mode, filter_cond, float32,
         del_ids, n_present_terms=len(present), after=after, msm=eff_msm,
         group_by=group_by, collapse_by=collapse_by, boost_by=boost_by,
+        parent_by=parent_by, score_mode=score_mode,
     )
 
 
@@ -1347,6 +1393,8 @@ def _finish(
     group_by: str | None = None,
     collapse_by: str | None = None,
     boost_by: Column | str | None = None,
+    parent_by: str | None = None,
+    score_mode: str = "max",
 ) -> DataFrame:
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
@@ -1388,6 +1436,41 @@ def _finish(
         agg = agg.join(rd.cat.read_doc_dim(spark), "doc_id").select(
             "doc_id",
             (F.col("score_d") * b.cast("double")).alias("score_d"),
+        )
+    if parent_by is not None:
+        # ToParentBlockJoinQuery analog: roll child (turn) scores up to the
+        # parent (conversation) under ScoreMode, return the top-k parents.
+        # Plan shape at scale: the scored match set (one row per doc after
+        # the pivot agg) shuffle-joins doc_dim on doc_id, then ONE groupBy
+        # shuffle on the parent key; output bounded by k via
+        # TakeOrderedAndProject — no global sort, nothing corpus-sized on
+        # the driver. 'total'/'avg' aggregate the children as DECIMAL(38,10)
+        # so the sum is order-independent: float64 addition in shuffle
+        # arrival order would differ in the last ULP run-to-run and against
+        # the SQL oracle at the LIMIT boundary.
+        dd_cols = ["doc_id"] + ([parent_by] if parent_by != "doc_id" else [])
+        dd = rd.cat.read_doc_dim(spark).select(*dd_cols)
+        children = agg.select("doc_id", "score_d").join(dd, "doc_id")
+        if score_mode in ("total", "avg"):
+            dec = F.sum(F.col("score_d").cast("decimal(38,10)"))
+            sc = dec.cast("double") if score_mode == "total" else (
+                dec.cast("double") / F.count(F.lit(1))
+            )
+        elif score_mode == "max":
+            sc = F.max("score_d")
+        else:
+            sc = F.min("score_d")
+        parents = children.groupBy(parent_by).agg(
+            sc.alias("score_d"), F.count(F.lit(1)).alias("n_hits")
+        )
+        return (
+            parents.select(
+                parent_by,
+                F.col("score_d").cast(out_t).alias("score"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+            .orderBy(F.desc("score"), F.asc(parent_by))
+            .limit(k)
         )
     ranked = agg.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
     if after is not None and collapse_by is None:
