@@ -572,6 +572,55 @@ ORDER BY rank
 """
 
 
+def _oracle_common_sql(terms: list[str], ratio: float, k: int) -> str:
+    """CommonTermsQuery oracle twin: the df split is computed IN SQL (a
+    term's df vs ratio × n_docs; absent terms land in the rare group, like
+    Lucene) — the MUST constraint is a dynamic HAVING over the rare set.
+    The score pivot adds matched-term contributions in QUERY order, which
+    the engine's clause order (rare-then-common, query order within groups)
+    equals because `terms` lists the rare terms first."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in terms
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+lowt AS (
+  SELECT qt.term FROM qt LEFT JOIN ts USING (term)
+  WHERE COALESCE(ts.df, 0) <= {ratio} * (SELECT n_docs FROM stats)
+),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN tf.term IN (SELECT term FROM lowt)
+                             THEN tf.term END)
+       = (SELECT count(*) FROM lowt)
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_classic_sql(terms: list[str], k: int) -> str:
     """TFIDFSimilarity ("classic") top-k oracle: per-term score
     idf'² · √tf · 1/√dl_d with idf' = 1 + ln((N+1)/(df+1)), same pivoted
@@ -2227,6 +2276,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_suggest"] = fts_suggest
 
+    def fts_suggest_complete(s, d):
+        """Prefix completion suggester (Lucene suggest-module weighted
+        lookup analog): df-weighted autocomplete over the term dictionary —
+        one prefix-pruned dictionary scan, no postings read."""
+        from cuvs_lucene_spark.multiterm import suggest_completions
+
+        return (
+            suggest_completions(s, _index_for(s, d), "s", top_n=10)
+            .select("term", F.col("weight").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+        )
+
+    q["fts_suggest_complete"] = fts_suggest_complete
+
+    def fts_topk_common(s, d):
+        """CommonTermsQuery analog: df-gated split at query time — the rare
+        term ('dup') becomes MUST, the common terms ('merge','scan') SHOULD;
+        one postings scan over the compiled boolean tree."""
+        from cuvs_lucene_spark.multiterm import search_common
+
+        res = search_common(
+            s, _index_for(s, d), "dup merge scan", k=10,
+            max_term_frequency=0.5, float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_common"] = fts_topk_common
+
     def dedup_emb_cosine(s, d):
         from cuvs_lucene_spark.pipeline.similarity import embedding_neardup_pairs
 
@@ -3046,6 +3123,15 @@ GROUP BY term
 ORDER BY distance ASC, df DESC, term ASC
 LIMIT 8
 """
+    o["fts_suggest_complete"] = f"""{_ORACLE_PREFIX}
+SELECT term, cast(count(*) AS bigint) AS weight
+FROM tf
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY weight DESC, term ASC
+LIMIT 10
+"""
+    o["fts_topk_common"] = _oracle_common_sql(["dup", "merge", "scan"], 0.5, 10)
     o["fts_dictionary"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(count(*) AS bigint) AS df, cast(sum(tf) AS bigint) AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 20

@@ -302,3 +302,117 @@ def suggest_terms(
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def search_common(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    max_term_frequency: float = 0.01,
+    high_freq_msm: int = 0,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """CommonTermsQuery analog [Lucene 10.2.0 queries module, via the
+    reference's ``pom.xml:42-43`` Lucene dependency]: query terms are split
+    by document frequency at query time — RARE terms (df ≤ cutoff) become
+    REQUIRED (MUST) clauses, COMMON terms (df > cutoff) become OPTIONAL
+    (SHOULD) clauses that still contribute to the score when they match.
+    The stopword-free recall of a plain AND over the informative terms, at
+    the cost of an OR only over the common ones.
+
+    max_term_frequency — the cutoff: a ratio of the field's docCount when
+    ≤ 1.0, an absolute df otherwise (exactly Lucene's dual convention).
+    Absent terms (df = 0) land in the rare/MUST group, so a misspelled rare
+    term makes the query match nothing — Lucene's behavior. With no rare
+    terms the query degenerates to a plain OR over the common terms (with
+    ``high_freq_msm`` as its minimum_should_match — Lucene's
+    highFreqMinimumShouldMatch); with no common terms, to a plain AND.
+
+    Term stats come from the driver-side TermStates cache (one dictionary
+    seek), so the split costs nothing extra; execution is one compiled
+    boolean tree over the shared-pivot executor (booleanq.search_boolean):
+    ONE bucket+term-pruned postings scan regardless of the split.
+    """
+    from cuvs_lucene_spark.booleanq import Q, search_boolean
+
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    toks = rd.analyze(query)
+    if not toks or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _sdl, _avg = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    cutoff = (
+        max_term_frequency * f_docs
+        if max_term_frequency <= 1.0
+        else max_term_frequency
+    )
+    stats = rd.term_stats(sorted(set(toks)), fld)
+    # clause order inside each group = query order (the float64 summation
+    # order, which the SQL oracle mirrors)
+    low = [t for t in toks if stats.get(t, (0, 0))[0] <= cutoff]
+    high = [t for t in toks if stats.get(t, (0, 0))[0] > cutoff]
+    if low and high:
+        tree = Q.boolean(
+            must=[Q.term(t) for t in low],
+            should=[Q.term(t) for t in high],
+        )
+    elif low:
+        tree = Q.boolean(must=[Q.term(t) for t in low])
+    else:
+        tree = Q.boolean(
+            should=[Q.term(t) for t in high], msm=high_freq_msm
+        )
+    return search_boolean(
+        spark, index_dir, tree, k=k, filter_cond=filter_cond, reader=rd,
+        float32=float32, field=field,
+    )
+
+
+def suggest_completions(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    top_n: int = 10,
+    min_df: int = 1,
+    field: str | None = None,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """Prefix completion suggester (term autocomplete) — the Lucene suggest
+    module's weighted-lookup shape over the index's own vocabulary (cf.
+    DirectSpellChecker's sibling suggesters; the reference delegates the
+    whole dictionary surface to its Lucene dependency, ``pom.xml:42-43``).
+    Returns (term, weight) where weight = the term's document frequency,
+    ordered (weight desc, term asc) — the deterministic analog of a
+    weight-sorted FST lookup — limited to ``top_n``.
+
+    Plan shape at scale: one dictionary-table scan with the prefix pushed
+    into the parquet scan (startswith over the sorted term layout → row-group
+    min/max pruning — the FST common-prefix seek analog), a per-term df
+    aggregation, TakeOrderedAndProject of top_n rows. No postings bytes.
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    empty = spark.createDataFrame([], "term string, weight long")
+    if not rd.manifest["segments"] or top_n <= 0:
+        return empty
+    p = _check_token(prefix, "prefix")
+    fld = rd.resolve_field(field)
+    d = (
+        rd.cat.read_dictionary(spark)
+        .where((F.col("field") == fld) & F.col("term").startswith(p))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("weight"))
+        .where(F.col("weight") >= min_df)
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(top_n)
+    )
+    return d

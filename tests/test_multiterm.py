@@ -540,3 +540,105 @@ class TestBooleanExplain:
         assert ex["matched"] is False
         mn = ex["explanation"]["clauses"]["must_not"][0]
         assert mn["matched"] is True  # the veto clause fired
+
+
+class TestCommonTerms:
+    """CommonTermsQuery analog: df-gated must/should split at query time."""
+
+    def _dfs(self, oracle_tiny):
+        return {t: len(p[0]) for t, p in oracle_tiny.postings.items()}
+
+    def _expected(self, oracle_tiny, toks, ratio, k):
+        """Independent rollout: docs matching every rare term, scored by the
+        sum of ALL matched query-term BM25 contributions (float64, clause
+        order low-then-high in query order), top-k (score desc, doc asc)."""
+        import numpy as np
+
+        dfs = self._dfs(oracle_tiny)
+        cutoff = ratio * oracle_tiny.n_docs
+        low = [t for t in toks if dfs.get(t, 0) <= cutoff]
+        acc = np.zeros(len(oracle_tiny.doc_ids), dtype=np.float64)
+        matched_low = np.zeros(len(oracle_tiny.doc_ids), dtype=np.int64)
+        for t in low + [t for t in toks if dfs.get(t, 0) > cutoff]:
+            if t not in oracle_tiny.postings:
+                return []
+            d, tf = oracle_tiny.postings[t]
+            idf = np.float32(oracle_idf(oracle_tiny, t))
+            dl32 = oracle_tiny.dl_d[d].astype(np.float32)
+            tf32 = tf.astype(np.float32)
+            s = (idf * tf32 / (tf32 + np.float32(1.2)
+                 * (np.float32(0.25) + np.float32(0.75) * dl32
+                    / np.float32(oracle_tiny.avgdl)))).astype(np.float32)
+            acc[d] += s.astype(np.float64)
+            if t in low:
+                matched_low[d] += 1
+        ok = matched_low == len(low)
+        ids = np.where(ok)[0]
+        order = sorted(ids, key=lambda i: (-acc[i], oracle_tiny.doc_ids[i]))
+        return [(int(oracle_tiny.doc_ids[i]), float(acc[i])) for i in order[:k]]
+
+    def test_split_matches_independent_rollout(
+        self, spark, tiny_index, oracle_tiny
+    ):
+        from cuvs_lucene_spark.multiterm import search_common
+
+        toks, ratio = ["world", "the", "of"], 0.5
+        exp = self._expected(oracle_tiny, toks, ratio, k=10)
+        assert exp, "fixture must have world rare + the/of common"
+        dfs = self._dfs(oracle_tiny)
+        assert dfs["world"] <= ratio * oracle_tiny.n_docs < dfs["the"]
+        got = search_common(
+            spark, tiny_index, " ".join(toks), k=10,
+            max_term_frequency=ratio, float32=False,
+        ).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+        for r, (_d, s) in zip(got, exp):
+            assert r["score"] == pytest.approx(s, rel=1e-6)
+
+    def test_all_common_degenerates_to_or(self, spark, tiny_index):
+        from cuvs_lucene_spark.multiterm import search_common
+        from cuvs_lucene_spark.query import search
+
+        got = search_common(
+            spark, tiny_index, "world school", k=8,
+            max_term_frequency=1.0, float32=False,
+        ).collect()
+        ref = search(
+            spark, tiny_index, "world school", k=8, float32=False
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in ref
+        ]
+
+    def test_absent_rare_term_matches_nothing(self, spark, tiny_index):
+        from cuvs_lucene_spark.multiterm import search_common
+
+        out = search_common(
+            spark, tiny_index, "zzzzqqq world", k=5, max_term_frequency=0.5
+        )
+        assert out.count() == 0
+
+
+class TestSuggestCompletions:
+    def test_matches_vocab_rollout(self, spark, tiny_index, tiny_pdf):
+        from collections import Counter
+
+        from cuvs_lucene_spark.multiterm import suggest_completions
+
+        dfs: Counter = Counter()
+        for txt in tiny_pdf["text"]:
+            dfs.update(set(tokenize_py(txt)))
+        prefix = "s"
+        exp = sorted(
+            ((t, n) for t, n in dfs.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        got = suggest_completions(spark, tiny_index, prefix, top_n=5).collect()
+        assert [(r["term"], r["weight"]) for r in got] == exp
+
+    def test_guards(self, spark, tiny_index):
+        from cuvs_lucene_spark.multiterm import suggest_completions
+
+        assert suggest_completions(spark, tiny_index, "s", top_n=0).count() == 0
+        with pytest.raises(ValueError):
+            suggest_completions(spark, tiny_index, "not a token!")
