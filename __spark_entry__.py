@@ -185,6 +185,119 @@ ORDER BY rank
 """
 
 
+def _idf_term_sql(t: str) -> str:
+    """Per-term idf, 0 when absent (MultiPhraseWeight skips absent terms)."""
+    return (
+        f"(SELECT CASE WHEN count(*) > 0 THEN "
+        f"ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) "
+        f"ELSE 0 END FROM tf WHERE term = '{t}')"
+    )
+
+
+def _oracle_multiphrase_sql(slot_alts: list[list[str]], k: int) -> str:
+    """MultiPhraseQuery oracle twin: each slot accepts a set of alternative
+    terms; an anchor matches when every slot has SOME alternative at its
+    position (count of DISTINCT slots at the anchor = n); idf sums over the
+    alternatives in slot order (absent terms contribute 0, exactly as
+    MultiPhraseWeight skips them)."""
+    n = len(slot_alts)
+    occ_union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS slot, pos - {i} AS adj FROM tokpos "
+        f"WHERE term IN ({', '.join(repr(t) for t in alts)}) AND pos >= {i}"
+        for i, alts in enumerate(slot_alts)
+    )
+    idf_sum = " + ".join(
+        _idf_term_sql(t) for alts in slot_alts for t in alts
+    )
+    return f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+occ AS (
+{occ_union}
+),
+anchors AS (
+  SELECT doc_id, adj FROM occ GROUP BY doc_id, adj
+  HAVING count(DISTINCT slot) = {n}
+),
+pfv AS (SELECT doc_id, count(*) AS pf FROM anchors GROUP BY doc_id),
+scores AS (
+  SELECT p.doc_id,
+         ({idf_sum}) * cast(p.pf AS double)
+           / (cast(p.pf AS double) + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM pfv p JOIN dlq d ON p.doc_id = d.doc_id CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
+def _oracle_phrase_prefix_sql(first: list[str], prefix: str, k: int) -> str:
+    """Phrase-prefix oracle twin (MultiPhrasePrefixQuery shape): the last
+    slot's alternatives are the DYNAMIC dictionary expansion of the prefix
+    (DISTINCT terms LIKE 'p%'); idf = static sum over the leading slots +
+    the expansion terms' idf sum. The expansion idf sum is a COMMON factor
+    across all matched docs, so ranking is insensitive to its float
+    summation order."""
+    n = len(first) + 1
+    occ_union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS slot, pos - {i} AS adj FROM tokpos "
+        f"WHERE term = '{t}' AND pos >= {i}"
+        for i, t in enumerate(first)
+    )
+    last = len(first)
+    occ_union += (
+        f"\nUNION ALL\n  SELECT doc_id, {last} AS slot, pos - {last} AS adj "
+        f"FROM tokpos WHERE term IN (SELECT term FROM expt) AND pos >= {last}"
+    )
+    idf_static = " + ".join(_idf_term_sql(t) for t in first)
+    return f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+expt AS (
+  SELECT term,
+         ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+  FROM tf WHERE term LIKE '{prefix}%' GROUP BY term
+),
+occ AS (
+{occ_union}
+),
+anchors AS (
+  SELECT doc_id, adj FROM occ GROUP BY doc_id, adj
+  HAVING count(DISTINCT slot) = {n}
+),
+pfv AS (SELECT doc_id, count(*) AS pf FROM anchors GROUP BY doc_id),
+scores AS (
+  SELECT p.doc_id,
+         (({idf_static}) + (SELECT COALESCE(sum(idf), 0) FROM expt))
+           * cast(p.pf AS double)
+           / (cast(p.pf AS double) + {_BM25_K1} *
+              ({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl)) AS score
+  FROM pfv p JOIN dlq d ON p.doc_id = d.doc_id CROSS JOIN stats s
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def sloppy_sweep_cte(slop: int) -> str:
     """The two-slot SloppyPhraseMatcher sweep as a recursive-CTE body.
 
@@ -1680,6 +1793,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_phrase"] = phrase
 
+    def multiphrase_q(s: SparkSession, d: str) -> DataFrame:
+        """MultiPhraseQuery analog: 'merge (group|order)' — the second slot
+        accepts alternatives; same positional scan/anchor plan as the exact
+        phrase, with a wider term IN-list."""
+        from cuvs_lucene_spark.query import search_multiphrase
+
+        res = search_multiphrase(
+            s, _index_for(s, d), ["merge", ["group", "order"]], k=10,
+            float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_multiphrase"] = multiphrase_q
+
+    def phrase_prefix_q(s: SparkSession, d: str) -> DataFrame:
+        """Phrase-prefix (MultiPhrasePrefixQuery shape): 'merge s*' — the
+        last token expands against the term dictionary, then runs as a
+        MultiPhraseQuery."""
+        from cuvs_lucene_spark.query import search_phrase_prefix
+
+        res = search_phrase_prefix(
+            s, _index_for(s, d), "merge s", k=10, float32=False
+        )
+        return _ranked(res)
+
+    q["fts_topk_phrase_prefix"] = phrase_prefix_q
+
     def phrase_slop(s: SparkSession, d: str) -> DataFrame:
         # sloppy phrase (Lucene PhraseQuery slop>0). The per-doc
         # SloppyPhraseMatcher sweep now has a FULL DuckDB oracle — the
@@ -2496,6 +2636,10 @@ def oracle_sql() -> dict[str, str]:
         ["call", "data"], 10, ["text", "tool"], 0.3
     )
     o["fts_topk_phrase"] = _oracle_phrase_sql(["merge", "sort"], 10)
+    o["fts_topk_multiphrase"] = _oracle_multiphrase_sql(
+        [["merge"], ["group", "order"]], 10
+    )
+    o["fts_topk_phrase_prefix"] = _oracle_phrase_prefix_sql(["merge"], "s", 10)
     o["fts_topk_prefix"] = _oracle_multiterm_sql("term LIKE 's%'", 10)
     o["fts_topk_wildcard"] = _oracle_multiterm_sql("term LIKE '%or%'", 10)
     o["fts_topk_trange"] = _oracle_multiterm_sql(

@@ -1786,12 +1786,30 @@ def phrase_doc_scores(
     phrase positions (default 0..n-1) — under a stopword-removing analyzer
     the gaps of removed stopwords stay in the offsets (Lucene posInc), so
     "big the dog" only exact-matches documents with the same gap, and sloppy
-    matching measures its match length over the same adjusted positions."""
+    matching measures its match length over the same adjusted positions.
+
+    MultiPhraseQuery generalization [Lucene-10.2.0, via pom.xml:42-43]:
+    a slot may be a tuple/list of ALTERNATIVE terms — any alternative
+    occupies the slot ("quick (brown|red) fox"). A slot whose alternatives
+    are ALL absent ⇒ no match (None); absent alternatives within a slot are
+    simply dropped, exactly as MultiPhraseWeight skips terms with no
+    TermStatistics. idf sums over every PRESENT term occurrence across the
+    term arrays (the single-term-per-slot case reduces to PhraseWeight's
+    per-slot sum). The (doc, slot, adj) occurrence rows stay unique under
+    alternatives — two terms can't share one token position — so the exact
+    anchor test (all n slots present at one anchor) is unchanged, and the
+    sloppy sweep sees each slot's UNION of alternative positions (Lucene's
+    union postings enum per position)."""
     if not slots:
         return None
+    alts: list[tuple[str, ...]] = [
+        (s,) if isinstance(s, str) else tuple(dict.fromkeys(s)) for s in slots
+    ]
+    if any(not a for a in alts):
+        raise ValueError("every phrase slot needs at least one term")
     if offsets is None:
-        offsets = list(range(len(slots)))
-    if len(offsets) != len(slots) or sorted(set(offsets)) != list(offsets):
+        offsets = list(range(len(alts)))
+    if len(offsets) != len(alts) or sorted(set(offsets)) != list(offsets):
         raise ValueError("offsets must be strictly increasing, one per slot")
     if not all(s.get("positions", False) for s in rd.manifest["segments"]):
         raise ValueError(
@@ -1800,28 +1818,38 @@ def phrase_doc_scores(
     f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
     if f_docs == 0:
         return None
-    distinct = sorted(set(slots))
+    distinct = sorted({t for a in alts for t in a})
     stats = rd.term_stats(distinct, fld)
-    if any(stats.get(t, (0, 0))[0] == 0 for t in distinct):
-        return None  # a phrase term absent from the corpus ⇒ no match
-    idf_sum = float(sum(rd.idf(stats[t][0], f_docs) for t in slots))
+    present_alts = [
+        tuple(t for t in a if stats.get(t, (0, 0))[0] > 0) for a in alts
+    ]
+    if any(not a for a in present_alts):
+        return None  # a slot with no present alternative ⇒ no match
+    idf_sum = float(
+        sum(rd.idf(stats[t][0], f_docs) for a in present_alts for t in a)
+    )
 
-    n = len(slots)
+    n = len(alts)
     sloppy = slop > 0 and n > 1
-    if sloppy and len(distinct) < n:
-        raise ValueError(
-            "slop>0 with repeated phrase terms is not supported "
-            "(Lucene's repeats machinery; use slop=0 or distinct terms)"
-        )
+    if sloppy:
+        flat = [t for a in present_alts for t in a]
+        if len(set(flat)) < len(flat):
+            raise ValueError(
+                "slop>0 with a term repeated across phrase slots is not "
+                "supported (Lucene's repeats machinery; use slop=0 or "
+                "distinct terms)"
+            )
 
     slot_of_term: dict[str, list[int]] = {}
-    for t, off in zip(slots, offsets):
-        slot_of_term.setdefault(t, []).append(off)
+    for a, off in zip(present_alts, offsets):
+        for t in a:
+            slot_of_term.setdefault(t, []).append(off)
 
+    scan_terms = sorted(slot_of_term)
     postings = rd.cat.read_postings(spark).where(
-        F.col("bucket").isin(sorted({stats[t][1] for t in distinct}))
+        F.col("bucket").isin(sorted({stats[t][1] for t in scan_terms}))
         & (F.col("field") == fld)
-        & F.col("term").isin(distinct)
+        & F.col("term").isin(scan_terms)
     )
     occ = postings.mapInPandas(
         make_phrase_occ_kernel(slot_of_term, keep_negative_adj=sloppy),
@@ -1840,12 +1868,21 @@ def phrase_doc_scores(
         # passing it reach the per-doc sweep.
         from cuvs_lucene_spark.operators.merge import decode_postings
 
+        # slot coverage, not term coverage: with alternatives a doc qualifies
+        # when EVERY SLOT has at least one present alternative (term → slot
+        # via a broadcast of the tiny mapping; single-term slots degenerate
+        # to the old distinct-term count)
+        tmap = spark.createDataFrame(
+            [(t, s) for t, ss in slot_of_term.items() for s in ss],
+            "term string, slot int",
+        )
         cand = (
             decode_postings(postings)
             .select("doc_id", "term")
+            .join(F.broadcast(tmap), "term")
             .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("_nt"))
-            .where(F.col("_nt") == F.lit(n))
+            .agg(F.count_distinct("slot").alias("_ns"))
+            .where(F.col("_ns") == F.lit(n))
             .select("doc_id")
         )
         pf = (
@@ -1951,6 +1988,122 @@ def search_phrase(
         F.broadcast(topk)
         .join(dd, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_multiphrase(
+    spark: SparkSession,
+    index_dir: str,
+    slots: list,
+    k: int = 10,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    slop: int = 0,
+) -> DataFrame:
+    """Top-k multi-phrase BM25 search — the Lucene MultiPhraseQuery analog
+    [Lucene-10.2.0, via pom.xml:42-43]: a phrase whose slots each accept a
+    SET of alternative terms, e.g. ``[["quick"], ["brown", "red"], "fox"]``.
+    A document matches at an anchor when every slot has SOME alternative at
+    its position; pf counts anchors (slop=0) or runs the sloppy sweep over
+    each slot's union of alternative positions (slop>0 — the union postings
+    enum Lucene builds per position). Scores like a pseudo-term with
+    frequency pf and idf = Σ over every present term occurrence in the term
+    arrays. Slot terms are RAW index terms (Lucene MultiPhraseQuery takes
+    Terms, not analyzed text) — each must be a single analyzer token.
+
+    Plan shape = search_phrase's (one bucket+term-pruned positional scan →
+    occurrence kernel → anchor/sweep groupBys → TakeOrderedAndProject);
+    alternatives only widen the term IN-list of the same scan.
+    """
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    norm: list[tuple[str, ...]] = []
+    for s in slots:
+        a = (s,) if isinstance(s, str) else tuple(s)
+        toks: list[str] = []
+        for t in a:
+            tt = rd.analyze(t)
+            if len(tt) != 1:
+                raise ValueError(
+                    f"slot alternative must be one analyzer token, got {t!r}"
+                )
+            toks.append(tt[0])
+        norm.append(tuple(dict.fromkeys(toks)))
+    if k <= 0 or not norm or not rd.manifest["segments"]:
+        return empty
+    fld = rd.resolve_field(field)
+    f_docs, _f_sdl, _f_avgdl = rd.field_stats_of(fld)
+    if f_docs == 0:
+        return empty
+    k = min(k, f_docs)
+
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    scored = phrase_doc_scores(
+        spark, rd, norm, fld, slop=slop,
+        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+    )
+    if scored is None:
+        return empty
+    topk = (
+        scored.select("doc_id", F.col("score_d").cast(out_t).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    dd = rd.cat.read_doc_dim(spark).select("doc_id", "conv_id", "turn_idx")
+    return (
+        F.broadcast(topk)
+        .join(dd, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_phrase_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 64,
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+) -> DataFrame:
+    """Phrase-prefix search ("match_phrase_prefix"): the LAST phrase token is
+    treated as a prefix and expanded against the term dictionary, then the
+    whole thing runs as a MultiPhraseQuery with the expansion as the last
+    slot's alternatives — the published MultiPhrasePrefixQuery shape over
+    Lucene's MultiPhraseQuery [Lucene-10.2.0, via pom.xml:42-43]. The
+    expansion takes the first ``max_expansions`` terms in dictionary (term)
+    order — deterministic, like a TermsEnum seek — and, deviating from the
+    silent cap, raises TooManyClauses when the prefix matches more (house
+    rule: loud errors over silently truncated semantics, same as
+    search_multiterm). An empty expansion ⇒ empty result.
+    """
+    from cuvs_lucene_spark.multiterm import expand_terms
+
+    rd = reader or IndexReader(spark, index_dir)
+    out_t = "float" if float32 else "double"
+    empty = spark.createDataFrame(
+        [], f"doc_id long, score {out_t}, conv_id string, turn_idx int"
+    )
+    toks = rd.analyze(phrase)
+    if k <= 0 or not toks or not rd.manifest["segments"]:
+        return empty
+    expansion = expand_terms(
+        rd, field, prefix=toks[-1], max_expansions=max_expansions
+    )
+    if not expansion:
+        return empty
+    slots: list = [(t,) for t in toks[:-1]] + [tuple(expansion)]
+    return search_multiphrase(
+        spark, index_dir, slots, k=k, filter_cond=filter_cond, reader=rd,
+        float32=float32, field=field, slop=0,
     )
 
 

@@ -429,3 +429,181 @@ def test_duckdb_sweep_matches_engine():
         )
         for d, exp in expected.items():
             assert got[d] == pytest.approx(exp, abs=1e-12), (d, slop)
+
+
+def oracle_multiphrase(corpus_toks, slot_alts, k, slop=0):
+    """[(conv_id, turn_idx, score)] top-k MultiPhraseQuery BM25: per slot a
+    tuple of alternatives; pf counts anchors where every slot has SOME
+    alternative (slop=0) or runs the sloppy sweep over each slot's union of
+    adjusted positions (slop>0); idf sums over present alternatives."""
+    docs_with_dl = [(c, t, toks, len(toks)) for c, t, toks in corpus_toks]
+    n_docs = sum(1 for *_, dl in docs_with_dl if dl > 0)
+    avgdl = sum(dl for *_, dl in docs_with_dl) / n_docs
+    all_terms = {t for a in slot_alts for t in a}
+    df = {
+        s: sum(1 for *_, toks, _ in docs_with_dl if s in set(toks))
+        for s in all_terms
+    }
+    present = [tuple(t for t in a if df[t] > 0) for a in slot_alts]
+    if any(not a for a in present):
+        return []
+    idf_sum = sum(
+        math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        for a in present
+        for t in a
+    )
+    scored = []
+    for doc_id, (c, t, toks, dl) in enumerate(docs_with_dl):
+        pos_by_slot = [
+            sorted(
+                p - i for p, tok in enumerate(toks) if tok in set(present[i])
+            )
+            for i in range(len(present))
+        ]
+        if any(not ps for ps in pos_by_slot):
+            continue
+        if slop == 0:
+            pf = float(len(set.intersection(*[set(ps) for ps in pos_by_slot])))
+        else:
+            pf = oracle_sloppy_freq(pos_by_slot, slop)
+        if pf > 0.0:
+            dl_d = float(
+                dequantize_dl_np(quantize_dl_np(np.array([dl], dtype=np.int64)))[0]
+            )
+            score = idf_sum * pf / (pf + K1 * (1 - B + B * dl_d / avgdl))
+            scored.append((doc_id, c, t, score))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return [(c, t, s) for _, c, t, s in scored[:k]]
+
+
+def _alt_bigram(corpus_toks):
+    """(first, [alt1, alt2]): two real bigrams sharing their first token."""
+    from collections import Counter
+
+    big = Counter()
+    for _, _, toks in corpus_toks:
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+    by_first: dict[str, set] = {}
+    for (a, b), n in big.items():
+        if 3 <= n <= 60 and a != b:
+            by_first.setdefault(a, set()).add(b)
+    a, bs = next(
+        (a, bs) for a, bs in sorted(by_first.items()) if len(bs) >= 2
+    )
+    alts = sorted(bs)[:2]
+    assert a not in alts
+    return a, alts
+
+
+class TestMultiPhrase:
+    def test_singleton_slots_reduce_to_phrase(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.query import search_multiphrase
+
+        phrase = find_phrases(corpus_toks)[0]
+        got_mp = search_multiphrase(
+            spark, pos_index, [(t,) for t in phrase.split()], k=10,
+            float32=False,
+        ).collect()
+        got_p = search_phrase(
+            spark, pos_index, phrase, k=10, float32=False
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got_mp] == [
+            (r["doc_id"], r["score"]) for r in got_p
+        ]
+
+    def test_alternatives_match_oracle(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.query import search_multiphrase
+
+        a, alts = _alt_bigram(corpus_toks)
+        exp = oracle_multiphrase(corpus_toks, [(a,), tuple(alts)], 10)
+        assert exp
+        got = [
+            (r["conv_id"], r["turn_idx"], float(r["score"]))
+            for r in search_multiphrase(
+                spark, pos_index, [a, alts], k=10, float32=False
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp]
+        for (_, _, g), (_, _, e) in zip(got, exp):
+            assert g == pytest.approx(e, rel=1e-9)
+
+    def test_sloppy_alternatives_match_oracle(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.query import search_multiphrase
+
+        a, alts = _alt_bigram(corpus_toks)
+        for slop in (1, 3):
+            exp = oracle_multiphrase(
+                corpus_toks, [(a,), tuple(alts)], 10, slop=slop
+            )
+            got = [
+                (r["conv_id"], r["turn_idx"], float(r["score"]))
+                for r in search_multiphrase(
+                    spark, pos_index, [a, alts], k=10, float32=False,
+                    slop=slop,
+                ).collect()
+            ]
+            assert [(c, t) for c, t, _ in got] == [
+                (c, t) for c, t, _ in exp
+            ], slop
+            for (_, _, g), (_, _, e) in zip(got, exp):
+                assert g == pytest.approx(e, rel=1e-9), slop
+
+    def test_absent_alternative_dropped_and_absent_slot_empty(
+        self, spark, pos_index, corpus_toks
+    ):
+        from cuvs_lucene_spark.query import search_multiphrase
+
+        a, alts = _alt_bigram(corpus_toks)
+        with_ghost = search_multiphrase(
+            spark, pos_index, [a, [alts[0], "zzzzqq"]], k=10, float32=False
+        ).collect()
+        without = search_multiphrase(
+            spark, pos_index, [a, [alts[0]]], k=10, float32=False
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in with_ghost] == [
+            (r["doc_id"], r["score"]) for r in without
+        ]
+        assert (
+            search_multiphrase(
+                spark, pos_index, [a, ["zzzzqq", "zzzzqr"]], k=10
+            ).count()
+            == 0
+        )
+
+
+class TestPhrasePrefix:
+    def test_matches_manual_expansion(self, spark, pos_index, corpus_toks):
+        from cuvs_lucene_spark.query import search_phrase_prefix
+
+        a, alts = _alt_bigram(corpus_toks)
+        pre = alts[0][:4]
+        vocab = {t for _, _, toks in corpus_toks for t in toks}
+        expansion = sorted(t for t in vocab if t.startswith(pre))
+        assert expansion
+        exp = oracle_multiphrase(corpus_toks, [(a,), tuple(expansion)], 10)
+        got = [
+            (r["conv_id"], r["turn_idx"], float(r["score"]))
+            for r in search_phrase_prefix(
+                spark, pos_index, f"{a} {pre}", k=10, float32=False,
+                max_expansions=len(expansion) + 1,
+            ).collect()
+        ]
+        assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp]
+        for (_, _, g), (_, _, e) in zip(got, exp):
+            assert g == pytest.approx(e, rel=1e-9)
+
+    def test_too_many_expansions_raises(self, spark, pos_index):
+        from cuvs_lucene_spark.multiterm import TooManyClauses
+        from cuvs_lucene_spark.query import search_phrase_prefix
+
+        with pytest.raises(TooManyClauses):
+            search_phrase_prefix(
+                spark, pos_index, "the w", k=10, max_expansions=1
+            )
+
+    def test_no_expansion_is_empty(self, spark, pos_index):
+        from cuvs_lucene_spark.query import search_phrase_prefix
+
+        out = search_phrase_prefix(spark, pos_index, "the zzzzq", k=10)
+        assert out.count() == 0
