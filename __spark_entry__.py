@@ -1099,13 +1099,32 @@ def _boolean_gate_tree():
     )
 
 
-def _oracle_boolean_sql(k: int) -> str:
+# the const/filter gate's tree: ConstantScoreQuery (boost 1.5 over a
+# disjunction) + a FILTER-occur clause (required, never scored) + MUST_NOT —
+# the full BooleanClause.Occur surface in one tree
+def _constfilter_gate_tree():
+    from cuvs_lucene_spark.booleanq import Q
+
+    return Q.boolean(
+        should=[
+            Q.const(
+                Q.boolean(should=[Q.term("window"), Q.term("scan")]),
+                boost=1.5,
+            ),
+            Q.term("merge"),
+        ],
+        filter=[Q.term("sort")],
+        must_not=[Q.term("hash")],
+    )
+
+
+def _oracle_boolean_sql(k: int, tree=None) -> str:
     """Nested-BooleanQuery oracle: match/score SQL generated from the SAME
     AST walker the engine compiles (booleanq.sql_exprs), over the standard
     per-doc pivot — one definition of the semantics, two executors."""
     from cuvs_lucene_spark.booleanq import sql_exprs
 
-    tree = _boolean_gate_tree()
+    tree = tree if tree is not None else _boolean_gate_tree()
     terms = tree.all_terms()
     vals = ", ".join(f"('{t}')" for t in terms)
     per = (
@@ -1727,6 +1746,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_topk_boolean"] = boolean_q
+
+    def constfilter_q(s: SparkSession, d: str) -> DataFrame:
+        # the full BooleanClause.Occur surface: SHOULD const-score 1.5 over
+        # (window OR scan), SHOULD merge, FILTER sort (required, unscored),
+        # NOT hash — the oracle compiles the SAME tree via booleanq.sql_exprs
+        from cuvs_lucene_spark.booleanq import search_boolean
+
+        return _ranked(
+            search_boolean(
+                s, _index_for(s, d), _constfilter_gate_tree(), k=10,
+                float32=False,
+            )
+        )
+
+    q["fts_topk_constfilter"] = constfilter_q
 
     def boolean_span_q(s: SparkSession, d: str) -> DataFrame:
         # a SpanQuery nested in a BooleanQuery (Lucene composes them the
@@ -3125,6 +3159,9 @@ SELECT facet, n_docs FROM counts ORDER BY facet
     )
     o["fts_topk_mlt"] = _oracle_mlt_sql(_MLT_TEXT, 10, 5, 1, 2)
     o["fts_topk_boolean"] = _oracle_boolean_sql(10)
+    o["fts_topk_constfilter"] = _oracle_boolean_sql(
+        10, tree=_constfilter_gate_tree()
+    )
     o["fts_topk_boolean_span"] = _oracle_boolean_span_sql(10)
     o["fts_topk_qstring"] = _oracle_qstring_sql(10)
     from cuvs_lucene_spark.analysis import analyze_py as _an

@@ -51,12 +51,13 @@ class Q:
     """One BooleanQuery AST node. Build with Q.term / Q.phrase /
     Q.span_near / Q.boolean."""
 
-    kind: str  # "term" | "phrase" | "span" | "bool"
+    kind: str  # "term" | "phrase" | "span" | "bool" | "const"
     token: str | None = None  # term token, or phrase slots space-joined
     boost: float = 1.0
     should: tuple = ()
-    must: tuple = ()
+    must: tuple = ()  # also holds the single child of a "const" wrapper
     must_not: tuple = ()
+    filter: tuple = ()  # BooleanClause.Occur.FILTER: required, never scored
     msm: int = 0
     slop: int = 0  # phrase + span leaves
     # span leaves only (Lucene SpanQuery IS a Query — it nests in boolean
@@ -175,23 +176,39 @@ class Q:
 
     @staticmethod
     def boolean(
-        should=(), must=(), must_not=(), msm: int = 0, boost: float = 1.0
+        should=(), must=(), must_not=(), msm: int = 0, boost: float = 1.0,
+        filter=(),
     ) -> "Q":
+        """filter — BooleanClause.Occur.FILTER clauses [Lucene-10.2.0, via
+        pom.xml:42-43]: the clause must match (like MUST) but contributes
+        NOTHING to the score — Lucene's cache-friendly structured-predicate
+        occur. A filter-only node matches like a pure filter and scores 0
+        (Lucene wraps such queries in a constant-score of 0)."""
         should, must, must_not = tuple(should), tuple(must), tuple(must_not)
-        for c in (*should, *must, *must_not):
+        filter = tuple(filter)
+        for c in (*should, *must, *must_not, *filter):
             if not isinstance(c, Q):
                 raise TypeError(f"clause {c!r} is not a Q node")
-        if not should and not must:
+        if not should and not must and not filter:
             raise ValueError(
-                "a boolean node needs at least one SHOULD or MUST clause "
-                "(pure-negation queries match nothing scoreable)"
+                "a boolean node needs at least one SHOULD, MUST or FILTER "
+                "clause (pure-negation queries match nothing scoreable)"
             )
         if msm < 0 or msm > len(should):
             raise ValueError(f"msm={msm} out of range for {len(should)} SHOULD")
         return Q(
             kind="bool", should=should, must=must, must_not=must_not,
-            msm=int(msm), boost=float(boost),
+            msm=int(msm), boost=float(boost), filter=filter,
         )
+
+    @staticmethod
+    def const(sub: "Q", boost: float = 1.0) -> "Q":
+        """ConstantScoreQuery analog [Lucene-10.2.0, via pom.xml:42-43]:
+        matches exactly where `sub` matches, scores the constant `boost`
+        (default 1.0) regardless of the child's scores."""
+        if not isinstance(sub, Q):
+            raise TypeError(f"sub {sub!r} is not a Q node")
+        return Q(kind="const", must=(sub,), boost=float(boost))
 
     # -- introspection ----------------------------------------------------
     def all_terms(self) -> list[str]:
@@ -213,7 +230,7 @@ class Q:
                 for c in n.clauses:
                     out.update(c)
             else:
-                for c in (*n.must, *n.should, *n.must_not):
+                for c in (*n.must, *n.should, *n.must_not, *n.filter):
                     walk(c)
 
         walk(self)
@@ -226,8 +243,8 @@ class Q:
         def walk(n: Q) -> None:
             if n.kind == "phrase":
                 out.setdefault(n.key(), n)
-            elif n.kind == "bool":
-                for c in (*n.must, *n.should, *n.must_not):
+            elif n.kind in ("bool", "const"):
+                for c in (*n.must, *n.should, *n.must_not, *n.filter):
                     walk(c)
 
         walk(self)
@@ -240,8 +257,8 @@ class Q:
         def walk(n: Q) -> None:
             if n.kind == "span":
                 out.setdefault(n.key(), n)
-            elif n.kind == "bool":
-                for c in (*n.must, *n.should, *n.must_not):
+            elif n.kind in ("bool", "const"):
+                for c in (*n.must, *n.should, *n.must_not, *n.filter):
                     walk(c)
 
         walk(self)
@@ -266,8 +283,9 @@ def _effective_msm(n: Q) -> int:
     if n.msm > 0:
         return n.msm
     # Lucene default: SHOULD-only queries need >=1 should match; with MUST
-    # clauses present, SHOULD clauses are purely optional scorers
-    return 0 if n.must else 1
+    # (or FILTER — BooleanWeight counts both as required) clauses present,
+    # SHOULD clauses are purely optional scorers
+    return 0 if (n.must or n.filter) else 1
 
 
 def compile_columns(
@@ -287,13 +305,19 @@ def compile_columns(
         if kk not in present:
             return F.lit(False), F.lit(0.0)
         return present[kk], F.lit(q.boost) * score[kk]
+    if q.kind == "const":
+        m, _s = compile_columns(q.must[0], present, score)
+        return m, F.lit(float(q.boost))
     must_parts = [compile_columns(c, present, score) for c in q.must]
     should_parts = [compile_columns(c, present, score) for c in q.should]
     notm = [compile_columns(c, present, score)[0] for c in q.must_not]
+    filt = [compile_columns(c, present, score)[0] for c in q.filter]
 
     match: Column = F.lit(True)
     for m, _s in must_parts:
         match = match & m
+    for fm in filt:  # FILTER: required for matching, never scored
+        match = match & fm
     for nm in notm:
         match = match & ~nm
     need = _effective_msm(q)
@@ -328,12 +352,17 @@ def sql_exprs(
     if q.kind in ("term", "phrase", "span"):
         kk = q.key()
         return present_sql(kk), f"({q.boost!r} * {score_sql(kk)})"
+    if q.kind == "const":
+        m, _s = sql_exprs(q.must[0], present_sql, score_sql)
+        return m, f"({float(q.boost)!r})"
     must_parts = [sql_exprs(c, present_sql, score_sql) for c in q.must]
     should_parts = [sql_exprs(c, present_sql, score_sql) for c in q.should]
     notm = [sql_exprs(c, present_sql, score_sql)[0] for c in q.must_not]
+    filt = [sql_exprs(c, present_sql, score_sql)[0] for c in q.filter]
 
     conj = ["TRUE"]
     conj += [m for m, _s in must_parts]
+    conj += [m for m in filt]
     conj += [f"NOT ({m})" for m in notm]
     need = _effective_msm(q)
     if need > 0:
@@ -563,13 +592,22 @@ def explain_boolean(
                 "kind": n.kind, "key": kk, "boost": n.boost, "matched": m,
                 "score": n.boost * leaf_score.get(kk, 0.0) if m else 0.0,
             }
+        if n.kind == "const":
+            sub = walk(n.must[0])
+            return {
+                "kind": "const", "boost": n.boost,
+                "matched": sub["matched"], "score": n.boost,
+                "clauses": {"sub": [sub]},
+            }
         must = [walk(c) for c in n.must]
         should = [walk(c) for c in n.should]
         mnot = [walk(c) for c in n.must_not]
+        filt = [walk(c) for c in n.filter]
         need = _effective_msm(n)
         n_sh = sum(1 for c in should if c["matched"])
         matched = (
             all(c["matched"] for c in must)
+            and all(c["matched"] for c in filt)
             and not any(c["matched"] for c in mnot)
             and (need == 0 or n_sh >= need)
         )
@@ -584,7 +622,10 @@ def explain_boolean(
             # compile_columns (search filters on match before scoring)
             "score": n.boost * total,
             "msm_needed": need, "should_matched": n_sh,
-            "clauses": {"must": must, "should": should, "must_not": mnot},
+            "clauses": {
+                "must": must, "should": should, "must_not": mnot,
+                "filter": filt,
+            },
         }
 
     tree = walk(q)

@@ -270,15 +270,23 @@ def _eval_tree_numpy(q: Q, idx) -> list[tuple[int, float]]:
         if node.kind == "term":
             p, s = term_arrays(node.token)
             return p, node.boost * s
+        if node.kind == "const":
+            m, _s = walk(node.must[0])
+            return m, np.full(n, node.boost, dtype=np.float64)
         musts = [walk(c) for c in node.must]
         shoulds = [walk(c) for c in node.should]
         nots = [walk(c)[0] for c in node.must_not]
+        filts = [walk(c)[0] for c in node.filter]
         match = np.ones(n, dtype=bool)
         for m, _s in musts:
             match &= m
+        for m in filts:
+            match &= m
         for m in nots:
             match &= ~m
-        need = node.msm if node.msm > 0 else (0 if node.must else 1)
+        need = node.msm if node.msm > 0 else (
+            0 if (node.must or node.filter) else 1
+        )
         if need > 0:
             n_sh = np.zeros(n, dtype=np.int32)
             for m, _s in shoulds:
@@ -336,6 +344,29 @@ class TestBooleanAST:
             ],
             must_not=[Q.boolean(should=[Q.term("country"), Q.term("help")])],
         ),
+        # FILTER occur: required for matching, contributes nothing to the
+        # score — scores must equal the should-only tree over filter-passing
+        # docs
+        Q.boolean(
+            should=[Q.term("work"), Q.term("world", boost=2.0)],
+            filter=[Q.term("the")],
+        ),
+        # filter-only node (Lucene wraps it in a constant-score of 0) with
+        # a nested filter clause
+        Q.boolean(filter=[Q.boolean(should=[Q.term("time"), Q.term("year")])]),
+        # ConstantScoreQuery: matches where the child matches, scores the
+        # boost — nested as a SHOULD scorer next to a live BM25 term
+        Q.boolean(
+            should=[
+                Q.const(Q.boolean(must=[Q.term("world")]), boost=3.5),
+                Q.term("people"),
+            ],
+        ),
+        # const wrapping a disjunction, used as a MUST with should scorers
+        Q.boolean(
+            must=[Q.const(Q.boolean(should=[Q.term("the"), Q.term("know")]))],
+            should=[Q.term("take")],
+        ),
     ]
 
     @pytest.mark.parametrize("tree", TREES)
@@ -365,8 +396,10 @@ class TestBooleanAST:
         assert a == b
 
     def test_validation(self):
-        with pytest.raises(ValueError, match="SHOULD or MUST"):
+        with pytest.raises(ValueError, match="SHOULD, MUST or FILTER"):
             Q.boolean(must_not=[Q.term("a")])
+        with pytest.raises(TypeError):
+            Q.const("a")
         with pytest.raises(ValueError, match="one analyzer token"):
             Q.term("two words")
         with pytest.raises(ValueError, match="msm"):
@@ -447,12 +480,18 @@ def _match_mask_numpy(q: Q, idx) -> "np.ndarray":
             return m
         if node.kind == "phrase":
             raise NotImplementedError  # count tests use term-only trees here
+        if node.kind == "const":
+            return walk(node.must[0])
         match = np.ones(n, dtype=bool)
         for c in node.must:
             match &= walk(c)
+        for c in node.filter:
+            match &= walk(c)
         for c in node.must_not:
             match &= ~walk(c)
-        need = node.msm if node.msm > 0 else (0 if node.must else 1)
+        need = node.msm if node.msm > 0 else (
+            0 if (node.must or node.filter) else 1
+        )
         if need > 0:
             n_sh = np.zeros(n, dtype=np.int32)
             for c in node.should:
@@ -494,7 +533,10 @@ class TestBooleanExplain:
     def test_explain_matches_search_score(self, spark, tiny_index):
         from cuvs_lucene_spark.booleanq import explain_boolean
 
-        for tree in (TestBooleanAST.TREES[0], TestBooleanAST.TREES[4]):
+        for tree in (
+            TestBooleanAST.TREES[0], TestBooleanAST.TREES[4],
+            TestBooleanAST.TREES[5], TestBooleanAST.TREES[7],
+        ):
             hits = search_boolean(
                 spark, tiny_index, tree, k=3, float32=False
             ).collect()
