@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 # Bump when the on-disk index format or build logic changes (invalidates the
 # per-sf_dir index cache under /tmp).
-_IDX_VERSION = "v013"  # v013: analyzer-aware manifests, concurrent build phases
+_IDX_VERSION = "v014"  # v014: manifest-pinned tombstones + commit history (format v3)
 
 _BM25_K1, _BM25_B = 1.2, 0.75
 

@@ -411,7 +411,7 @@ def match_doc_ids_boolean(
         & F.col("term").isin(active)
     )
     rows = decode_postings(postings).select("term", "doc_id")
-    del_ids = deleted_doc_ids(spark, rd.cat.index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:
@@ -524,7 +524,7 @@ def explain_boolean(
     f_docs, _f_sdl, f_avgdl = rd.field_stats_of(fld)
     if f_docs == 0:
         return out
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None and del_ids.where(F.col("doc_id") == doc_id).count():
         return out
     terms = q.all_terms()
@@ -690,7 +690,7 @@ def search_boolean(
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
     )
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:

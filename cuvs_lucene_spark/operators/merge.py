@@ -34,11 +34,7 @@ from pyspark.sql import functions as F
 
 from cuvs_lucene_spark.codec import BLOCK_SIZE, unpack_u64_blocks
 from cuvs_lucene_spark.operators.build import bucket_col, encode_postings
-from cuvs_lucene_spark.operators.deletes import (
-    clear_deletes,
-    deleted_doc_ids,
-    has_deletes,
-)
+from cuvs_lucene_spark.operators.deletes import deleted_doc_ids, has_deletes
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
 
 DECODED_SCHEMA = "field string, term string, doc_id long, tf long, dl_q int"
@@ -122,7 +118,7 @@ def compact(
         segs = [s for s in segs if s["id"] in set(segment_ids)]
         if len(segs) < 2:
             return None
-    deletes = has_deletes(index_dir)
+    deletes = has_deletes(cat)
     if len(segs) == 1 and not deletes and not force:
         return None
 
@@ -135,7 +131,7 @@ def compact(
     positional = bool(segs[0].get("positions", False))
     fields = tuple(segs[0].get("fields", ["text"]))
 
-    del_ids = deleted_doc_ids(spark, index_dir) if deletes else None
+    del_ids = deleted_doc_ids(spark, cat) if deletes else None
 
     # new doc_dim = union of the merged segments' doc_dims minus tombstones
     dd = cat.read_doc_dim(spark, seg_ids=old_ids)
@@ -250,11 +246,11 @@ def compact(
         "compacted_from": old_ids,
     }
     cat.record_segment_files(new_id)  # pin data files before the pointer swap
-    cat.replace_segments(old_ids, seg_meta)
-    if not subset:
-        # tombstones may still reference docs in unmerged segments, so only a
-        # full compaction may clear the table
-        clear_deletes(index_dir)
+    # tombstones may still reference docs in unmerged segments, so only a
+    # full compaction may clear the list — and it clears it in the SAME
+    # atomic manifest swap as the segment replacement (no window where the
+    # purged segment set is visible alongside stale tombstones)
+    cat.replace_segments(old_ids, seg_meta, clear_delete_files=not subset)
     dd.unpersist()
     return seg_meta
 

@@ -120,9 +120,14 @@ class IndexReader:
     field and the default for every query entry point; ``field_stats_of``
     serves each field's own collection stats (docCount, avgdl)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, version: int | None = None
+    ):
+        # version=N opens a point-in-time reader pinned to historical commit
+        # N (Lucene DirectoryReader.open(IndexCommit) analog): segment set,
+        # collection stats AND tombstones are the pinned commit's.
         self.spark = spark
-        self.cat = IndexCatalog(index_dir)
+        self.cat = IndexCatalog(index_dir, version=version)
         # open-time validation: format version, codec tag, per-segment table
         # dirs, bucket layout (CorruptIndexException analog — raises
         # catalog.CorruptIndexError instead of trusting the manifest blindly)
@@ -553,7 +558,7 @@ def search(
     # overestimate θ from scores of dead docs and prune live results.
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     # MUST_NOT (BooleanQuery exclusion): the excluded terms' docID union,
     # applied as a plain left-anti join (no broadcast hint — an excluded hot
     # term's doc set can be huge; AQE promotes small ones to broadcast).
@@ -683,7 +688,7 @@ def search_batch(
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
     )
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     per_term = [
@@ -834,7 +839,7 @@ def search_fields(
     score_rows = _reduce(DataFrame.unionByName, [r for _n, r in branches])
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:
@@ -906,7 +911,7 @@ def explain(
     present = [t for t in sorted(weights) if stats.get(t, (0, 0))[0] > 0]
     if not present:
         return out
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None and del_ids.where(F.col("doc_id") == doc_id).count():
         return out
     postings = rd.cat.read_postings(spark).where(
@@ -989,7 +994,7 @@ def _match_doc_ids_df(
         & F.col("term").isin(present)
     )
     rows = decode_postings(postings).select("term", "doc_id")
-    del_ids = deleted_doc_ids(spark, rd.cat.index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if exclude:
@@ -1973,7 +1978,7 @@ def search_phrase(
 
     scored = phrase_doc_scores(
         spark, rd, slots, fld, slop=slop,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        del_ids=deleted_doc_ids(spark, rd.cat), filter_cond=filter_cond,
         offsets=[o for _t, o in pairs],
     )
     if scored is None:
@@ -2046,7 +2051,7 @@ def search_multiphrase(
 
     scored = phrase_doc_scores(
         spark, rd, norm, fld, slop=slop,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        del_ids=deleted_doc_ids(spark, rd.cat), filter_cond=filter_cond,
     )
     if scored is None:
         return empty
@@ -2387,7 +2392,7 @@ def search_synonym(
         & F.col("term").isin(present)
     )
     rows = decode_postings(postings).select("doc_id", "tf", "dl_q")
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         rows = rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:

@@ -15,10 +15,22 @@ same index works on a laptop and against a 1000-executor object store.
 
 Layout:
     <index_dir>/manifest.json                      # snapshot pointer (atomic rename)
+    <index_dir>/commits/commit-v<NNNNNNNN>.json    # immutable per-version copies
     <index_dir>/seg=<sid>/doc_dim/                 # parquet
     <index_dir>/seg=<sid>/postings/bucket=<b>/     # parquet, hive-partitioned
     <index_dir>/seg=<sid>/dictionary/              # parquet (per-segment term stats)
+    <index_dir>/deletes/batch-<uuid>/              # tombstone parquet (manifest-pinned)
     <index_dir>/lineage/                           # parquet append-only metric rows
+
+Commit history (Lucene IndexCommit / SnapshotDeletionPolicy analog):
+every manifest write ALSO lands an immutable copy under ``commits/`` before
+the pointer swap, and the manifest itself carries the committed tombstone
+file list (``delete_files``), so one atomic rename is the sole authority
+for segments AND deletes. ``IndexCatalog(dir, version=N)`` pins a catalog
+to a historical commit (point-in-time reads — segment dirs are immutable
+and compaction never rewrites them in place, so old versions stay
+readable until ``prune_commits`` + ``gc_segments`` reclaim them — the
+IndexDeletionPolicy / IndexFileDeleter pair).
 """
 
 from __future__ import annotations
@@ -39,8 +51,10 @@ MANIFEST = "manifest.json"
 # ``CuVS2510GPUVectorsFormat.java:39-42``). Bump INDEX_FORMAT_VERSION whenever
 # manifest/table layout changes; CODEC_NAME names the postings wire format
 # (cuvs_lucene_spark.codec pack_u64: 13-byte header + MSB FOR bit-packing).
-INDEX_FORMAT_VERSION = 2  # v2: per-field postings/dictionary (`field` column)
+INDEX_FORMAT_VERSION = 3  # v3: manifest-pinned tombstones + commit history
 CODEC_NAME = "for128-msb-v1"
+
+COMMITS_DIR = "commits"
 
 # Driver-side cache of committed-table DataFrames (logical plans only — no
 # data): see IndexCatalog._cached_df. Process-global like query.py's
@@ -61,9 +75,21 @@ LINEAGE_SCHEMA = (
 
 
 class IndexCatalog:
-    def __init__(self, index_dir: str):
+    """Index handle. ``version=None`` opens the live snapshot pointer;
+    ``version=N`` pins every read to historical commit N (point-in-time /
+    time-travel — Lucene ``DirectoryReader.open(IndexCommit)`` analog) and
+    turns all mutators into hard errors."""
+
+    def __init__(self, index_dir: str, version: int | None = None):
         self.index_dir = index_dir
+        self.pinned_version = version
         fs.mkdirs(index_dir)
+
+    def _assert_writable(self) -> None:
+        if self.pinned_version is not None:
+            raise RuntimeError(
+                f"catalog is pinned to commit v{self.pinned_version}: read-only"
+            )
 
     # -- paths ---------------------------------------------------------
     def seg_dir(self, sid: int) -> str:
@@ -94,10 +120,11 @@ class IndexCatalog:
     # Iceberg/Delta snapshots, and of the reference's finish() end-marker
     # commit (``CuVS2510GPUVectorsWriter.java:521-537``). Orphans on disk are
     # thereby invisible to readers of the three PINNED tables (doc_dim,
-    # postings, dictionary). The tombstone table (operators/deletes.py)
-    # carries its OWN pin — deletes/ledger.json, atomically replaced per
-    # delete batch — so a dead delete attempt's partial part-file is equally
-    # invisible; every table a query touches is file-list-committed.
+    # postings, dictionary). The tombstone table (operators/deletes.py) is
+    # pinned by the MANIFEST itself (`delete_files`, committed in the same
+    # atomic pointer swap per delete batch) — so a dead delete attempt's
+    # partial part-file is equally invisible; every table a query touches
+    # is file-list-committed.
     # Single-writer per index is the documented contract (Lucene IndexWriter
     # lock analog).
 
@@ -115,6 +142,7 @@ class IndexCatalog:
         """Enumerate the segment's parquet data files into files.json.
         Called by the writer after all table writes and BEFORE the manifest
         commit — the listing is the committed snapshot of the segment."""
+        self._assert_writable()
         listing = {}
         for table in self._TABLE_DIRS:
             listing[table] = [
@@ -187,7 +215,7 @@ class IndexCatalog:
         self.validate_for_read()
         return {
             "segments": self.check_files(),
-            "deletes": check_delete_files(self.index_dir),
+            "deletes": check_delete_files(self),
         }
 
     def gc_orphans(
@@ -200,6 +228,7 @@ class IndexCatalog:
         fresh part-files survive; files with no reported mtime are kept
         (conservative). Returns {segment: {"deleted": [...], "kept": [...]}}.
         Analog of Lucene's IndexFileDeleter reclaiming unreferenced files."""
+        self._assert_writable()
         import time as _time
 
         report = self.check_files(seg_ids)
@@ -240,22 +269,41 @@ class IndexCatalog:
         return files or None
 
     # -- manifest (snapshot pointer) ------------------------------------
+    def commit_path(self, version: int) -> str:
+        return fs.join(self.index_dir, COMMITS_DIR, f"commit-v{version:08d}.json")
+
     def read_manifest(self) -> dict:
+        if self.pinned_version is not None:
+            p = self.commit_path(self.pinned_version)
+            if not fs.exists(p):
+                raise CorruptIndexError(
+                    f"commit v{self.pinned_version} does not exist (pruned, "
+                    f"or never committed): {p}"
+                )
+            return json.loads(fs.read_bytes(p))
         p = fs.join(self.index_dir, MANIFEST)
         if not fs.exists(p):
-            return {"segments": [], "version": 0}
+            return {"segments": [], "version": 0, "delete_files": []}
         return json.loads(fs.read_bytes(p))
 
     def _write_manifest(self, m: dict) -> None:
+        """Single commit point for EVERY index mutation (segment add,
+        compaction, delete batch): bump the version counter, land an
+        immutable copy under commits/ FIRST, then atomically swap the live
+        pointer. A crash between the two leaves an orphan commit file that
+        the next commit (same version number — single-writer contract)
+        simply overwrites."""
+        self._assert_writable()
         m["segments"].sort(key=lambda s: s["id"])
+        m.setdefault("delete_files", [])
         m["version"] = m.get("version", 0) + 1
         m["committed_at"] = time.time()
         m["format_version"] = INDEX_FORMAT_VERSION
         m["codec"] = CODEC_NAME
-        fs.write_bytes_atomic(
-            fs.join(self.index_dir, MANIFEST),
-            json.dumps(m, indent=1).encode(),
-        )
+        payload = json.dumps(m, indent=1).encode()
+        fs.mkdirs(fs.join(self.index_dir, COMMITS_DIR))
+        fs.write_bytes_atomic(self.commit_path(m["version"]), payload)
+        fs.write_bytes_atomic(fs.join(self.index_dir, MANIFEST), payload)
 
     def commit_segment(self, seg_meta: dict) -> None:
         """Atomically add a segment to the manifest (idempotent by id)."""
@@ -264,12 +312,116 @@ class IndexCatalog:
         m["segments"].append(seg_meta)
         self._write_manifest(m)
 
-    def replace_segments(self, drop_ids: list[int], seg_meta: dict) -> None:
-        """Compaction commit: swap merged-away segments for the new one."""
+    def replace_segments(
+        self, drop_ids: list[int], seg_meta: dict, clear_delete_files: bool = False
+    ) -> None:
+        """Compaction commit: swap merged-away segments for the new one.
+        ``clear_delete_files=True`` (full compaction — tombstones physically
+        purged from the rewrite) drops the tombstone list in the SAME atomic
+        swap, so no reader can ever observe purged segments together with
+        the now-stale tombstones."""
         m = self.read_manifest()
         m["segments"] = [s for s in m["segments"] if s["id"] not in drop_ids]
         m["segments"].append(seg_meta)
+        if clear_delete_files:
+            m["delete_files"] = []
         self._write_manifest(m)
+
+    # -- tombstone file list (manifest-pinned; see operators/deletes.py) --
+    def delete_files(self) -> list[dict]:
+        """Committed tombstone entries [{path, bytes}] (relative to the
+        deletes dir) of THIS catalog's snapshot — pinned catalogs see the
+        tombstones as of their commit."""
+        return self.read_manifest().get("delete_files", [])
+
+    def set_delete_files(self, entries: list[dict]) -> None:
+        """Commit a new tombstone file list (a delete batch is a first-class
+        commit: new version, new immutable commit copy)."""
+        m = self.read_manifest()
+        m["delete_files"] = entries
+        self._write_manifest(m)
+
+    # -- commit history (IndexCommit / SnapshotDeletionPolicy analog) ----
+    def list_commits(self) -> list[dict]:
+        """All retained commits, oldest first: [{version, committed_at,
+        segment_ids, n_delete_files}]."""
+        cdir = fs.join(self.index_dir, COMMITS_DIR)
+        out = []
+        if fs.isdir(cdir):
+            for e in sorted(fs.listdir(cdir)):
+                if e.startswith("commit-v") and e.endswith(".json"):
+                    m = json.loads(fs.read_bytes(fs.join(cdir, e)))
+                    out.append(
+                        {
+                            "version": m["version"],
+                            "committed_at": m.get("committed_at"),
+                            "segment_ids": [s["id"] for s in m["segments"]],
+                            "n_delete_files": len(m.get("delete_files", [])),
+                        }
+                    )
+        return sorted(out, key=lambda c: c["version"])
+
+    def prune_commits(
+        self, keep_last: int = 2, keep: tuple[int, ...] = ()
+    ) -> list[int]:
+        """Retention policy (IndexDeletionPolicy analog): drop all commit
+        copies except the newest ``keep_last`` and any explicitly-held
+        versions in ``keep`` (SnapshotDeletionPolicy holds). The LIVE
+        version is always retained. Returns the pruned version numbers —
+        data reclaim is the separate ``gc_segments``/``gc_orphan_deletes``
+        step, exactly like Lucene's deletion-policy-then-IndexFileDeleter
+        split."""
+        self._assert_writable()
+        live_v = self.read_manifest().get("version", 0)
+        commits = self.list_commits()
+        hold = set(keep) | {live_v}
+        hold |= {c["version"] for c in commits[-max(int(keep_last), 0):]} if keep_last else set()
+        pruned = []
+        for c in commits:
+            if c["version"] not in hold:
+                fs.delete_file(self.commit_path(c["version"]))
+                pruned.append(c["version"])
+        return pruned
+
+    def referenced_segment_ids(self) -> set[int]:
+        """Segment ids referenced by the live manifest or ANY retained
+        commit — the reclaim fence for gc_segments."""
+        ids = {s["id"] for s in self.read_manifest()["segments"]}
+        for c in self.list_commits():
+            ids |= set(c["segment_ids"])
+        return ids
+
+    def referenced_delete_paths(self) -> set[str]:
+        """Tombstone file paths (relative to the deletes dir) referenced by
+        the live manifest or ANY retained commit — the reclaim fence for
+        gc_orphan_deletes (operators/deletes.py)."""
+        paths = {e["path"] for e in self.read_manifest().get("delete_files", [])}
+        cdir = fs.join(self.index_dir, COMMITS_DIR)
+        if fs.isdir(cdir):
+            for e in fs.listdir(cdir):
+                if e.startswith("commit-v") and e.endswith(".json"):
+                    m = json.loads(fs.read_bytes(fs.join(cdir, e)))
+                    paths |= {d["path"] for d in m.get("delete_files", [])}
+        return paths
+
+    def gc_segments(self) -> list[int]:
+        """Reclaim whole segment directories no retained commit references
+        (left behind by compaction — readers of retained commits never
+        touch them). IndexFileDeleter analog at segment granularity. Run
+        AFTER prune_commits; returns the reclaimed segment ids."""
+        self._assert_writable()
+        referenced = self.referenced_segment_ids()
+        removed = []
+        for e in fs.listdir(self.index_dir):
+            if e.startswith("seg="):
+                try:
+                    sid = int(e.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if sid not in referenced:
+                    fs.delete_dir(fs.join(self.index_dir, e))
+                    removed.append(sid)
+        return sorted(removed)
 
     def validate_for_read(self) -> dict:
         """Open-time structural validation (CorruptIndexException analog).
@@ -439,6 +591,7 @@ class IndexCatalog:
 
     # -- lineage ----------------------------------------------------------
     def append_lineage(self, spark: SparkSession, rows: list[tuple]) -> None:
+        self._assert_writable()
         df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.lineage_path())
 

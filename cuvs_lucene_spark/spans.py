@@ -834,7 +834,7 @@ def _search_span_contain(
 
     scored = span_contain_doc_scores(
         spark, rd, big_c, little_c, fld, big_slop, little_slop, mode,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        del_ids=deleted_doc_ids(spark, rd.cat), filter_cond=filter_cond,
     )
     return _finish_span_topk(spark, rd, scored, empty, out_t, k)
 
@@ -961,7 +961,7 @@ def search_span_near(
 
     scored = span_near_doc_scores(
         spark, rd, clauses, fld, slop,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        del_ids=deleted_doc_ids(spark, rd.cat), filter_cond=filter_cond,
         in_order=in_order, exclude=excl_terms or None, pre=pre, post=post,
     )
     return _finish_span_topk(spark, rd, scored, empty, out_t, k)
@@ -1036,7 +1036,7 @@ def search_span_range(
 
     scored = span_near_doc_scores(
         spark, rd, clauses, fld, slop,
-        del_ids=deleted_doc_ids(spark, index_dir), filter_cond=filter_cond,
+        del_ids=deleted_doc_ids(spark, rd.cat), filter_cond=filter_cond,
         in_order=in_order, max_end=int(end) if end is not None else None,
         exclude=excl_terms or None, pre=pre, post=post,
         min_start=int(start) if start > 0 else None,
@@ -1141,7 +1141,7 @@ def search_span_or(
         & F.col("term").isin(present)
     )
     dec = decode_postings(postings).select("doc_id", "tf", "dl_q")
-    del_ids = deleted_doc_ids(spark, index_dir)
+    del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         dec = dec.join(F.broadcast(del_ids), "doc_id", "left_anti")
     if filter_cond is not None:

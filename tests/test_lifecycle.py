@@ -127,17 +127,16 @@ class TestDeletes:
     def test_zombie_tombstone_file_invisible_and_gcable(
         self, spark, tiny_df, del_index
     ):
-        """The deletes table is ledger-pinned (deletes/ledger.json): a part
-        file written by a dead/zombie delete attempt — present on disk but
-        never committed to the ledger — must not mask any doc, must be
-        reported as an orphan by check_delete_files, and must be reclaimed
-        by gc_orphan_deletes. Same commit shape as the segment tables'
-        files.json (sources/catalog.py)."""
+        """The deletes table is manifest-pinned (`delete_files` committed in
+        the same atomic pointer swap as the segments): a part file written by
+        a dead/zombie delete attempt — present on disk but never committed —
+        must not mask any doc, must be reported as an orphan by
+        check_delete_files, and must be reclaimed by gc_orphan_deletes. Same
+        commit shape as the segment tables' files.json (sources/catalog.py)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from cuvs_lucene_spark.operators.deletes import (
-            _read_ledger,
             check_delete_files,
             deletes_path,
             gc_orphan_deletes,
@@ -151,7 +150,7 @@ class TestDeletes:
         keys = dd.where(F.col("doc_id") == victim).select("conv_id", "turn_idx")
         assert delete_docs(spark, del_index, keys) == 1
 
-        # zombie attempt: a tombstone for `survivor`, on disk, NOT in ledger
+        # zombie attempt: a tombstone for `survivor`, on disk, NOT committed
         srow = dd.where(F.col("doc_id") == survivor).select(
             "conv_id", "turn_idx"
         ).collect()[0]
@@ -178,13 +177,14 @@ class TestDeletes:
         assert gc_orphan_deletes(del_index) == ["batch-zombie/part-zombie.parquet"]
         assert check_delete_files(del_index)["orphans"] == []
 
-        # combined CheckIndex analog covers manifest + segments + ledger
+        # combined CheckIndex analog covers manifest + segments + tombstones
         full = IndexCatalog(del_index).check_index()
         assert full["deletes"]["files"] >= 1 and full["segments"]
 
         # truncation of a COMMITTED tombstone file is caught loudly
         committed = xfs.join(
-            deletes_path(del_index), _read_ledger(del_index)[0]["path"]
+            deletes_path(del_index),
+            IndexCatalog(del_index).delete_files()[0]["path"],
         )
         data = xfs.read_bytes(committed)
         xfs.write_bytes_atomic(committed, data[: len(data) // 2])
