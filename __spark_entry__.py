@@ -87,13 +87,17 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes field-specific, exactly like the engine's per-field stats).
 def _oracle_prefix(
     field_expr: str = "text", sfx: str = "", lead: str = "WITH ",
-    analyzer: str = "standard",
+    analyzer: str = "standard", docs_where: str = "",
 ) -> str:
     """CTE prefix for ONE indexed field. sfx suffixes every CTE name so two
     fields' chains can coexist in one statement (_oracle_multifield_sql);
     lead='' drops the WITH for non-first chains. analyzer selects the
     analysis chain for toks/dl — the oracle twin of the build-side chain
-    (analysis.analyze_sql_toks)."""
+    (analysis.analyze_sql_toks). docs_where (e.g. "WHERE turn_idx < 30")
+    restricts the CORPUS before docID assignment — the twin of building the
+    engine index over a filtered transcripts DataFrame (the deletes /
+    time-travel gates use a bounded subset so their dedicated index stays
+    cheap at every sf)."""
     from cuvs_lucene_spark.analysis import analyze_sql_toks
     return f"""
 {lead}base{sfx} AS (
@@ -109,7 +113,7 @@ docs{sfx} AS (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
          conv_id, turn_idx, role, ts,
          {analyze_sql_toks(f"coalesce({field_expr},'')", analyzer)} AS toks
-  FROM base{sfx}
+  FROM base{sfx} {docs_where}
 ),
 dlq{sfx} AS (
   SELECT doc_id, conv_id, turn_idx, role, ts, len(toks) AS dl, toks,
@@ -409,6 +413,7 @@ def _oracle_topk_sql(
     msm: int | None = None,
     analyzer: str = "standard",
     boost_sql: str | None = None,
+    docs_where: str = "",
 ) -> str:
     """Full Lucene-BM25 top-k in DuckDB SQL (the per-query oracle).
     boost_sql — FunctionScore factor over the doc row `d` (dlq columns),
@@ -447,7 +452,7 @@ def _oracle_topk_sql(
         # boost factors reference doc columns through the grouped row — pull
         # them via max() (constant within the doc_id group, ≤1 dlq row/doc)
         total = f"({pivot}) * (max({boost_sql}))"
-    return f"""{_oracle_prefix(field_expr, analyzer=analyzer)},
+    return f"""{_oracle_prefix(field_expr, analyzer=analyzer, docs_where=docs_where)},
 qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
 ts AS (SELECT term, count(*) AS df,
               ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
@@ -1434,6 +1439,53 @@ def _index_for_eng(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+# deletes / time-travel gates: a dedicated BOUNDED-subset index (≤50 convs ×
+# _DEL_SUBSET_TURNS turns regardless of sf, so the extra build stays cheap at
+# the bench tier) with a deterministic tombstone set committed once per index
+# lifetime. The oracle twins restrict the corpus with the SAME predicate via
+# _oracle_prefix(docs_where=...).
+_DEL_SUBSET_TURNS = 30
+_DEL_PRED = "turn_idx % 7 = 3"  # deterministic victim set (delete-by-term)
+
+
+def _index_for_del(spark: SparkSession, sf_dir: str) -> str:
+    from cuvs_lucene_spark.operators.build import build_index
+    from cuvs_lucene_spark.operators.deletes import delete_docs, has_deletes
+    from cuvs_lucene_spark.query import IndexReader
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    _ensure_pkg(spark)
+    d = _index_dir(sf_dir) + "_del"
+    build_index(
+        spark,
+        derive_transcripts(spark, sf_dir).where(
+            F.col("turn_idx") < _DEL_SUBSET_TURNS
+        ),
+        d, buckets=8, salt_buckets=4, hot_df_ratio=0.20,
+    )
+    if not has_deletes(IndexCatalog(d)):  # commit the victim set exactly once
+        keys = (
+            IndexReader(spark, d).cat.read_doc_dim(spark)
+            .where(F.expr(_DEL_PRED))
+            .select("conv_id", "turn_idx")
+        )
+        delete_docs(spark, d, keys)
+    return d
+
+
+def _pre_delete_version(index_dir: str) -> int:
+    """Newest commit with an empty tombstone list = the last pure-build
+    commit (the delete batch is its own commit, so this is deterministic
+    across re-invocations — has_deletes gates re-deletion)."""
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    return max(
+        c["version"]
+        for c in IndexCatalog(index_dir).list_commits()
+        if c["n_delete_files"] == 0
+    )
+
+
 def _fts_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1535,6 +1587,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         & (F.col("ts") < F.lit("2026-01-01 02:00:00").cast("timestamp")),
     )
     q["fts_topk_hot"] = lambda s, d: _fts_topk(s, d, ["batch"], k=20)
+
+    # liveDocs masking (D1/D2): a dedicated subset index with a committed
+    # deterministic tombstone set — deleted docs never returned, survivors
+    # keep their exact pre-delete scores (collection stats still include
+    # deleted docs until merge: TestCuVSDeletedDocuments.java:213-255)
+    def deletes_live(s: SparkSession, d: str) -> DataFrame:
+        from cuvs_lucene_spark.query import search
+
+        idx = _index_for_del(s, d)
+        return _ranked(
+            search(s, idx, "merge sort join window", k=10, float32=False)
+        )
+
+    q["fts_deletes_live"] = deletes_live
+
+    # point-in-time read (L8+ commit history): the SAME index pinned at its
+    # last pre-delete commit returns the deleted docs again — the oracle twin
+    # is simply the unfiltered top-k over the subset corpus
+    def time_travel(s: SparkSession, d: str) -> DataFrame:
+        from cuvs_lucene_spark.query import IndexReader, search
+
+        idx = _index_for_del(s, d)
+        rd = IndexReader(s, idx, version=_pre_delete_version(idx))
+        return _ranked(
+            search(
+                s, idx, "merge sort join window", k=10, float32=False,
+                reader=rd,
+            )
+        )
+
+    q["fts_time_travel"] = time_travel
     # second-field query (multi-field index): BM25 over the `tool` field with
     # THAT field's docCount/avgdl (per-field entries,
     # CuVS2510GPUVectorsWriter.java:335-352)
@@ -2660,6 +2743,19 @@ def oracle_sql() -> dict[str, str]:
         "role = 'user' AND d.ts < TIMESTAMP '2026-01-01 02:00:00'",
     )
     o["fts_topk_hot"] = _oracle_topk_sql(["batch"], 20, "or", None)
+    # deletes / time-travel twins: same bounded-subset corpus as the engine's
+    # dedicated index (docs_where), victims excluded from RESULTS only (the
+    # stats CTE still covers them — pre-merge Lucene semantics); the
+    # time-travel oracle is the unfiltered top-k (pre-delete snapshot)
+    _del_where = f"WHERE turn_idx < {_DEL_SUBSET_TURNS}"
+    o["fts_deletes_live"] = _oracle_topk_sql(
+        ["merge", "sort", "join", "window"], 10, "or",
+        "turn_idx % 7 <> 3", docs_where=_del_where,
+    )
+    o["fts_time_travel"] = _oracle_topk_sql(
+        ["merge", "sort", "join", "window"], 10, "or", None,
+        docs_where=_del_where,
+    )
     o["fts_topk_field"] = _oracle_topk_sql(
         ["merge", "filter"], 10, "or", None, field_expr="tool"
     )
