@@ -1473,6 +1473,32 @@ def _index_for_del(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_ADDIDX_SPLIT = "conv-00000025"  # halves split on the docID sort boundary
+
+
+def _index_for_addidx(spark: SparkSession, sf_dir: str) -> str:
+    """addIndexes gate index: the same bounded subset corpus built as TWO
+    half indexes (split on the (conv_id, turn_idx) sort boundary, so the
+    shifted docIDs reproduce the single-shot assignment) then spliced with
+    add_indexes — results must hash-match the full-subset oracle."""
+    from cuvs_lucene_spark.operators.admin import add_indexes
+    from cuvs_lucene_spark.operators.build import build_index
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    _ensure_pkg(spark)
+    dst = _index_dir(sf_dir) + "_addidx"
+    src = dst + "_src"
+    tx = derive_transcripts(spark, sf_dir).where(
+        F.col("turn_idx") < _DEL_SUBSET_TURNS
+    )
+    kw = dict(buckets=8, salt_buckets=4, hot_df_ratio=0.20)
+    build_index(spark, tx.where(F.col("conv_id") < _ADDIDX_SPLIT), dst, **kw)
+    build_index(spark, tx.where(F.col("conv_id") >= _ADDIDX_SPLIT), src, **kw)
+    if len(IndexCatalog(dst).committed_segment_ids()) < 2:  # import exactly once
+        add_indexes(spark, dst, src)
+    return dst
+
+
 def _pre_delete_version(index_dir: str) -> int:
     """Newest commit with an empty tombstone list = the last pure-build
     commit (the delete batch is its own commit, so this is deterministic
@@ -1618,6 +1644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_time_travel"] = time_travel
+
+    # IndexWriter.addIndexes analog: two half-builds spliced by docID
+    # re-base must answer identically to the one-shot build — the oracle IS
+    # the one-shot build's top-k (same subset corpus, no filter)
+    def add_indexes_q(s: SparkSession, d: str) -> DataFrame:
+        from cuvs_lucene_spark.query import search
+
+        idx = _index_for_addidx(s, d)
+        return _ranked(
+            search(s, idx, "merge sort join window", k=10, float32=False)
+        )
+
+    q["fts_add_indexes"] = add_indexes_q
     # second-field query (multi-field index): BM25 over the `tool` field with
     # THAT field's docCount/avgdl (per-field entries,
     # CuVS2510GPUVectorsWriter.java:335-352)
@@ -2753,6 +2792,12 @@ def oracle_sql() -> dict[str, str]:
         "turn_idx % 7 <> 3", docs_where=_del_where,
     )
     o["fts_time_travel"] = _oracle_topk_sql(
+        ["merge", "sort", "join", "window"], 10, "or", None,
+        docs_where=_del_where,
+    )
+    # addIndexes twin: the spliced halves must equal the one-shot build over
+    # the same subset — i.e. exactly the time-travel oracle's statement
+    o["fts_add_indexes"] = _oracle_topk_sql(
         ["merge", "sort", "join", "window"], 10, "or", None,
         docs_where=_del_where,
     )

@@ -163,6 +163,21 @@ class IndexReader:
             ),
         )
 
+    def open_if_changed(self) -> "IndexReader | None":
+        """``DirectoryReader.openIfChanged`` analog: a NEW reader over the
+        live snapshot iff a commit landed since this reader opened (or this
+        reader is pinned to a non-live commit); None when this reader is
+        already current. Cheap — one manifest read, no table I/O; the
+        driver-side term-stats/DataFrame caches key on the snapshot, so the
+        old and new readers never share stale state."""
+        live = IndexCatalog(self.cat.index_dir).read_manifest()
+        if (live.get("version"), live.get("committed_at")) == (
+            self.manifest.get("version"),
+            self.manifest.get("committed_at"),
+        ):
+            return None
+        return IndexReader(self.spark, self.cat.index_dir)
+
     def analyze(self, text: str | None) -> list[str]:
         """Query-side analysis with the index's chain (surviving terms)."""
         from cuvs_lucene_spark.analysis import analyze_py

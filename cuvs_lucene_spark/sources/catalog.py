@@ -391,6 +391,70 @@ class IndexCatalog:
             ids |= set(c["segment_ids"])
         return ids
 
+    def rollback_to(self, version: int) -> dict:
+        """Roll the LIVE index back to a retained commit — as a NEW commit
+        whose segment set and tombstone list are those of commit ``version``
+        (history stays linear; nothing is rewritten or lost — the abandoned
+        commits remain readable until pruned). The Iceberg-rollback shape of
+        Lucene's IndexWriter.rollback/commit-point reopen."""
+        self._assert_writable()
+        p = self.commit_path(version)
+        if not fs.exists(p):
+            raise CorruptIndexError(f"cannot roll back: commit v{version} not retained")
+        old = json.loads(fs.read_bytes(p))
+        m = self.read_manifest()
+        m["segments"] = old["segments"]
+        m["delete_files"] = old.get("delete_files", [])
+        m["rolled_back_from"] = version
+        self._write_manifest(m)
+        return m
+
+    def backup_files(self, include_lineage: bool = False) -> list[str]:
+        """Snapshot-consistent hot-backup enumeration (the SnapshotDeletionPolicy
+        use case): every file, as a path relative to index_dir, needed to
+        restore THIS catalog's snapshot — its commit json, each live
+        segment's files.json + the exact pinned data files, and the pinned
+        tombstone batch files. Copy these anywhere (the writer may keep
+        committing — all enumerated files are immutable), then restore with
+        ``restore_backup``. Works on a pinned catalog to back up a
+        historical commit."""
+        m = self.read_manifest()
+        out = [f"{COMMITS_DIR}/commit-v{m['version']:08d}.json"]
+        for s in m["segments"]:
+            sid = s["id"]
+            out.append(f"seg={sid}/files.json")
+            listing = json.loads(fs.read_bytes(self.files_path(sid)))
+            for table in self._TABLE_DIRS:
+                out += [f"seg={sid}/{table}/{f['path']}" for f in listing.get(table, [])]
+        out += [f"deletes/{e['path']}" for e in m.get("delete_files", [])]
+        if include_lineage and fs.isdir(self.lineage_path()):
+            out += [
+                f"lineage/{rel}"
+                for rel, _sz in fs.list_files_recursive(self.lineage_path())
+                if self._is_data_file(rel)
+            ]
+        return out
+
+    @staticmethod
+    def restore_backup(backup_dir: str) -> "IndexCatalog":
+        """Make a copied ``backup_files`` tree a readable index: point
+        manifest.json at the single commit the backup carries."""
+        cdir = fs.join(backup_dir, COMMITS_DIR)
+        commits = sorted(
+            e for e in (fs.listdir(cdir) if fs.isdir(cdir) else [])
+            if e.startswith("commit-v") and e.endswith(".json")
+        )
+        if len(commits) != 1:
+            raise CorruptIndexError(
+                f"backup at {backup_dir} must carry exactly one commit, "
+                f"found {len(commits)}"
+            )
+        fs.write_bytes_atomic(
+            fs.join(backup_dir, MANIFEST),
+            fs.read_bytes(fs.join(cdir, commits[0])),
+        )
+        return IndexCatalog(backup_dir)
+
     def referenced_delete_paths(self) -> set[str]:
         """Tombstone file paths (relative to the deletes dir) referenced by
         the live manifest or ANY retained commit — the reclaim fence for

@@ -31,6 +31,7 @@ def make_batch_sink(
     compact_every: int | None = None,
     tiered_max_segments: int | None = None,
     segment_id_offset: int = 0,
+    retain_commits: int | None = None,
     **build_kwargs,
 ):
     """Returns a foreachBatch(batch_df, batch_id) callable that builds one
@@ -49,7 +50,15 @@ def make_batch_sink(
     silently drop the micro-batch — the sink raises instead. The offset
     must be a constant for the stream's lifetime (a value derived from the
     manifest at sink-construction time would change across restarts and
-    break replay idempotence)."""
+    break replay idempotence).
+
+    retain_commits=K — commit-history retention for long-running streams
+    (every micro-batch commit lands an immutable commits/ copy, which would
+    otherwise accrete forever): after each trigger, keep only the newest K
+    commits and reclaim segment dirs / tombstone batches no retained commit
+    references (prune_commits + gc). Point-in-time readers older than the
+    window lose their snapshots — that is the retention contract, exactly
+    Lucene's IndexDeletionPolicy releasing old commit points."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -74,6 +83,13 @@ def make_batch_sink(
             n_segs = len(IndexCatalog(index_dir).read_manifest()["segments"])
             if n_segs >= compact_every:
                 compact(spark, index_dir)
+        if retain_commits:
+            from cuvs_lucene_spark.operators.deletes import gc_orphan_deletes
+
+            cat = IndexCatalog(index_dir)
+            cat.prune_commits(keep_last=retain_commits)
+            cat.gc_segments()
+            gc_orphan_deletes(cat)
 
     return sink
 

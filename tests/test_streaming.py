@@ -210,3 +210,46 @@ def test_stream_with_tiered_policy_bounds_segments(spark, tiny_df, tmp_path):
     assert rd.n_docs > 0 and rd.n_docs <= n
     # results at the API surface: same hits as a fresh exhaustive search
     assert search(spark, idx, "world school", k=5).count() == 5
+
+
+def test_stream_retention_bounds_commit_history(spark, tiny_df, tmp_path):
+    """A long-running stream with retain_commits=2 must not accrete commit
+    copies or merged-away segment dirs: after 3 micro-batches + tiered
+    merges, ≤2 retained commits, gc'd segment dirs, and live results intact
+    (the IndexDeletionPolicy release semantics)."""
+    root = tmp_path
+    src = str(root / "src")
+    cuts = ["conv-00000070", "conv-00000140"]
+    parts = [
+        tiny_df.where(F.col("conv_id") < cuts[0]),
+        tiny_df.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+        tiny_df.where(F.col("conv_id") >= cuts[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    idx = str(root / "idx")
+    stream = (
+        spark.readStream.schema(tiny_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream_build(
+        stream, idx, str(root / "ckpt"), tiered_max_segments=2,
+        retain_commits=2, buckets=8, salt_buckets=4, hot_df_ratio=0.10,
+    )
+    q.awaitTermination(300)
+    cat = IndexCatalog(idx)
+    commits = cat.list_commits()
+    assert len(commits) <= 2
+    assert commits[-1]["version"] == cat.read_manifest()["version"]
+    # every on-disk segment dir is referenced by a retained commit
+    from cuvs_lucene_spark.sources import fs as xfs
+
+    on_disk = {
+        int(e.split("=", 1)[1])
+        for e in xfs.listdir(idx)
+        if e.startswith("seg=")
+    }
+    assert on_disk <= cat.referenced_segment_ids()
+    cat.check_index()
+    assert search(spark, idx, "world school", k=5).count() == 5
