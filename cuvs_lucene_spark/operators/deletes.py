@@ -78,12 +78,13 @@ def delete_docs(spark: SparkSession, index: str | IndexCatalog, keys: DataFrame)
         .write.mode("error")
         .parquet(batch_dir)
     )
-    entries = cat.delete_files() + [
-        {"path": fs.join(batch, rel), "bytes": size}
-        for rel, size in fs.list_files_recursive(batch_dir)
-        if rel.endswith(".parquet")
-    ]
-    cat.set_delete_files(entries)
+    cat.append_delete_files(
+        [
+            {"path": fs.join(batch, rel), "bytes": size}
+            for rel, size in fs.list_files_recursive(batch_dir)
+            if rel.endswith(".parquet")
+        ]
+    )
     return int(n)
 
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from cuvs_lucene_spark.sources import fs
 
 MANIFEST = "manifest.json"
+LOCK_NAME = "write.lock"
 
 # On-disk format version + codec tag, embedded in the manifest at commit and
 # asserted at read-open — the analog of the reference's versioned headers /
@@ -66,6 +67,11 @@ _DF_CACHE_MAX = 64
 
 class CorruptIndexError(RuntimeError):
     """The index on disk fails a structural/version invariant."""
+
+
+class LockObtainFailedError(RuntimeError):
+    """Another writer holds the index write lock (Lucene
+    LockObtainFailedException analog)."""
 
 LINEAGE_SCHEMA = (
     "run_id string, segment_id int, bucket int, status string, "
@@ -268,6 +274,73 @@ class IndexCatalog:
         files = [fs.join(base, f["path"]) for f in listing.get(table, [])]
         return files or None
 
+    # -- write lock (Lucene write.lock / LockFactory analog) --------------
+    def _lock_path(self) -> str:
+        return fs.join(self.index_dir, LOCK_NAME)
+
+    def write_lock(self, timeout: float = 10.0, stale_after: float = 600.0):
+        """Commit-scope mutual exclusion. Every manifest read-modify-write
+        (commit_segment / replace_segments / delete commits / rollback)
+        runs under this lock, turning the documented single-writer contract
+        into an ENFORCED one: a second writer gets LockObtainFailedError
+        after ``timeout`` seconds instead of silently losing an update.
+
+        Semantics mirror Lucene's SimpleFSLockFactory: a lock file created
+        atomically iff absent (true O_EXCL on local filesystems; best-effort
+        exists+write+read-back on object stores, where Lucene's file locks
+        are equally advisory). A lock older than ``stale_after`` seconds is
+        presumed left by a crashed writer and broken — commits are
+        sub-second, so a healthy holder never trips this. Data-file writes
+        deliberately stay OUTSIDE the lock (uncommitted files are invisible
+        to readers), so concurrent builders of DISTINCT segments serialize
+        only their commits."""
+        import contextlib
+        import os as _os
+        import socket as _socket
+        import time as _time
+        import uuid as _uuid
+
+        cat = self
+
+        @contextlib.contextmanager
+        def _held():
+            cat._assert_writable()
+            token = json.dumps(
+                {
+                    "owner": _uuid.uuid4().hex,
+                    "pid": _os.getpid(),
+                    "host": _socket.gethostname(),
+                    "acquired_at": _time.time(),
+                }
+            ).encode()
+            deadline = _time.monotonic() + timeout
+            while not fs.create_exclusive(cat._lock_path(), token):
+                mt = fs.mtime(cat._lock_path())
+                if (
+                    stale_after
+                    and mt is not None
+                    and _time.time() - mt > stale_after
+                ):
+                    fs.delete_file(cat._lock_path())  # break a crashed writer's lock
+                    continue
+                if _time.monotonic() >= deadline:
+                    raise LockObtainFailedError(
+                        f"write lock held by another writer: {cat._lock_path()}"
+                    )
+                _time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    # only the holder's own token is removed — never a lock a
+                    # breaker re-acquired after declaring ours stale
+                    if fs.read_bytes(cat._lock_path()) == token:
+                        fs.delete_file(cat._lock_path())
+                except (FileNotFoundError, OSError):
+                    pass
+
+        return _held()
+
     # -- manifest (snapshot pointer) ------------------------------------
     def commit_path(self, version: int) -> str:
         return fs.join(self.index_dir, COMMITS_DIR, f"commit-v{version:08d}.json")
@@ -307,10 +380,11 @@ class IndexCatalog:
 
     def commit_segment(self, seg_meta: dict) -> None:
         """Atomically add a segment to the manifest (idempotent by id)."""
-        m = self.read_manifest()
-        m["segments"] = [s for s in m["segments"] if s["id"] != seg_meta["id"]]
-        m["segments"].append(seg_meta)
-        self._write_manifest(m)
+        with self.write_lock():
+            m = self.read_manifest()
+            m["segments"] = [s for s in m["segments"] if s["id"] != seg_meta["id"]]
+            m["segments"].append(seg_meta)
+            self._write_manifest(m)
 
     def replace_segments(
         self, drop_ids: list[int], seg_meta: dict, clear_delete_files: bool = False
@@ -320,12 +394,13 @@ class IndexCatalog:
         purged from the rewrite) drops the tombstone list in the SAME atomic
         swap, so no reader can ever observe purged segments together with
         the now-stale tombstones."""
-        m = self.read_manifest()
-        m["segments"] = [s for s in m["segments"] if s["id"] not in drop_ids]
-        m["segments"].append(seg_meta)
-        if clear_delete_files:
-            m["delete_files"] = []
-        self._write_manifest(m)
+        with self.write_lock():
+            m = self.read_manifest()
+            m["segments"] = [s for s in m["segments"] if s["id"] not in drop_ids]
+            m["segments"].append(seg_meta)
+            if clear_delete_files:
+                m["delete_files"] = []
+            self._write_manifest(m)
 
     # -- tombstone file list (manifest-pinned; see operators/deletes.py) --
     def delete_files(self) -> list[dict]:
@@ -337,9 +412,19 @@ class IndexCatalog:
     def set_delete_files(self, entries: list[dict]) -> None:
         """Commit a new tombstone file list (a delete batch is a first-class
         commit: new version, new immutable commit copy)."""
-        m = self.read_manifest()
-        m["delete_files"] = entries
-        self._write_manifest(m)
+        with self.write_lock():
+            m = self.read_manifest()
+            m["delete_files"] = entries
+            self._write_manifest(m)
+
+    def append_delete_files(self, new_entries: list[dict]) -> None:
+        """Append tombstone entries under the write lock — the whole
+        read-modify-write is one critical section, so two racing delete
+        batches cannot lose each other's entries."""
+        with self.write_lock():
+            m = self.read_manifest()
+            m["delete_files"] = m.get("delete_files", []) + list(new_entries)
+            self._write_manifest(m)
 
     # -- commit history (IndexCommit / SnapshotDeletionPolicy analog) ----
     def list_commits(self) -> list[dict]:
@@ -402,11 +487,12 @@ class IndexCatalog:
         if not fs.exists(p):
             raise CorruptIndexError(f"cannot roll back: commit v{version} not retained")
         old = json.loads(fs.read_bytes(p))
-        m = self.read_manifest()
-        m["segments"] = old["segments"]
-        m["delete_files"] = old.get("delete_files", [])
-        m["rolled_back_from"] = version
-        self._write_manifest(m)
+        with self.write_lock():
+            m = self.read_manifest()
+            m["segments"] = old["segments"]
+            m["delete_files"] = old.get("delete_files", [])
+            m["rolled_back_from"] = version
+            self._write_manifest(m)
         return m
 
     def backup_files(self, include_lineage: bool = False) -> list[str]:

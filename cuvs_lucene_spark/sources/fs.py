@@ -98,6 +98,30 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     fs.move(tmp, p)
 
 
+def create_exclusive(path: str, data: bytes) -> bool:
+    """Create ``path`` with ``data`` iff it does not exist; False when it
+    does. On local filesystems this is a TRUE atomic create (O_CREAT|O_EXCL
+    — the NativeFSLockFactory-class guarantee). On remote URIs it is
+    best-effort: exists-check, atomic write, read-back token verification —
+    the same portability contract as Lucene's SimpleFSLockFactory, which is
+    likewise advisory on filesystems without an atomic create primitive."""
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+    if exists(path):
+        return False
+    write_bytes_atomic(path, data)
+    return read_bytes(path) == data
+
+
 def move(src: str, dst: str) -> None:
     """Move/rename a file or directory within one filesystem (see atomicity
     note: true rename on local/HDFS; copy+delete on object stores)."""

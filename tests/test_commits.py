@@ -139,3 +139,67 @@ class TestCommitHistory:
         # live view untouched
         assert _topk(spark, tt_index)
         IndexCatalog(tt_index).check_index()
+
+
+class TestWriteLock:
+    """Lucene write.lock / LockObtainFailedException analog: every manifest
+    read-modify-write is a critical section; a second concurrent writer
+    fails loudly instead of losing an update; crashed writers' stale locks
+    are broken after stale_after."""
+
+    def test_contender_times_out_then_succeeds(self, spark, tt_index):
+        from cuvs_lucene_spark.sources.catalog import LockObtainFailedError
+
+        cat = IndexCatalog(tt_index)
+        hold = cat.write_lock()
+        hold.__enter__()
+        try:
+            with pytest.raises(LockObtainFailedError, match="write lock held"):
+                with IndexCatalog(tt_index).write_lock(timeout=0.3):
+                    pass
+        finally:
+            hold.__exit__(None, None, None)
+        # released → mutation commits normally
+        v0 = cat.read_manifest()["version"]
+        cat.set_delete_files(cat.delete_files())
+        assert cat.read_manifest()["version"] == v0 + 1
+
+    def test_stale_lock_is_broken(self, spark, tt_index):
+        cat = IndexCatalog(tt_index)
+        fs.write_bytes_atomic(
+            fs.join(tt_index, "write.lock"), b'{"owner": "crashed"}'
+        )
+        import time as _t
+
+        _t.sleep(0.2)
+        v0 = cat.read_manifest()["version"]
+        with cat.write_lock(timeout=1.0, stale_after=0.1):
+            pass  # acquired by breaking the stale lock
+        cat.set_delete_files(cat.delete_files())
+        assert cat.read_manifest()["version"] == v0 + 1
+        assert not fs.exists(fs.join(tt_index, "write.lock"))
+
+    def test_concurrent_delete_batches_never_lose_updates(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        """Two threads each commit 8 tombstone batches against one index;
+        the final manifest must hold all 16 entries (the append RMW is one
+        critical section)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cuvs_lucene_spark.operators.build import build_index
+
+        d = str(tmp_path_factory.mktemp("lock") / "idx")
+        build_index(spark, tiny_df.limit(300), d, buckets=8, salt_buckets=4,
+                    hot_df_ratio=0.10)
+        cat = IndexCatalog(d)
+
+        def appender(worker: int) -> None:
+            for i in range(8):
+                cat.append_delete_files(
+                    [{"path": f"batch-w{worker}-{i}/part.parquet", "bytes": 1}]
+                )
+
+        with ThreadPoolExecutor(2) as ex:
+            list(ex.map(appender, [0, 1]))
+        assert len(cat.delete_files()) == 16
