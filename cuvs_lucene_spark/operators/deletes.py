@@ -46,7 +46,8 @@ DELETES_SCHEMA = "conv_id string, turn_idx int, deleted_at timestamp"
 
 
 def _as_cat(index: str | IndexCatalog) -> IndexCatalog:
-    return index if isinstance(index, IndexCatalog) else IndexCatalog(index)
+    # non-str objects (IndexCatalog, MultiIndexCatalog) pass through
+    return IndexCatalog(index) if isinstance(index, str) else index
 
 
 def deletes_path(index_dir: str) -> str:
@@ -92,6 +93,11 @@ def read_delete_keys(
     spark: SparkSession, index: str | IndexCatalog
 ) -> DataFrame | None:
     cat = _as_cat(index)
+    # federated MultiReader handles union their sub-indexes' tombstone keys
+    # (keys are (conv_id, turn_idx) — index-independent)
+    multi = getattr(cat, "multi_delete_keys", None)
+    if multi is not None:
+        return multi(spark)
     entries = cat.delete_files()
     if not entries:
         return None

@@ -121,13 +121,22 @@ class IndexReader:
     serves each field's own collection stats (docCount, avgdl)."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        version: int | None = None,
+        catalog=None,
     ):
         # version=N opens a point-in-time reader pinned to historical commit
         # N (Lucene DirectoryReader.open(IndexCommit) analog): segment set,
         # collection stats AND tombstones are the pinned commit's.
+        # catalog= supplies a prebuilt catalog (MultiIndexCatalog for
+        # federated MultiReader search — see multireader.py); index_dir is
+        # then ignored.
         self.spark = spark
-        self.cat = IndexCatalog(index_dir, version=version)
+        self.cat = catalog if catalog is not None else IndexCatalog(
+            index_dir, version=version
+        )
         # open-time validation: format version, codec tag, per-segment table
         # dirs, bucket layout (CorruptIndexException analog — raises
         # catalog.CorruptIndexError instead of trusting the manifest blindly)
@@ -169,14 +178,16 @@ class IndexReader:
         reader is pinned to a non-live commit); None when this reader is
         already current. Cheap — one manifest read, no table I/O; the
         driver-side term-stats/DataFrame caches key on the snapshot, so the
-        old and new readers never share stale state."""
-        live = IndexCatalog(self.cat.index_dir).read_manifest()
+        old and new readers never share stale state. Works for federated
+        MultiReader handles too (any sub-index commit triggers a reopen)."""
+        fresh = self.cat.reopen()
+        live = fresh.read_manifest()
         if (live.get("version"), live.get("committed_at")) == (
             self.manifest.get("version"),
             self.manifest.get("committed_at"),
         ):
             return None
-        return IndexReader(self.spark, self.cat.index_dir)
+        return IndexReader(self.spark, self.cat.index_dir, catalog=fresh)
 
     def analyze(self, text: str | None) -> list[str]:
         """Query-side analysis with the index's chain (surviving terms)."""

@@ -91,6 +91,10 @@ class IndexCatalog:
         self.pinned_version = version
         fs.mkdirs(index_dir)
 
+    def reopen(self) -> "IndexCatalog":
+        """A fresh handle on the LIVE snapshot (openIfChanged support)."""
+        return IndexCatalog(self.index_dir)
+
     def _assert_writable(self) -> None:
         if self.pinned_version is not None:
             raise RuntimeError(
