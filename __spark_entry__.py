@@ -1657,6 +1657,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_add_indexes"] = add_indexes_q
+
+    # federated MultiReader (read-side composition, no data movement): the
+    # addidx destination PINNED at its pre-import commit (= half A alone)
+    # federated with the half-B source index must equal the one-shot build
+    # over the whole subset — same oracle as fts_add_indexes, reached by a
+    # completely different composition path (lazy re-base vs physical splice)
+    def multireader_q(s: SparkSession, d: str) -> DataFrame:
+        from cuvs_lucene_spark.multireader import open_multi_reader
+        from cuvs_lucene_spark.query import search
+        from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+        dst = _index_for_addidx(s, d)  # ensures halves built + imported
+        pre_import = min(
+            c["version"]
+            for c in IndexCatalog(dst).list_commits()
+            if len(c["segment_ids"]) == 1
+        )
+        rd = open_multi_reader(s, [(dst, pre_import), dst + "_src"])
+        return _ranked(
+            search(s, rd.cat.index_dir, "merge sort join window", k=10,
+                   float32=False, reader=rd)
+        )
+
+    q["fts_multireader"] = multireader_q
     # second-field query (multi-field index): BM25 over the `tool` field with
     # THAT field's docCount/avgdl (per-field entries,
     # CuVS2510GPUVectorsWriter.java:335-352)
@@ -2798,6 +2822,11 @@ def oracle_sql() -> dict[str, str]:
     # addIndexes twin: the spliced halves must equal the one-shot build over
     # the same subset — i.e. exactly the time-travel oracle's statement
     o["fts_add_indexes"] = _oracle_topk_sql(
+        ["merge", "sort", "join", "window"], 10, "or", None,
+        docs_where=_del_where,
+    )
+    # MultiReader twin: federated halves == one-shot build over the subset
+    o["fts_multireader"] = _oracle_topk_sql(
         ["merge", "sort", "join", "window"], 10, "or", None,
         docs_where=_del_where,
     )
