@@ -1474,6 +1474,7 @@ def _index_for_del(spark: SparkSession, sf_dir: str) -> str:
 
 
 _ADDIDX_SPLIT = "conv-00000025"  # halves split on the docID sort boundary
+_TV_KEY = ("conv-00000007", 3)  # term-vectors gate document (exists at all sfs)
 
 
 def _index_for_addidx(spark: SparkSession, sf_dir: str) -> str:
@@ -1497,6 +1498,49 @@ def _index_for_addidx(spark: SparkSession, sf_dir: str) -> str:
     if len(IndexCatalog(dst).committed_segment_ids()) < 2:  # import exactly once
         add_indexes(spark, dst, src)
     return dst
+
+
+def _index_for_dv(spark: SparkSession, sf_dir: str) -> str:
+    """Doc-values-update gate index: the bounded subset corpus plus TWO
+    committed DV batches on field 'quality' (default 1.0) — batch 2
+    overwrites a subset of batch 1's keys, so the gate pins last-write-wins
+    on top of the boost composition (updateNumericDocValue analog,
+    operators/docvalues.py)."""
+    from cuvs_lucene_spark.operators.build import build_index
+    from cuvs_lucene_spark.operators.docvalues import update_doc_values
+    from cuvs_lucene_spark.query import IndexReader
+    from cuvs_lucene_spark.sources.catalog import IndexCatalog
+
+    _ensure_pkg(spark)
+    d = _index_dir(sf_dir) + "_dv"
+    build_index(
+        spark,
+        derive_transcripts(spark, sf_dir).where(
+            F.col("turn_idx") < _DEL_SUBSET_TURNS
+        ),
+        d, buckets=8, salt_buckets=4, hot_df_ratio=0.20,
+    )
+    if "quality" not in IndexCatalog(d).dv_fields():  # commit exactly once
+        dd = IndexReader(spark, d).cat.read_doc_dim(spark)
+        update_doc_values(
+            spark, d, "quality",
+            dd.where("turn_idx % 5 = 1").select(
+                "conv_id", "turn_idx", F.lit(2.0).alias("value")
+            ),
+            default=1.0,
+        )
+        update_doc_values(
+            spark, d, "quality",
+            dd.where("turn_idx % 10 = 1").select(
+                "conv_id", "turn_idx",
+                (
+                    F.lit(1.0)
+                    + F.col("turn_idx").cast("double") / F.lit(50.0)
+                ).alias("value"),
+            ),
+            default=1.0,
+        )
+    return d
 
 
 def _pre_delete_version(index_dir: str) -> int:
@@ -1812,6 +1856,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ranked(res)
 
     q["fts_topk_funcscore"] = funcscore_q
+
+    def dvupdate_q(s: SparkSession, d: str) -> DataFrame:
+        # updateNumericDocValue analog: two committed DV batches (the second
+        # overwrites half the first's keys — last-write-wins by commit
+        # version), then a boost_by over the DV field re-ranks on the
+        # RESOLVED values, no reindex. Oracle twin: the same CASE over the
+        # base columns the deterministic batches were derived from.
+        from cuvs_lucene_spark.query import search
+
+        idx = _index_for_dv(s, d)
+        return _ranked(
+            search(
+                s, idx, "merge sort join", k=10, float32=False,
+                boost_by="quality",
+            )
+        )
+
+    q["fts_topk_dvupdate"] = dvupdate_q
+
+    def term_vectors_q(s: SparkSession, d: str) -> DataFrame:
+        # TermVectorsReader analog: one doc's (term, tf, positions)
+        # reconstructed from the inverted index — the oracle recomputes the
+        # same vector from the raw text (CheckIndex -crossCheckTermVectors)
+        from cuvs_lucene_spark.termvectors import term_vectors
+
+        idx = _index_for(s, d)
+        return (
+            term_vectors(s, idx, _TV_KEY[0], _TV_KEY[1])
+            .select(
+                "term", F.col("tf").cast("long").alias("tf"), "positions"
+            )
+            .orderBy("term")
+        )
+
+    q["fts_term_vectors"] = term_vectors_q
 
     def rescore_q(s: SparkSession, d: str) -> DataFrame:
         # QueryRescorer analog: broad OR first pass (window 30) re-ranked by
@@ -3323,6 +3402,32 @@ SELECT facet, n_docs FROM counts ORDER BY facet
         ["merge", "sort", "join"], 10, "or", None,
         boost_sql="1.0 + cast(d.turn_idx AS double) / 100.0",
     )
+    # DV-update twin: batch 2 (turn%10==1 → 1 + turn/50) overwrites batch 1
+    # (turn%5==1 → 2.0); unmatched keys resolve to the field default 1.0 —
+    # the CASE order IS the last-write-wins rule
+    o["fts_topk_dvupdate"] = _oracle_topk_sql(
+        ["merge", "sort", "join"], 10, "or", None,
+        boost_sql=(
+            "CASE WHEN d.turn_idx % 10 = 1 "
+            "THEN 1.0 + cast(d.turn_idx AS double) / 50.0 "
+            "WHEN d.turn_idx % 5 = 1 THEN 2.0 ELSE 1.0 END"
+        ),
+        docs_where=f"WHERE turn_idx < {_DEL_SUBSET_TURNS}",
+    )
+    o["fts_term_vectors"] = f"""{_ORACLE_PREFIX},
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM dlq
+),
+sel AS (
+  SELECT doc_id FROM dlq
+  WHERE conv_id = '{_TV_KEY[0]}' AND turn_idx = {_TV_KEY[1]}
+)
+SELECT term, cast(count(*) AS bigint) AS tf,
+       string_agg(cast(pos AS varchar), ',' ORDER BY pos) AS positions
+FROM tokpos JOIN sel USING (doc_id)
+GROUP BY term ORDER BY term
+"""
     o["fts_topk_rescore"] = _oracle_rescore_sql(
         ["merge", "sort", "join"], "or", ["merge", "sort"], "and",
         30, 10, 1.0, 2.0,

@@ -202,6 +202,39 @@ class IndexReader:
 
         return analyze_with_offsets(text, self.analyzer)
 
+    def doc_dim_view(self, spark: SparkSession | None = None) -> DataFrame:
+        """doc_dim with every committed numeric doc-values field overlaid
+        (operators/docvalues.py — the updateNumericDocValue analog): each DV
+        field becomes a column, updated keys carry their newest committed
+        value (last-write-wins by commit version), everything else the
+        field's default. With no DV updates this IS the cached doc_dim —
+        zero extra plan nodes. Overlays broadcast (they are small relative
+        to the corpus, like Lucene's dv-generation files), so doc_dim never
+        reshuffles. Point-in-time readers overlay the DV state of their
+        pinned commit. Federated MultiReader catalogs expose no DV overlay
+        (base doc_dim only)."""
+        from cuvs_lucene_spark.operators.docvalues import read_doc_values
+
+        s = spark or self.spark
+        dd = self.cat.read_doc_dim(s)
+        fields_fn = getattr(self.cat, "dv_fields", None)
+        for name, meta in sorted((fields_fn() if fields_fn else {}).items()):
+            ov = read_doc_values(s, self.cat, name)
+            if ov is None:
+                continue
+            ov = ov.withColumnRenamed("value", f"_dv_{name}")
+            dd = (
+                dd.join(F.broadcast(ov), ["conv_id", "turn_idx"], "left")
+                .withColumn(
+                    name,
+                    F.coalesce(
+                        F.col(f"_dv_{name}"), F.lit(float(meta["default"]))
+                    ),
+                )
+                .drop(f"_dv_{name}")
+            )
+        return dd
+
     def resolve_field(self, field: str | None) -> str:
         fld = field or self.fields[0]
         if self.manifest["segments"] and fld not in self.fields:
@@ -1355,15 +1388,21 @@ def search_sorted(
     dd_cols = ["doc_id", "conv_id", "turn_idx"]
     if sort_by not in dd_cols:
         dd_cols.append(sort_by)
+    # sorting by a committed doc-values field overlays its updates (Lucene
+    # SortField over an updated numeric DV); base columns skip the overlay
+    fields_fn = getattr(rd.cat, "dv_fields", None)
+    dv_sorted = fields_fn is not None and sort_by in (fields_fn() or {})
     if ids is None:
         if not rd.manifest["segments"]:
             return spark.createDataFrame(
                 [], "doc_id long, conv_id string, turn_idx int"
             )
         return (
-            rd.cat.read_doc_dim(spark).select(*dd_cols).limit(0)
-        )
-    out = rd.cat.read_doc_dim(spark).select(*dd_cols)
+            rd.doc_dim_view(spark) if dv_sorted else rd.cat.read_doc_dim(spark)
+        ).select(*dd_cols).limit(0)
+    out = (
+        rd.doc_dim_view(spark) if dv_sorted else rd.cat.read_doc_dim(spark)
+    ).select(*dd_cols)
     if after is not None:
         a_v, a_d = after
         past = sort_col > F.lit(a_v) if ascending else sort_col < F.lit(a_v)
@@ -1464,7 +1503,10 @@ def _finish(
         # same shape the group_by path already uses; the boost expression
         # stays whole-stage-codegen JVM-side.
         b = F.expr(boost_by) if isinstance(boost_by, str) else boost_by
-        agg = agg.join(rd.cat.read_doc_dim(spark), "doc_id").select(
+        # doc_dim_view: committed doc-values updates are overlaid, so a
+        # boost over a DV field re-ranks on the newest values (Lucene
+        # updateNumericDocValue + FunctionScoreQuery composition)
+        agg = agg.join(rd.doc_dim_view(spark), "doc_id").select(
             "doc_id",
             (F.col("score_d") * b.cast("double")).alias("score_d"),
         )

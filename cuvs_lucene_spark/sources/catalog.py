@@ -216,16 +216,19 @@ class IndexCatalog:
         """The complete CheckIndex analog: manifest open-time validation
         (format version, codec tag, table dirs, bucket layout) + deep file
         verification of every committed segment table + the tombstone
-        ledger. Raises CorruptIndexError/IOError on the first problem;
-        returns {"segments": check_files report, "deletes": ledger report}.
+        ledger + the doc-values overlay. Raises CorruptIndexError/IOError on
+        the first problem; returns {"segments": check_files report,
+        "deletes": ledger report, "doc_values": dv ledger report}.
         """
         # lazy import: operators.deletes imports this module
         from cuvs_lucene_spark.operators.deletes import check_delete_files
+        from cuvs_lucene_spark.operators.docvalues import check_dv_files
 
         self.validate_for_read()
         return {
             "segments": self.check_files(),
             "deletes": check_delete_files(self),
+            "doc_values": check_dv_files(self),
         }
 
     def gc_orphans(
@@ -430,6 +433,51 @@ class IndexCatalog:
             m["delete_files"] = m.get("delete_files", []) + list(new_entries)
             self._write_manifest(m)
 
+    # -- numeric doc-values overlay (manifest-pinned; operators/docvalues.py)
+    def dv_files(self) -> list[dict]:
+        """Committed DV-update entries [{path, bytes, field, seq}] (paths
+        relative to the dv dir) of THIS catalog's snapshot — pinned catalogs
+        see the doc-values state as of their commit."""
+        return self.read_manifest().get("dv_files", [])
+
+    def dv_fields(self) -> dict:
+        """{dv_field: {"default": float}} for every field with committed
+        updates in this snapshot."""
+        return self.read_manifest().get("dv_fields", {})
+
+    def append_dv_files(
+        self, dv_field: str, default: float, new_entries: list[dict]
+    ) -> int:
+        """Append DV-update entries as a first-class commit. Each entry is
+        stamped with the commit version it lands in (``seq``) — the
+        last-write-wins authority (Lucene: highest dv generation wins).
+        Returns the seq assigned. The field's default is recorded on first
+        update and immutable afterwards."""
+        with self.write_lock():
+            m = self.read_manifest()
+            m.setdefault("dv_fields", {}).setdefault(
+                dv_field, {"default": float(default)}
+            )
+            seq = m.get("version", 0) + 1  # the version this commit lands as
+            m["dv_files"] = m.get("dv_files", []) + [
+                {**e, "field": dv_field, "seq": seq} for e in new_entries
+            ]
+            self._write_manifest(m)
+        return seq
+
+    def referenced_dv_paths(self) -> set[str]:
+        """DV batch paths (relative to the dv dir) referenced by the live
+        manifest or ANY retained commit — the reclaim fence for
+        gc_orphan_dv (operators/docvalues.py)."""
+        paths = {e["path"] for e in self.read_manifest().get("dv_files", [])}
+        cdir = fs.join(self.index_dir, COMMITS_DIR)
+        if fs.isdir(cdir):
+            for e in fs.listdir(cdir):
+                if e.startswith("commit-v") and e.endswith(".json"):
+                    m = json.loads(fs.read_bytes(fs.join(cdir, e)))
+                    paths |= {d["path"] for d in m.get("dv_files", [])}
+        return paths
+
     # -- commit history (IndexCommit / SnapshotDeletionPolicy analog) ----
     def list_commits(self) -> list[dict]:
         """All retained commits, oldest first: [{version, committed_at,
@@ -495,6 +543,8 @@ class IndexCatalog:
             m = self.read_manifest()
             m["segments"] = old["segments"]
             m["delete_files"] = old.get("delete_files", [])
+            m["dv_files"] = old.get("dv_files", [])
+            m["dv_fields"] = old.get("dv_fields", {})
             m["rolled_back_from"] = version
             self._write_manifest(m)
         return m
@@ -517,6 +567,7 @@ class IndexCatalog:
             for table in self._TABLE_DIRS:
                 out += [f"seg={sid}/{table}/{f['path']}" for f in listing.get(table, [])]
         out += [f"deletes/{e['path']}" for e in m.get("delete_files", [])]
+        out += [f"dv/{e['path']}" for e in m.get("dv_files", [])]
         if include_lineage and fs.isdir(self.lineage_path()):
             out += [
                 f"lineage/{rel}"
