@@ -2830,6 +2830,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivfpq_probe"] = sim_ivfpq_probe
 
+    def sim_graph_exact(s, d):
+        """Graph-ANN verifier config (the CAGRA->HNSW analog's exactness
+        gate): a COMPLETE graph over a capped id subset + ef >= n means
+        every node is one hop from the medoid entry and the beam never
+        truncates — the beam search provably returns the exact cosine
+        top-k, flowing through the real build/serialize/traverse plumbing
+        (pipeline/graph.py; reference lifecycle
+        TestCagraToHnswSerializationAndSearch.java)."""
+        from cuvs_lucene_spark.pipeline.graph import (
+            graph_search,
+            knn_graph_build,
+        )
+
+        g_dir = _index_dir(d) + "_graph_full"
+        if not os.path.exists(os.path.join(g_dir, "meta.json")):
+            knn_graph_build(
+                _emb(s, d).where(F.col("vec_id") < 256), g_dir, complete=True
+            )
+        return graph_search(s, g_dir, _SIM_QUERY_VEC, k=10, ef=300)
+
+    q["sim_graph_exact"] = sim_graph_exact
+
+    def sim_graph_probe(s, d):
+        """Graph-ANN serving path: NN-Descent kNN graph serialized to the
+        HNSW-style packed adjacency, batched best-first beam search (each
+        hop = one src-pruned adjacency scan + one id-pruned vector scan).
+        Approximate by design -> rows-only gate; build determinism, edge
+        recall, search recall, numpy-spec equality, and the serialization
+        round-trip are pinned by tests/test_graph.py."""
+        from cuvs_lucene_spark.pipeline.graph import (
+            graph_search,
+            graph_to_hnsw,
+            knn_graph_build,
+        )
+
+        g_dir = _index_dir(d) + "_graph"
+        h_dir = _index_dir(d) + "_hnsw"
+        if not os.path.exists(os.path.join(h_dir, "meta.json")):
+            knn_graph_build(_emb(s, d), g_dir, degree=12, iters=3)
+            graph_to_hnsw(s, g_dir, h_dir)
+        return graph_search(s, h_dir, _SIM_QUERY_VEC, k=10, ef=48)
+
+    q["sim_graph_probe"] = sim_graph_probe
+
     def multimodal_features(s, d):
         from cuvs_lucene_spark.pipeline.multimodal import (
             derive_assets,
@@ -3673,6 +3717,12 @@ FROM documents
     # degenerate-exact IVF-PQ == exact cosine top-k (sim_ivfpq_probe stays
     # rows-only: approximate by design, pytest-pinned)
     o["sim_ivfpq_exact"] = _sim.cosine_topk_sql("embeddings", _SIM_QUERY_VEC, k=10)
+    # complete-graph + ef>=n beam search is provably the exact top-k over
+    # the same capped subset (sim_graph_probe stays rows-only: approximate
+    # by design, pinned by tests/test_graph.py)
+    o["sim_graph_exact"] = _sim.cosine_topk_sql(
+        "embeddings", _SIM_QUERY_VEC, k=10, filter_sql="vec_id < 256"
+    )
     o["multimodal_features"] = f"""
 WITH feats AS ({_mm.features_sql("documents")})
 SELECT asset_id, kind, features[1] AS f0, features[2] AS f1,

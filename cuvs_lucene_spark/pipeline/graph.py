@@ -1,0 +1,644 @@
+"""Graph-based ANN — the reference's namesake capability, Spark-first.
+
+The reference's headline vector path builds a CAGRA nearest-neighbor GRAPH on
+GPU and serializes it into Lucene's HNSW format for CPU serving
+(``CagraToHnswConversion``, ``TestCagraToHnswSerializationAndSearch.java``;
+CAGRA itself descends from NN-Descent, Ono & Matsui 2023 / Dong et al. WWW'11).
+This module re-expresses that lifecycle as Spark jobs with no GPU and no
+driver-resident corpus:
+
+  build   knn_graph_build — distributed NN-Descent: LSH-seeded candidate
+          pairs, vectorized exact scoring, neighbor-of-neighbor expansion as
+          self-joins, per-node top-degree truncation; every step a DataFrame
+          op, so the graph build shuffles O(N·degree) edge rows instead of
+          materializing O(N²) distances.
+  convert graph_to_hnsw — packs the flat edge table into per-node adjacency
+          rows ordered by score (the analog of writing Lucene's HNSW
+          neighbor arrays), entry point = medoid, single-layer exactly like
+          the reference's CAGRA->HNSW conversion (cuVS converts to a
+          single-level HNSW; upper levels are not synthesized).
+  search  graph_search — batched best-first beam search: the DRIVER holds
+          only the beam (<= ef ids + scores per query, the same economics as
+          the FTS driver holding <= k×partitions rows); every hop is one
+          src-pruned scan of the adjacency table plus one id-pruned scan of
+          the node table, both pushed-down IN-filters over sorted parquet,
+          so a hop reads O(frontier·degree) rows no matter how large the
+          corpus is. Filtering follows Lucene's filtered-HNSW semantics:
+          the traversal walks ALL nodes, the acceptance mask applies only to
+          result collection (``CuVS2510GPUVectorsReader.java:313-335``'s
+          acceptDocs, without the k×10 over-sampling).
+
+Scale notes (10^9+ vectors): NN-Descent rounds shuffle O(N·degree·cand_cap)
+candidate rows — bounded, tunable, and embarrassingly key-partitioned; no
+step collects the corpus. Search hops are pruned scans; batching Q queries
+amortizes each hop's scan across the whole batch. Determinism: seeded
+hyperplanes, (score desc, id asc) tie-breaks everywhere — two builds of the
+same input are byte-identical, which is what lets pytest pin search results
+exactly (the analog of the reference's frozen expected doc ids,
+``TestCagraToHnswSerializationAndSearch.java:133-151``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from cuvs_lucene_spark.pipeline.similarity import (
+    _dot,
+    _norm,
+    _pair_cos_udf,
+    _qlit,
+    rademacher_hyperplanes,
+)
+from cuvs_lucene_spark.sources import fs as idxfs
+
+# complete-graph mode is a verifier (provably-exact search on a capped
+# subset); the ceiling is ENFORCED so nobody can accidentally build an O(N²)
+# edge set on a real corpus (same contract as similarity.embedding_neardup's
+# max_rows guard).
+COMPLETE_GRAPH_CAP = 4096
+
+
+def _nodes(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def _score_pairs(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact cosine for candidate (src, dst) pairs: two id-keyed joins to
+    fetch vectors, then the Arrow-batched pair kernel (no per-row Python).
+    Shuffle volume is O(|pairs|) rows — the whole point of NN-Descent is
+    that |pairs| stays O(N·degree·cap), never O(N²)."""
+    cos = _pair_cos_udf()
+    a = nodes.select(F.col("id").alias("src"), F.col("v").alias("va"))
+    b = nodes.select(F.col("id").alias("dst"), F.col("v").alias("vb"))
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", cos("va", "vb").alias("score"))
+    )
+
+
+def _top_degree(edges: DataFrame, degree: int) -> DataFrame:
+    """Per-src top-degree truncation, deterministic tie-break
+    (score desc, dst asc) — CAGRA's fixed out-degree invariant."""
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        edges.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= degree)
+        .drop("_r")
+    )
+
+
+def _lsh_seed_pairs(
+    nodes: DataFrame, bits: int, bands: int, bucket_cap: int, seed: int
+) -> DataFrame:
+    """Seed candidates: sign-projection LSH buckets (bands × bits seeded
+    hyperplanes); nodes sharing a band signature become candidate pairs.
+    Buckets are capped (hash-ranked row_number <= bucket_cap) so a dense
+    cluster cannot blow the band self-join up quadratically — the capped
+    tail is exactly what later NN-Descent rounds recover via
+    neighbor-of-neighbor expansion."""
+    dim_row = nodes.select(F.size("v").alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    if dim == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], "src long, dst long"
+        )
+    out = []
+    for band in range(bands):
+        hp = rademacher_hyperplanes(bits, dim)  # deterministic
+        # per-band decorrelation: roll the plane matrix by the band index
+        hp = np.roll(hp, band * 7 + seed, axis=1)
+        planes = [list(map(float, row)) for row in hp]
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            sig = sig + F.when(_dot(F.col("v"), _qlit(p)) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        out.append(
+            nodes.select(
+                "id", F.lit(band).alias("band"), sig.alias("sig")
+            )
+        )
+    tagged = out[0]
+    for o in out[1:]:
+        tagged = tagged.unionByName(o)
+    w = Window.partitionBy("band", "sig").orderBy(F.xxhash64("id", F.lit(seed)))
+    capped = (
+        tagged.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= bucket_cap)
+        .drop("_r")
+    )
+    l = capped.select("band", "sig", F.col("id").alias("src"))
+    r = capped.select("band", "sig", F.col("id").alias("dst"))
+    return (
+        l.join(r, ["band", "sig"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _anchor_pairs(nodes: DataFrame, n_anchors: int, per_node: int, seed: int) -> DataFrame:
+    """Diversity seed: every node is paired with `per_node` hash-chosen
+    members of a small global anchor set. NN-Descent needs a few RANDOM
+    long-range edges to escape the locality of the LSH buckets (Dong et
+    al.'s random init); anchors give that without assuming contiguous ids —
+    one tiny collect (the anchor ids), then a hash-join-free literal map."""
+    anchors = [
+        int(r["id"])
+        for r in nodes.select("id")
+        .orderBy(F.xxhash64("id", F.lit(seed ^ 0xA17C)))
+        .limit(n_anchors)
+        .collect()
+    ]
+    if not anchors:
+        return nodes.sparkSession.createDataFrame([], "src long, dst long")
+    arr = F.array(*[F.lit(a) for a in anchors])
+    per_node = min(per_node, len(anchors))
+    picks = F.transform(
+        F.sequence(F.lit(0), F.lit(per_node - 1)),
+        lambda j: F.element_at(
+            arr,
+            (
+                F.pmod(F.xxhash64(F.col("src"), j, F.lit(seed)), F.lit(len(anchors)))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return (
+        nodes.select(F.col("id").alias("src"))
+        .select("src", F.explode(picks).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def knn_graph_build(
+    embeddings: DataFrame,
+    graph_dir: str,
+    degree: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    bands: int = 4,
+    bucket_cap: int = 128,
+    cand_cap: int = 256,
+    n_anchors: int = 64,
+    anchors_per_node: int = 8,
+    seed: int = 42,
+    complete: bool = False,
+) -> dict:
+    """Build + persist the k-NN graph (CAGRA-build analog).
+
+    Layout (all parquet, range-sorted for pushed-down IN pruning):
+        <graph_dir>/nodes/   (id, v)           sorted by id
+        <graph_dir>/edges/   (src, dst, score) sorted by src
+        <graph_dir>/meta.json {format, n, dim, degree, entry, conv, ...}
+
+    ``complete=True`` builds the FULL pairwise graph — provably-exact search
+    substrate for the correctness gate — and is hard-capped at
+    COMPLETE_GRAPH_CAP nodes (raises, never OOMs).
+
+    Returns the meta dict (including per-round convergence counts: how many
+    edges each NN-Descent round replaced — the build's lineage signal).
+    """
+    spark = embeddings.sparkSession
+    nodes = _nodes(embeddings, id_col, vec_col)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("knn_graph_build: empty input")
+    dim = int(nodes.select(F.size("v")).limit(1).collect()[0][0])
+    degree = min(degree, max(1, n - 1))
+
+    if complete:
+        if n > COMPLETE_GRAPH_CAP:
+            raise ValueError(
+                f"complete=True is the exactness verifier and is capped at "
+                f"{COMPLETE_GRAPH_CAP} nodes (got {n}); build the NN-Descent "
+                f"graph for real corpora"
+            )
+        ids = nodes.select(F.col("id").alias("src"))
+        pairs = ids.crossJoin(nodes.select(F.col("id").alias("dst"))).where(
+            F.col("src") != F.col("dst")
+        )
+        edges = _score_pairs(pairs, nodes)
+        degree = n - 1
+        conv = []
+    else:
+        seedp = _lsh_seed_pairs(nodes, bits, bands, bucket_cap, seed).unionByName(
+            _anchor_pairs(nodes, n_anchors, anchors_per_node, seed)
+        ).distinct()
+        edges = _top_degree(_score_pairs(seedp, nodes), degree).persist()
+        edges.count()  # materialize round 0
+        conv = []
+        for it in range(iters):
+            und = edges.select("src", "dst").unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            a = und.alias("a")
+            b = und.alias("b")
+            two_hop = (
+                a.join(b, F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            fresh = two_hop.join(
+                edges.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            wc = Window.partitionBy("src").orderBy(
+                F.xxhash64("dst", F.lit(seed + it))
+            )
+            fresh = (
+                fresh.withColumn("_r", F.row_number().over(wc))
+                .where(F.col("_r") <= cand_cap)
+                .drop("_r")
+            )
+            scored = _score_pairs(fresh, nodes)
+            new_edges = _top_degree(
+                edges.unionByName(scored), degree
+            ).localCheckpoint(eager=True)
+            replaced = new_edges.join(
+                edges.select("src", "dst"), ["src", "dst"], "left_anti"
+            ).count()
+            conv.append(int(replaced))
+            edges.unpersist()
+            edges = new_edges
+            if replaced == 0:
+                break
+
+    n_parts = max(1, min(32, n // 4096 + 1))
+    (
+        nodes.repartitionByRange(n_parts, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{graph_dir}/nodes")
+    )
+    (
+        edges.repartitionByRange(n_parts, "src")
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite")
+        .parquet(f"{graph_dir}/edges")
+    )
+
+    entry = _medoid(nodes)
+    meta = {
+        "format": "knn-graph-v1",
+        "n": int(n),
+        "dim": dim,
+        "degree": int(degree),
+        "entry": int(entry),
+        "iters": len(conv),
+        "conv": conv,
+        "complete": bool(complete),
+        "seed": seed,
+    }
+    idxfs.write_bytes_atomic(
+        f"{graph_dir}/meta.json", json.dumps(meta, indent=1).encode()
+    )
+    _GRAPH_META_CACHE.pop(graph_dir, None)
+    return meta
+
+
+def _medoid(nodes: DataFrame) -> int:
+    """Entry point = medoid (the node whose vector best aligns with the
+    dataset mean) — cuVS's CAGRA->HNSW conversion uses the medoid as the
+    HNSW entry point. Mean via Arrow partial sums (one narrow pass, no
+    explode); argmax via one codegen'd scan + limit(1)."""
+    schema = T.StructType(
+        [
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {"s": [mat.sum(axis=0).tolist()], "c": [len(pdf)]}
+            )
+
+    parts = nodes.select("v").mapInPandas(partials, schema).collect()
+    if not parts:
+        raise ValueError("medoid of empty node set")
+    total = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    cnt = sum(int(r["c"]) for r in parts)
+    mean = (total / max(cnt, 1)).tolist()
+    m = _qlit([float(x) for x in mean])
+    row = (
+        nodes.select(
+            "id", (_dot(F.col("v"), m) / (_norm(F.col("v")) * _norm(m))).alias("c")
+        )
+        .orderBy(F.desc("c"), F.asc("id"))
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["id"])
+
+
+# meta is immutable once written and consulted on every query — same
+# economics as the IVF centroid cache / the FTS term-stats cache.
+_GRAPH_META_CACHE: dict[str, dict] = {}
+
+
+def _load_meta(graph_dir: str) -> dict:
+    if graph_dir not in _GRAPH_META_CACHE:
+        _GRAPH_META_CACHE[graph_dir] = json.loads(
+            idxfs.read_bytes(f"{graph_dir}/meta.json").decode()
+        )
+    return _GRAPH_META_CACHE[graph_dir]
+
+
+def graph_to_hnsw(spark, graph_dir: str, hnsw_dir: str) -> dict:
+    """Serialize the flat edge table into HNSW-style packed adjacency — the
+    analog of the reference's CAGRA->HNSW conversion (single-layer, medoid
+    entry, neighbors stored as a per-node ordered array exactly like
+    Lucene's HNSW neighbor arrays). The packed layout halves the hop scan:
+    one row per frontier node instead of `degree` edge rows.
+
+        <hnsw_dir>/graph/  (src, nbrs array<long>)  sorted by src
+        <hnsw_dir>/nodes/  (id, v)                  sorted by id
+        <hnsw_dir>/meta.json  {format: "hnsw-v1", ...}
+    """
+    meta = dict(_load_meta(graph_dir))
+    edges = spark.read.parquet(f"{graph_dir}/edges")
+    packed = (
+        edges.groupBy("src")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("dst")))
+                ),
+                lambda s: s["dst"],
+            ).alias("nbrs")
+        )
+    )
+    n_parts = max(1, min(32, meta["n"] // 4096 + 1))
+    (
+        packed.repartitionByRange(n_parts, "src")
+        .sortWithinPartitions("src")
+        .write.mode("overwrite")
+        .parquet(f"{hnsw_dir}/graph")
+    )
+    (
+        spark.read.parquet(f"{graph_dir}/nodes")
+        .repartitionByRange(n_parts, "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{hnsw_dir}/nodes")
+    )
+    meta["format"] = "hnsw-v1"
+    meta["source_graph"] = graph_dir
+    idxfs.write_bytes_atomic(
+        f"{hnsw_dir}/meta.json", json.dumps(meta, indent=1).encode()
+    )
+    _GRAPH_META_CACHE.pop(hnsw_dir, None)
+    return meta
+
+
+def _expand(spark, index_dir: str, fmt: str, frontier: list[int]) -> set[int]:
+    """One hop's neighbor fetch: a src-pruned scan (IN-filter pushdown over
+    the src-sorted parquet — row groups outside the frontier never load)."""
+    fl = [int(x) for x in frontier]
+    if fmt == "hnsw-v1":
+        rows = (
+            spark.read.parquet(f"{index_dir}/graph")
+            .where(F.col("src").isin(fl))
+            .select("nbrs")
+            .collect()
+        )
+        out: set[int] = set()
+        for r in rows:
+            out.update(int(x) for x in r["nbrs"])
+        return out
+    rows = (
+        spark.read.parquet(f"{index_dir}/edges")
+        .where(F.col("src").isin(fl))
+        .select("dst")
+        .distinct()
+        .collect()
+    )
+    return {int(r["dst"]) for r in rows}
+
+
+def _score_ids(spark, index_dir: str, ids: list[int], query: list[float]) -> dict:
+    """Score candidate ids against the query: id-pruned node scan + the SAME
+    codegen'd cosine expression the exact path uses (score parity with
+    cosine_topk by construction)."""
+    if not ids:
+        return {}
+    q = _qlit([float(x) for x in query])
+    rows = (
+        spark.read.parquet(f"{index_dir}/nodes")
+        .where(F.col("id").isin([int(x) for x in ids]))
+        .select(
+            "id",
+            (_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))).alias("c"),
+        )
+        .collect()
+    )
+    return {int(r["id"]): float(r["c"]) for r in rows}
+
+
+def graph_search(
+    spark,
+    index_dir: str,
+    query: list[float],
+    k: int = 10,
+    ef: int = 48,
+    max_hops: int = 12,
+    filter_cond=None,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Best-first beam search over the persisted graph (HNSW-search analog).
+
+    The driver holds only the beam (<= ef scored ids) and the visited set;
+    each hop is two pruned scans (adjacency, then new-node vectors). The
+    search expands every unexpanded beam member per hop — the batched
+    adaptation of HNSW's one-pop loop, trading a few extra scored candidates
+    for `max_hops` total Spark jobs instead of `ef` of them. Terminates when
+    the beam's top-ef is fully expanded (no unexpanded candidate can beat
+    the current worst beam member, HNSW's stop rule).
+
+    Filtering (filter_cond over the node-attribute table via ``accept_ids``
+    below, deletes anti-join) follows Lucene filtered-HNSW: traversal is
+    UNfiltered, acceptance applies at collection — so a filtered query never
+    strands in a masked-out region.
+
+    Returns (rank, id, score) exactly like cosine_topk — same rounding, same
+    tie-break — so the two surfaces are drop-in interchangeable.
+    """
+    meta = _load_meta(index_dir)
+    fmt = meta["format"]
+    entry = int(meta["entry"])
+
+    visited: dict[int, float] = {}
+    expanded: set[int] = set()
+    visited.update(_score_ids(spark, index_dir, [entry], query))
+    for _ in range(max_hops):
+        beam = sorted(visited.items(), key=lambda t: (-t[1], t[0]))[:ef]
+        frontier = [i for i, _ in beam if i not in expanded]
+        if not frontier:
+            break
+        expanded.update(frontier)
+        nbrs = _expand(spark, index_dir, fmt, frontier)
+        new = [i for i in nbrs if i not in visited]
+        visited.update(_score_ids(spark, index_dir, new, query))
+
+    # result assembly: re-rank the surviving pool through one Spark job that
+    # applies the acceptance mask and the exact path's rounding — identical
+    # output contract (and float behavior) to similarity.cosine_topk.
+    pool = sorted(visited.items(), key=lambda t: (-t[1], t[0]))
+    if filter_cond is None and deletes is None:
+        pool = pool[: max(4 * k, 100)]
+    ids = [int(i) for i, _ in pool]
+    q = _qlit([float(x) for x in query])
+    nodes = spark.read.parquet(f"{index_dir}/nodes").where(F.col("id").isin(ids))
+    from cuvs_lucene_spark.pipeline.similarity import _apply_vector_mask
+
+    nodes = _apply_vector_mask(nodes, "id", filter_cond, deletes)
+    d = nodes.select(
+        "id",
+        (_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))).alias("cos"),
+    )
+    topk = (
+        d.withColumn("score", F.round("cos", 6))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long"), F.col("id").cast("long"), "score"
+    )
+
+
+def graph_search_batch(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    ef: int = 48,
+    max_hops: int = 12,
+) -> DataFrame:
+    """Batched beam search: Q queries share every hop's scans (the adjacency
+    scan is pruned by the UNION of frontiers; candidate scoring ships each
+    node's vector once and scores it against exactly the queries that need
+    it, executor-side). Driver state stays <= Q·(ef + degree·frontier) ids.
+
+    Returns (qid, rank, id, score) — the batch analog of search_batch on the
+    FTS side.
+    """
+    meta = _load_meta(index_dir)
+    fmt = meta["format"]
+    entry = int(meta["entry"])
+    qmat = {int(qid): [float(x) for x in vec] for qid, vec in queries}
+
+    visited: dict[int, dict[int, float]] = {qid: {} for qid in qmat}
+    expanded: dict[int, set[int]] = {qid: set() for qid in qmat}
+    first = _score_pairs_batch(spark, index_dir, [(qid, entry) for qid in qmat], qmat)
+    for qid, i, s in first:
+        visited[qid][i] = s
+
+    for _ in range(max_hops):
+        frontiers: dict[int, list[int]] = {}
+        for qid in qmat:
+            beam = sorted(visited[qid].items(), key=lambda t: (-t[1], t[0]))[:ef]
+            frontiers[qid] = [i for i, _ in beam if i not in expanded[qid]]
+        union_frontier = sorted({i for f in frontiers.values() for i in f})
+        if not union_frontier:
+            break
+        nbr_map = _expand_map(spark, index_dir, fmt, union_frontier)
+        need: list[tuple[int, int]] = []
+        for qid, f in frontiers.items():
+            expanded[qid].update(f)
+            cand: set[int] = set()
+            for src in f:
+                cand.update(nbr_map.get(src, ()))
+            need.extend((qid, i) for i in cand if i not in visited[qid])
+        for qid, i, s in _score_pairs_batch(spark, index_dir, need, qmat):
+            visited[qid][i] = s
+
+    out = []
+    for qid in sorted(qmat):
+        pool = sorted(visited[qid].items(), key=lambda t: (-t[1], t[0]))[:k]
+        for rank, (i, s) in enumerate(pool, 1):
+            out.append((qid, rank, i, round(s, 6)))
+    return spark.createDataFrame(
+        out, "qid long, rank long, id long, score double"
+    )
+
+
+def _expand_map(
+    spark, index_dir: str, fmt: str, frontier: list[int]
+) -> dict[int, list[int]]:
+    fl = [int(x) for x in frontier]
+    if fmt == "hnsw-v1":
+        rows = (
+            spark.read.parquet(f"{index_dir}/graph")
+            .where(F.col("src").isin(fl))
+            .collect()
+        )
+        return {int(r["src"]): [int(x) for x in r["nbrs"]] for r in rows}
+    rows = (
+        spark.read.parquet(f"{index_dir}/edges")
+        .where(F.col("src").isin(fl))
+        .select("src", "dst")
+        .collect()
+    )
+    m: dict[int, list[int]] = {}
+    for r in rows:
+        m.setdefault(int(r["src"]), []).append(int(r["dst"]))
+    return m
+
+
+def _score_pairs_batch(
+    spark,
+    index_dir: str,
+    need: list[tuple[int, int]],
+    qmat: dict[int, list[float]],
+) -> list[tuple[int, int, float]]:
+    """Score (qid, id) pairs executor-side: id-pruned node scan broadcast-
+    joined to the tiny pair list; an Arrow kernel holding the (small) query
+    matrix computes each dot product. Collects scalar rows only."""
+    if not need:
+        return []
+    ids = sorted({i for _, i in need})
+    pairs = spark.createDataFrame(need, "qid long, id long")
+    nodes = spark.read.parquet(f"{index_dir}/nodes").where(
+        F.col("id").isin([int(x) for x in ids])
+    )
+    qarr = {qid: np.asarray(v, dtype=np.float64) for qid, v in qmat.items()}
+    qnorm = {qid: float(np.linalg.norm(v)) for qid, v in qarr.items()}
+
+    @F.pandas_udf("double")
+    def qcos(qid: pd.Series, v: pd.Series) -> pd.Series:
+        out = np.empty(len(qid), dtype=np.float64)
+        for j, (q, vec) in enumerate(zip(qid.to_numpy(), v.to_numpy())):
+            x = np.asarray(vec, dtype=np.float64)
+            out[j] = float(np.dot(x, qarr[int(q)])) / (
+                float(np.linalg.norm(x)) * qnorm[int(q)]
+            )
+        return pd.Series(out)
+
+    rows = (
+        nodes.join(F.broadcast(pairs), "id")
+        .select("qid", "id", qcos("qid", "v").alias("c"))
+        .collect()
+    )
+    return [(int(r["qid"]), int(r["id"]), float(r["c"])) for r in rows]
