@@ -66,10 +66,15 @@ COMPLETE_GRAPH_CAP = 4096
 
 
 def _nodes(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project to (id, v), dropping rows with NULL/empty vectors — the
+    reference's sparse-field handling (``TestCuVSGaps.java``: documents
+    without a vector simply have no graph ordinal; ord->doc mapping keeps
+    ids global). Our ids are the caller's ids, so the mapping is identity
+    and a gap row is just absent from nodes/."""
     return embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
 
 
 def _score_pairs(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -214,10 +219,11 @@ def knn_graph_build(
     edges each NN-Descent round replaced — the build's lineage signal).
     """
     spark = embeddings.sparkSession
+    n_input = embeddings.count()
     nodes = _nodes(embeddings, id_col, vec_col)
     n = nodes.count()
     if n == 0:
-        raise ValueError("knn_graph_build: empty input")
+        raise ValueError("knn_graph_build: empty input (or all vectors NULL)")
     dim = int(nodes.select(F.size("v")).limit(1).collect()[0][0])
     degree = min(degree, max(1, n - 1))
 
@@ -305,6 +311,9 @@ def knn_graph_build(
         "conv": conv,
         "complete": bool(complete),
         "seed": seed,
+        # gap accounting (TestCuVSGaps analog): rows whose vector column was
+        # NULL/empty hold no graph node; ids stay global so no ord remap.
+        "n_gaps": int(n_input - n),
     }
     idxfs.write_bytes_atomic(
         f"{graph_dir}/meta.json", json.dumps(meta, indent=1).encode()
