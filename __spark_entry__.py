@@ -2377,6 +2377,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    def decontam_ngram(s, d):
+        """Benchmark decontamination (GPT-3/PaLM-style n-gram collision):
+        the eval set is the deterministic doc_id%97==0 split of documents;
+        every other doc sharing >=1 word 3-gram with it is reported with
+        its distinct-collision count and windows fraction."""
+        from cuvs_lucene_spark.pipeline.decontam import contamination_report
+
+        docs = _docs(s, d)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        return contamination_report(corpus, bench, n=3).orderBy("doc_id")
+
+    q["decontam_ngram"] = decontam_ngram
+
     def dedup_components(s, d):
         """Near-dup pairs → transitive dedup GROUPS (the stage a training
         pipeline needs to actually drop duplicates): min-label propagation
@@ -3668,6 +3682,11 @@ FROM sigs
         "documents", n=3, threshold=0.5
     )
     o["dedup_simhash"] = _dd.simhash_pairs_sql("documents", n=3, max_hamming=3)
+    from cuvs_lucene_spark.pipeline import decontam as _dc
+
+    o["decontam_ngram"] = _dc.contamination_report_sql(
+        "documents", "doc_id % 97 = 0", n=3
+    )
     # LSH pairs == exact Jaccard pairs on this corpus (pinned by the
     # dedup_minhash_lsh gate above), so the closure over the exact pair set
     # is the closure over the LSH pair set.

@@ -452,3 +452,63 @@ class TestVectorFilteredAndLifecycle:
             spark.createDataFrame(base + drift, "vec_id long, embedding array<float>"),
             qv, 5).collect()}
         assert got == exact
+
+
+class TestDecontam:
+    """Benchmark decontamination: engine==DuckDB parity on the test corpus,
+    plus planted-contamination semantics the oracle can't see."""
+
+    def test_report_matches_duckdb(self, spark, docs):
+        import duckdb
+
+        from cuvs_lucene_spark.pipeline import decontam as DC
+
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        corpus = docs.where(F.col("doc_id") % 97 != 0)
+        got = {
+            (r["doc_id"], r["n_hit"], r["n_windows"], round(r["contam_frac"], 6))
+            for r in DC.contamination_report(corpus, bench, n=3).collect()
+        }
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'"
+        )
+        want = {
+            (r[0], r[1], r[2], round(r[3], 6))
+            for r in con.sql(
+                DC.contamination_report_sql("documents", "doc_id % 97 = 0", n=3)
+            ).fetchall()
+        }
+        assert got == want and len(got) > 0
+
+    def test_planted_contamination_dropped(self, spark):
+        from cuvs_lucene_spark.pipeline import decontam as DC
+
+        bench = spark.createDataFrame(
+            [(0, "what is the capital of france paris obviously")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # verbatim 8-gram from the benchmark -> contaminated
+                (10, "quiz leak: what is the capital of france paris obviously yes"),
+                # shares words but no 8-gram window -> clean
+                (11, "paris france capital the of is what obviously reordered"),
+                (12, "entirely unrelated text about posting lists and bm25"),
+                (13, None),
+            ],
+            "doc_id long, text string",
+        )
+        rep = {r["doc_id"]: r["n_hit"]
+               for r in DC.contamination_report(corpus, bench, n=8).collect()}
+        assert 10 in rep and rep[10] >= 1
+        assert 11 not in rep and 12 not in rep and 13 not in rep
+
+        kept = {r["doc_id"]
+                for r in DC.decontaminate(corpus, bench, n=8).collect()}
+        assert kept == {11, 12, 13}
+        # threshold: allow up to the planted doc's hit count -> nothing dropped
+        kept_all = {r["doc_id"] for r in DC.decontaminate(
+            corpus, bench, n=8, max_hits=rep[10]).collect()}
+        assert kept_all == {10, 11, 12, 13}
