@@ -2391,6 +2391,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_ngram"] = decontam_ngram
 
+    def pii_scrub(s, d):
+        """PII detection + redaction over a deterministic PII-bearing text
+        synthesized from doc_id/text (both engines build the IDENTICAL
+        string via the shared SQL expression, then scrub it): per-kind
+        counts + fully-redacted text, all pure JVM regex expressions."""
+        from cuvs_lucene_spark.pipeline.pii import (
+            redact_pii,
+            synth_pii_text_sql,
+            with_pii_counts,
+        )
+
+        docs = _docs(s, d).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.expr(synth_pii_text_sql()).alias("pii_text"),
+        )
+        out = redact_pii(with_pii_counts(docs, "pii_text"), "pii_text", "redacted")
+        return out.select(
+            "doc_id",
+            *[F.col(f"pii_{k}").cast("long").alias(f"pii_{k}")
+              for k in ("email", "ipv4", "ssn", "phone")],
+            F.col("pii_total").cast("long").alias("pii_total"),
+            "redacted",
+        ).orderBy("doc_id")
+
+    q["pii_scrub"] = pii_scrub
+
     def dedup_components(s, d):
         """Near-dup pairs → transitive dedup GROUPS (the stage a training
         pipeline needs to actually drop duplicates): min-label propagation
@@ -3687,6 +3713,22 @@ FROM sigs
     o["decontam_ngram"] = _dc.contamination_report_sql(
         "documents", "doc_id % 97 = 0", n=3
     )
+    from cuvs_lucene_spark.pipeline import pii as _pii
+
+    _pc = _pii.pii_counts_sql("pii_text")
+    o["pii_scrub"] = f"""
+WITH p AS (
+  SELECT doc_id, {_pii.synth_pii_text_sql()} AS pii_text FROM documents
+)
+SELECT doc_id,
+       CAST({_pc["pii_email"]} AS BIGINT) AS pii_email,
+       CAST({_pc["pii_ipv4"]} AS BIGINT) AS pii_ipv4,
+       CAST({_pc["pii_ssn"]} AS BIGINT) AS pii_ssn,
+       CAST({_pc["pii_phone"]} AS BIGINT) AS pii_phone,
+       CAST({_pc["pii_total"]} AS BIGINT) AS pii_total,
+       {_pii.redact_sql("pii_text")} AS redacted
+FROM p ORDER BY doc_id
+"""
     # LSH pairs == exact Jaccard pairs on this corpus (pinned by the
     # dedup_minhash_lsh gate above), so the closure over the exact pair set
     # is the closure over the LSH pair set.

@@ -512,3 +512,63 @@ class TestDecontam:
         kept_all = {r["doc_id"] for r in DC.decontaminate(
             corpus, bench, n=8, max_hits=rep[10]).collect()}
         assert kept_all == {10, 11, 12, 13}
+
+
+class TestPII:
+    """PII scrub: Java-regex (Spark) vs RE2 (DuckDB) parity on adversarial
+    strings, plus count/redaction semantics."""
+
+    CASES = [
+        (0, "mail me at a.b+c_d%e@sub.example.co.uk or root@x.io today"),
+        (1, "phones 555-123-4567 and 555.123.4567 but not 55-123-4567"),
+        (2, "ip 192.168.0.1 then 10.0.0.255, and 555-123-4567 mixed"),
+        (3, "ssn 123-45-6789 is not a phone; 123-456-7890 is"),
+        (4, "no pii here just words and numbers 12345 6789"),
+        (5, None),
+        (6, ""),
+        (7, "edge:999.999.999.999 email@@double.com x@y.z a@b.cd"),
+        (8, "adjacent 1.2.3.4 5.6.7.8 emails a@b.com c@d.org"),
+    ]
+
+    def _spark_rows(self, spark):
+        from cuvs_lucene_spark.pipeline import pii as P
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        out = P.redact_pii(P.with_pii_counts(df), "text", "redacted")
+        cols = ["doc_id", "pii_email", "pii_ipv4", "pii_ssn", "pii_phone",
+                "pii_total", "redacted"]
+        return sorted(tuple(r[c] for c in cols) for r in out.collect())
+
+    def test_matches_duckdb_on_adversarial_strings(self, spark):
+        import duckdb
+
+        from cuvs_lucene_spark.pipeline import pii as P
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", self.CASES)
+        c = P.pii_counts_sql("text")
+        want = sorted(
+            tuple(r) for r in con.sql(f"""
+SELECT doc_id, {c['pii_email']} AS pii_email, {c['pii_ipv4']} AS pii_ipv4,
+       {c['pii_ssn']} AS pii_ssn, {c['pii_phone']} AS pii_phone,
+       {c['pii_total']} AS pii_total, {P.redact_sql('text')} AS redacted
+FROM t""").fetchall()
+        )
+        got = self._spark_rows(spark)
+        assert [g[:6] for g in got] == [w[:6] for w in want]  # counts
+        assert got == want  # redacted text too
+
+    def test_redaction_semantics(self, spark):
+        from cuvs_lucene_spark.pipeline import pii as P
+
+        df = spark.createDataFrame(
+            [(0, "write a@b.com or call 555-123-4567 from 1.2.3.4 ssn 123-45-6789")],
+            "doc_id long, text string",
+        )
+        r = P.redact_pii(P.with_pii_counts(df)).collect()[0]
+        assert r["pii_email"] == r["pii_phone"] == r["pii_ipv4"] == r["pii_ssn"] == 1
+        assert r["pii_total"] == 4
+        assert r["text_redacted"] == (
+            "write <EMAIL> or call <PHONE> from <IP> ssn <SSN>"
+        )
