@@ -2417,6 +2417,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    def sample_stratified(s, d):
+        """Deterministic stratified sampling + train/val/test split: per-lang
+        hash-Bernoulli rates over a portable integer hash (membership a pure
+        function of doc_id — rerun/repartition/append stable), split labels
+        from cumulative hash ranges. Scan-speed JVM predicates only."""
+        from cuvs_lucene_spark.pipeline.sampling import (
+            stratified_sample,
+            with_split,
+        )
+
+        docs = _docs(s, d)
+        out = with_split(
+            stratified_sample(
+                docs, {"en": 0.9, "es": 0.5, "de": 0.25},
+                strata_col="lang", default_rate=0.1,
+            )
+        )
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "split"
+        ).orderBy("doc_id")
+
+    q["sample_stratified"] = sample_stratified
+
     def dedup_components(s, d):
         """Near-dup pairs → transitive dedup GROUPS (the stage a training
         pipeline needs to actually drop duplicates): min-label propagation
@@ -3728,6 +3751,18 @@ SELECT doc_id,
        CAST({_pc["pii_total"]} AS BIGINT) AS pii_total,
        {_pii.redact_sql("pii_text")} AS redacted
 FROM p ORDER BY doc_id
+"""
+    from cuvs_lucene_spark.pipeline import sampling as _sp
+
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang, {_sp.with_split_sql()} AS split
+FROM ({_sp.stratified_sample_sql(
+        "documents",
+        {"en": 0.9, "es": 0.5, "de": 0.25},
+        strata_col="lang",
+        default_rate=0.1,
+    )})
+ORDER BY doc_id
 """
     # LSH pairs == exact Jaccard pairs on this corpus (pinned by the
     # dedup_minhash_lsh gate above), so the closure over the exact pair set

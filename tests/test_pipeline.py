@@ -572,3 +572,63 @@ FROM t""").fetchall()
         assert r["text_redacted"] == (
             "write <EMAIL> or call <PHONE> from <IP> ssn <SSN>"
         )
+
+
+class TestSampling:
+    """Deterministic sampling/mixture: membership is a pure function of the
+    id (rerun/append/repartition stable), mixture rates hit the target
+    proportions, splits are exhaustive and stable."""
+
+    def test_membership_stable_under_repartition_and_append(self, spark):
+        from cuvs_lucene_spark.pipeline import sampling as SP
+
+        base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in SP.deterministic_sample(base, 0.3).collect()}
+        b = {r["doc_id"] for r in
+             SP.deterministic_sample(base.repartition(13), 0.3).collect()}
+        assert a == b
+        grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        c = {r["doc_id"] for r in SP.deterministic_sample(grown, 0.3).collect()}
+        assert {x for x in c if x < 2000} == a  # old docs keep their fate
+        assert abs(len(a) / 2000 - 0.3) < 0.05  # rate roughly honored
+
+    def test_mixture_rates_rebalance(self, spark):
+        from cuvs_lucene_spark.pipeline import sampling as SP
+
+        rows = ([(i, "web") for i in range(900)]
+                + [(i + 1000, "code") for i in range(90)]
+                + [(i + 2000, "books") for i in range(10)])
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        # target 50/30/20 -> books (10 docs, weight .2) binds: total = 50
+        rates = SP.mixture_rates(docs, {"web": 5, "code": 3, "books": 2})
+        assert rates["books"] == 1.0
+        assert abs(rates["web"] - 25 / 900) < 1e-9
+        assert abs(rates["code"] - 15 / 90) < 1e-9
+        # explicit total caps below availability
+        r2 = SP.mixture_rates(docs, {"web": 1, "code": 1}, total_target=100)
+        assert abs(r2["web"] - 50 / 900) < 1e-9 and abs(r2["code"] - 50 / 90) < 1e-9
+        sampled = SP.sample_mixture(docs, {"web": 5, "code": 3, "books": 2})
+        by = {r["source"]: r["n"] for r in
+              sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by.get("books") == 10  # binding stratum kept whole
+        with pytest.raises(ValueError):
+            SP.mixture_rates(docs, {"web": 1, "absent": 1})
+
+    def test_split_exhaustive_and_sized(self, spark):
+        from cuvs_lucene_spark.pipeline import sampling as SP
+
+        docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = SP.with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        by = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(by) == {"train", "val", "test"} and sum(by.values()) == 5000
+        assert abs(by["train"] / 5000 - 0.8) < 0.03
+        # same doc -> same split when the corpus doubles
+        small = {r["doc_id"]: r["split"] for r in out.collect()}
+        big = SP.with_split(
+            spark.range(0, 10000).withColumnRenamed("id", "doc_id"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        for r in big.collect():
+            if r["doc_id"] in small:
+                assert small[r["doc_id"]] == r["split"]
