@@ -2440,6 +2440,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified"] = sample_stratified
 
+    def textstats_repetition(s, d):
+        """Gopher/C4-style repetition signals (dup-line fraction, dup/top
+        bigram and dup 5-gram window fractions) in one vectorized Arrow
+        pass — the degenerate-boilerplate detectors of a quality stack."""
+        from cuvs_lucene_spark.pipeline.textstats import with_repetition
+
+        return with_repetition(_docs(s, d)).orderBy("doc_id")
+
+    q["textstats_repetition"] = textstats_repetition
+
     def dedup_components(s, d):
         """Near-dup pairs → transitive dedup GROUPS (the stage a training
         pipeline needs to actually drop duplicates): min-label propagation
@@ -3752,6 +3762,7 @@ SELECT doc_id,
        {_pii.redact_sql("pii_text")} AS redacted
 FROM p ORDER BY doc_id
 """
+    o["textstats_repetition"] = _ts.repetition_report_sql("documents")
     from cuvs_lucene_spark.pipeline import sampling as _sp
 
     o["sample_stratified"] = f"""

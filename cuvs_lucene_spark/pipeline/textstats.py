@@ -290,3 +290,215 @@ def fingerprint_sql(text: str) -> str:
         f"ch -> cast(ascii(ch) AS bigint))), "
         f"(a, b) -> (a*31 + b) % {_FP_MOD}), 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A1.1 / C4-style quality rules, from the
+# published descriptions): duplicate-line fraction, duplicate n-gram window
+# fractions, top-bigram dominance. The canonical "document is degenerate
+# boilerplate" detectors of a pretraining filter stack.
+# ---------------------------------------------------------------------------
+
+_TRIM_CHARS = " \t\r"
+
+
+def _round6_half_up(x):
+    """Half-up rounding to 6 places — matches Spark F.round / DuckDB round
+    for the non-negative ratios produced here (numpy's default would bank)."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def with_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition report:
+      (id, n_lines, frac_dup_lines, frac_dup_bigram, frac_top_bigram,
+       frac_dup_5gram)
+    where frac_dup_lines = 1 - distinct/total over trimmed non-empty lines,
+    frac_dup_{n}gram = 1 - distinct/total over word n-gram WINDOWS, and
+    frac_top_bigram = occurrences of the most frequent bigram / windows
+    (all 0.0 when the doc has no lines/windows; NULL text = empty).
+
+    ONE fully-vectorized Arrow pass (the `_shingle_rows` machinery shape):
+    tokens stay dictionary-encoded; every per-doc statistic is an np.unique
+    / bincount segment reduction — no per-doc Python. Narrow scan, no
+    shuffle: at 100 TB this runs at tokenizer speed like the rest of the
+    textstats family.
+    """
+    from cuvs_lucene_spark.analysis import TOKEN_PATTERN
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def per_doc_window_stats(codes, doc_of, n, n_docs):
+            """(total, distinct, top_count) int64 arrays per doc for word
+            n-gram windows (dictionary codes, flat across the batch)."""
+            total = np.zeros(n_docs, dtype=np.int64)
+            dist = np.zeros(n_docs, dtype=np.int64)
+            top = np.zeros(n_docs, dtype=np.int64)
+            g = codes.size - n + 1
+            if g <= 0:
+                return total, dist, top
+            valid = doc_of[:g] == doc_of[n - 1:]
+            if not valid.any():
+                return total, dist, top
+            rows = np.empty((int(valid.sum()), n + 1), dtype=np.int64)
+            rows[:, 0] = doc_of[:g][valid]
+            for i in range(n):
+                rows[:, i + 1] = codes[i: i + g][valid]
+            np.add.at(total, rows[:, 0], 1)
+            v = np.ascontiguousarray(rows).view(
+                np.dtype((np.void, rows.dtype.itemsize * rows.shape[1]))
+            ).ravel()
+            _, first, counts = np.unique(v, return_index=True, return_counts=True)
+            udoc = rows[first, 0]
+            np.add.at(dist, udoc, 1)
+            np.maximum.at(top, udoc, counts)
+            return total, dist, top
+
+        def frac(num, den):
+            out = np.zeros(den.shape, dtype=np.float64)
+            nz = den > 0
+            out[nz] = _round6_half_up(num[nz] / den[nz])
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_docs = len(pdf)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            texts = pa.array(pdf[text_col], type=pa.string(), from_pandas=True)
+
+            # -- lines ------------------------------------------------------
+            line_list = pc.split_pattern(
+                pc.fill_null(texts, ""), pattern="\n"
+            )
+            ln = pc.list_value_length(line_list).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), ln)
+            flat_lines = pc.utf8_trim(
+                pc.list_flatten(line_list), characters=_TRIM_CHARS
+            )
+            keep = pc.not_equal(flat_lines, "").to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            ldoc = ldoc[keep]
+            lcodes = pc.dictionary_encode(
+                flat_lines.filter(pa.array(keep))
+            ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n_lines = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(n_lines, ldoc, 1)
+            dist_lines = np.zeros(n_docs, dtype=np.int64)
+            if ldoc.size:
+                pair = ldoc * (lcodes.max() + 1) + lcodes
+                _, first = np.unique(pair, return_index=True)
+                np.add.at(dist_lines, ldoc[first], 1)
+
+            # -- token windows ---------------------------------------------
+            tok_list = pc.split_pattern_regex(pc.utf8_lower(texts), TOKEN_PATTERN)
+            n_tok = pc.fill_null(pc.list_value_length(tok_list), 0)
+            n_tok = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+            flat = pc.list_flatten(tok_list)
+            tkeep = pc.not_equal(flat, "").to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            doc_of = doc_of[tkeep]
+            codes = pc.dictionary_encode(
+                flat.filter(pa.array(tkeep))
+            ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+            t2, d2, top2 = per_doc_window_stats(codes, doc_of, 2, n_docs)
+            t5, d5, _ = per_doc_window_stats(codes, doc_of, 5, n_docs)
+
+            yield pd.DataFrame({
+                "id": ids,
+                "n_lines": n_lines,
+                "frac_dup_lines": frac(n_lines - dist_lines, n_lines),
+                "frac_dup_bigram": frac(t2 - d2, t2),
+                "frac_top_bigram": frac(top2, t2),
+                "frac_dup_5gram": frac(t5 - d5, t5),
+            })
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        "id long, n_lines long, frac_dup_lines double, frac_dup_bigram double,"
+        " frac_top_bigram double, frac_dup_5gram double",
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+def repetition_report_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of with_repetition (full query, ORDER BY id)."""
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(coalesce({text_col},'')),"
+        f" '[^a-z0-9]+'), t -> t <> '')"
+    )
+    trim = "' ' || chr(9) || chr(13)"
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n} + 2), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks,
+         list_filter(
+           list_transform(string_split(coalesce({text_col},''), chr(10)),
+                          s -> trim(s, {trim})),
+           s -> s <> '') AS lines
+  FROM {table}
+),
+g AS (SELECT id, {grams(2)} AS g2, {grams(5)} AS g5, lines FROM base),
+u2 AS (SELECT id, gx, count(*) AS c
+       FROM (SELECT id, unnest(g2) AS gx FROM g) GROUP BY id, gx),
+a2 AS (SELECT id, sum(c) AS total, count(*) AS dist, max(c) AS top
+       FROM u2 GROUP BY id),
+u5 AS (SELECT id, gx, count(*) AS c
+       FROM (SELECT id, unnest(g5) AS gx FROM g) GROUP BY id, gx),
+a5 AS (SELECT id, sum(c) AS total, count(*) AS dist FROM u5 GROUP BY id)
+SELECT g.id AS {id_col},
+       CAST(len(g.lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(g.lines) > 0 THEN
+         round(1.0 - CAST(len(list_distinct(g.lines)) AS DOUBLE)/len(g.lines), 6)
+       ELSE 0.0 END AS frac_dup_lines,
+       coalesce(round((a2.total - a2.dist) / CAST(a2.total AS DOUBLE), 6), 0.0)
+         AS frac_dup_bigram,
+       coalesce(round(a2.top / CAST(a2.total AS DOUBLE), 6), 0.0)
+         AS frac_top_bigram,
+       coalesce(round((a5.total - a5.dist) / CAST(a5.total AS DOUBLE), 6), 0.0)
+         AS frac_dup_5gram
+FROM g LEFT JOIN a2 USING (id) LEFT JOIN a5 USING (id)
+ORDER BY {id_col}
+"""
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_lines: float = 0.30,
+    max_top_bigram: float = 0.20,
+    max_dup_5gram: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop degenerate-repetition docs (Gopher-style thresholds, from the
+    published rule shapes; tune per corpus). Anti-joins the tiny flagged-id
+    set back onto the source rows."""
+    rep = with_repetition(docs, id_col, text_col)
+    bad = rep.where(
+        (F.col("frac_dup_lines") > max_dup_lines)
+        | (F.col("frac_top_bigram") > max_top_bigram)
+        | (F.col("frac_dup_5gram") > max_dup_5gram)
+    ).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

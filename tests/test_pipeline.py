@@ -632,3 +632,62 @@ class TestSampling:
         for r in big.collect():
             if r["doc_id"] in small:
                 assert small[r["doc_id"]] == r["split"]
+
+
+class TestRepetition:
+    """Repetition signals on planted degenerate docs (the gate corpus has no
+    newlines, so line-level signals are pinned here), plus DuckDB parity on
+    multi-line text and the filter's drop semantics."""
+
+    ROWS = [
+        (0, "spam line\nspam line\nspam line\nreal content here"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "buy now buy now buy now buy now buy now"),
+        (3, "one two three four five one two three four five"),
+        (4, "short"),
+        (5, None),
+        (6, "  \n\t\n  "),  # whitespace-only lines -> 0 lines
+    ]
+
+    def test_signal_values(self, spark):
+        from cuvs_lucene_spark.pipeline import textstats as TS
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        r = {x["doc_id"]: x for x in TS.with_repetition(df).collect()}
+        assert r[0]["n_lines"] == 4 and abs(r[0]["frac_dup_lines"] - 0.5) < 1e-9
+        assert r[1]["frac_dup_bigram"] == 0.0 and r[1]["frac_top_bigram"] > 0
+        # "buy now" x5 + "now buy" x4 over 9 windows -> dup frac 7/9, top 5/9
+        assert abs(r[2]["frac_dup_bigram"] - 7 / 9) < 1e-6
+        assert abs(r[2]["frac_top_bigram"] - 5 / 9) < 1e-6
+        # 10 tokens: 6 5-gram windows, "one two three four five" twice
+        assert abs(r[3]["frac_dup_5gram"] - 1 / 6) < 1e-6
+        assert r[4]["frac_dup_bigram"] == 0.0  # no windows
+        assert r[5]["n_lines"] == 0 and r[5]["frac_dup_lines"] == 0.0
+        assert r[6]["n_lines"] == 0
+
+    def test_matches_duckdb_multiline(self, spark):
+        import duckdb
+
+        from cuvs_lucene_spark.pipeline import textstats as TS
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        cols = ["doc_id", "n_lines", "frac_dup_lines", "frac_dup_bigram",
+                "frac_top_bigram", "frac_dup_5gram"]
+        got = sorted(tuple(r[c] for c in cols)
+                     for r in TS.with_repetition(df).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", self.ROWS)
+        want = sorted(tuple(r) for r in
+                      con.sql(TS.repetition_report_sql("t")).fetchall())
+        assert got == want
+
+    def test_filter_drops_degenerate(self, spark):
+        from cuvs_lucene_spark.pipeline import textstats as TS
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        kept = {r["doc_id"] for r in TS.repetition_filter(
+            df, max_dup_lines=0.3, max_top_bigram=0.2, max_dup_5gram=0.15,
+        ).collect()}
+        assert 0 not in kept and 2 not in kept and 3 not in kept
+        assert {1, 4, 5, 6} <= kept
