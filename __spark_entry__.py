@@ -1892,6 +1892,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_term_vectors"] = term_vectors_q
 
+    def sigterms_q(s, d):
+        """Significant terms (ES significant_terms / JLH): foreground = the
+        top-25 docs of an OR query, fg_df counted from the inverted index
+        (block-range-pruned decode), bg_df from the dictionary."""
+        from cuvs_lucene_spark.sigterms import significant_terms
+
+        idx = _index_for(s, d)
+        return significant_terms(
+            s, idx, "merge sort join", fg_k=25, top_terms=15, float32=False
+        )
+
+    q["fts_sigterms"] = sigterms_q
+
     def rescore_q(s: SparkSession, d: str) -> DataFrame:
         # QueryRescorer analog: broad OR first pass (window 30) re-ranked by
         # a conjunctive second query at double weight
@@ -3544,6 +3557,31 @@ SELECT term, cast(count(*) AS bigint) AS tf,
        string_agg(cast(pos AS varchar), ',' ORDER BY pos) AS positions
 FROM tokpos JOIN sel USING (doc_id)
 GROUP BY term ORDER BY term
+"""
+    _sig_ex = ", ".join(f"'{t}'" for t in sorted({"merge", "sort", "join"}))
+    o["fts_sigterms"] = f"""{_ORACLE_PREFIX},
+{_scores_cte(["merge", "sort", "join"], "or", "")},
+fg AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 25),
+fgn AS (SELECT count(*) AS n FROM fg),
+fgterm AS (
+  SELECT tf.term, count(*) AS fg_df
+  FROM tf JOIN fg USING (doc_id)
+  WHERE tf.term NOT IN ({_sig_ex})
+  GROUP BY tf.term
+),
+bg AS (
+  SELECT term, count(*) AS bg_df FROM tf
+  WHERE term IN (SELECT term FROM fgterm) GROUP BY term
+)
+SELECT f.term AS term, CAST(f.fg_df AS BIGINT) AS fg_df,
+       CAST(b.bg_df AS BIGINT) AS bg_df,
+       round((CAST(f.fg_df AS DOUBLE) / (SELECT n FROM fgn)
+              - CAST(b.bg_df AS DOUBLE) / (SELECT n_docs FROM stats))
+             * (CAST(f.fg_df AS DOUBLE) / (SELECT n FROM fgn))
+             / (CAST(b.bg_df AS DOUBLE) / (SELECT n_docs FROM stats)), 6)
+         AS score
+FROM fgterm f JOIN bg b USING (term)
+ORDER BY score DESC, term ASC LIMIT 15
 """
     o["fts_topk_rescore"] = _oracle_rescore_sql(
         ["merge", "sort", "join"], "or", ["merge", "sort"], "and",
