@@ -2549,6 +2549,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_facet_role"] = fts_facet_role
 
+    def fts_drill_sideways(s, d):
+        """DrillSideways analog: per-dim facet counts with that dim's own
+        drill-down removed but every other dim's applied — one match-set
+        pass, one doc_dim semi-join, one exploded hash aggregate."""
+        from cuvs_lucene_spark.query import drill_sideways
+
+        return drill_sideways(
+            s, _index_for(s, d), "merge sort join",
+            dims={"role": ["user", "assistant"],
+                  "turn_idx": [0, 1, 2, 3, 4, 5, 6, 7]},
+        ).select("dim", "facet", F.col("n_docs").cast("long"))
+
+    q["fts_drill_sideways"] = fts_drill_sideways
+
     def fts_facet_pivot(s, d):
         """Pivot facet (taxonomy multi-level dimension / Solr facet.pivot
         analog): per-(role, tool) live-doc match counts over an OR query's
@@ -3623,6 +3637,22 @@ SELECT d.role AS facet, cast(count(DISTINCT t.doc_id) AS bigint) AS n_docs
 FROM tf t JOIN dlq d ON t.doc_id = d.doc_id
 WHERE t.term IN ('merge', 'sort', 'join')
 GROUP BY d.role ORDER BY n_docs DESC, facet ASC
+"""
+    o["fts_drill_sideways"] = f"""{_ORACLE_PREFIX},
+mset AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge', 'sort', 'join')
+),
+m AS (
+  SELECT d.doc_id, d.role, d.turn_idx
+  FROM dlq d JOIN mset USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 'role' AS dim, role AS facet, cast(count(*) AS bigint) AS n_docs
+  FROM m WHERE turn_idx IN (0,1,2,3,4,5,6,7) GROUP BY role
+  UNION ALL
+  SELECT 'turn_idx', cast(turn_idx AS varchar), cast(count(*) AS bigint)
+  FROM m WHERE role IN ('user','assistant') GROUP BY turn_idx
+) ORDER BY dim ASC, n_docs DESC, facet ASC
 """
     o["fts_facet_pivot"] = f"""{_ORACLE_PREFIX},
 mset AS (

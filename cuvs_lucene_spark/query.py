@@ -1228,6 +1228,89 @@ def facet_ranges(
     ).select(F.col("facet"), F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def drill_down(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dims: dict[str, list],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Lucene ``DrillDownQuery`` analog: the base query with every dimension
+    constraint applied (each dim an OR over its allowed values, dims ANDed),
+    compiled onto search()'s filter_cond — the exact pre-filter semi-join
+    (Q2), not post-filtering."""
+    cond = None
+    for d, vals in sorted(dims.items()):
+        c = F.col(d).isin(list(vals))
+        cond = c if cond is None else (cond & c)
+    extra = kwargs.pop("filter_cond", None)
+    if extra is not None:
+        ec = F.expr(extra) if isinstance(extra, str) else extra
+        cond = ec if cond is None else (cond & ec)
+    return search(spark, index_dir, query, k=k, filter_cond=cond, **kwargs)
+
+
+def drill_sideways(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    dims: dict[str, list],
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    reader: IndexReader | None = None,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+) -> DataFrame:
+    """Lucene ``DrillSideways`` analog: for every drill-down dimension,
+    facet counts computed with THAT dimension's own constraint removed but
+    every other dimension's applied — the "what else could I have picked"
+    counts a faceted-search UI shows next to the drill-down hits
+    (which `drill_down` returns). Returns (dim, facet, n_docs) ordered by
+    dim asc, n_docs desc, facet asc; facet values cast to string for a
+    uniform schema across dimensions.
+
+    Plan shape at scale: ONE match-set computation (bucket+term-pruned scan
+    → distinct doc_ids), ONE doc_dim semi-join, then every dimension's
+    sideways counts in a SINGLE pass — each row explodes into one
+    (dim, value, passes-other-dims) struct per dimension (|dims| is tiny),
+    and one hash aggregate on (dim, value) bounds the output by total
+    category cardinality. The match set is never recomputed per dim (the
+    trap in a naive N-query implementation — and the reason Lucene built
+    DrillSideways as one collector pass instead of N queries)."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    rd = reader or IndexReader(spark, index_dir)
+    ids = _match_doc_ids_df(
+        spark, rd, query, mode, filter_cond, field, exclude, msm
+    )
+    if ids is None or not rd.manifest["segments"]:
+        return spark.createDataFrame([], "dim string, facet string, n_docs long")
+    passes = {d: F.col(d).isin(list(v)) for d, v in dims.items()}
+    structs = []
+    for d in sorted(dims):
+        ok = F.lit(True)
+        for o in dims:
+            if o != d:
+                ok = ok & passes[o]
+        structs.append(
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.col(d).cast("string").alias("facet"),
+                ok.alias("ok"),
+            )
+        )
+    dd = rd.cat.read_doc_dim(spark).join(ids, "doc_id", "left_semi")
+    return (
+        dd.select(F.explode(F.array(*structs)).alias("x"))
+        .where(F.col("x.ok"))
+        .groupBy(F.col("x.dim").alias("dim"), F.col("x.facet").alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.asc("dim"), F.desc("n_docs"), F.asc("facet"))
+    )
+
+
 def facet_pivot(
     spark: SparkSession,
     index_dir: str,

@@ -585,3 +585,62 @@ def test_pruned_query_leaves_no_cache(spark, tiny_index):
         search(spark, tiny_index, "world school", k=5, prune=True).collect()
         search(spark, tiny_index, "zzzzqqqq", k=5, prune=True).collect()  # early return
     assert persistent_ids() <= before
+
+
+def test_drill_sideways_matches_per_dim_facets(spark, tiny_index):
+    """DrillSideways == per-dim facet_counts with every OTHER dim's
+    constraint as filter_cond (the N-query spec the one-pass plan replaces);
+    drill_down == search with the combined AND filter."""
+    from cuvs_lucene_spark.query import (
+        drill_down,
+        drill_sideways,
+        facet_counts,
+        search,
+    )
+
+    q = "world school"
+    dims = {"role": ["user", "tool"], "turn_idx": [0, 1, 2, 3, 4]}
+    got = drill_sideways(spark, tiny_index, q, dims=dims).collect()
+    by_dim: dict = {}
+    for r in got:
+        by_dim.setdefault(r["dim"], {})[r["facet"]] = r["n_docs"]
+
+    # spec: for each dim, facet over match set filtered by the other dims
+    role_spec = {
+        r["facet"]: r["n_docs"]
+        for r in facet_counts(
+            spark, tiny_index, q, facet="role",
+            filter_cond=F.col("turn_idx").isin([0, 1, 2, 3, 4]),
+        ).collect()
+    }
+    turn_spec = {
+        str(r["facet"]): r["n_docs"]
+        for r in facet_counts(
+            spark, tiny_index, q,
+            facet=F.col("turn_idx").cast("string"),
+            filter_cond=F.col("role").isin(["user", "tool"]),
+        ).collect()
+    }
+    assert by_dim["role"] == role_spec
+    assert by_dim["turn_idx"] == turn_spec
+    # ordering contract: dim asc, n_docs desc, facet asc
+    key = [(r["dim"], -r["n_docs"], r["facet"]) for r in got]
+    assert key == sorted(key)
+
+    # drill_down == search with the ANDed dim filter
+    dd = drill_down(spark, tiny_index, q, dims=dims, k=10, float32=False)
+    cond = F.col("role").isin(["user", "tool"]) & F.col("turn_idx").isin(
+        [0, 1, 2, 3, 4]
+    )
+    want = search(spark, tiny_index, q, k=10, filter_cond=cond, float32=False)
+    assert [(r["doc_id"], r["score"]) for r in dd.collect()] == [
+        (r["doc_id"], r["score"]) for r in want.collect()
+    ]
+
+    # empty dims rejected; absent term -> empty frame with the schema
+    with pytest.raises(ValueError):
+        drill_sideways(spark, tiny_index, q, dims={})
+    assert (
+        drill_sideways(spark, tiny_index, "zzqqneverterm", dims=dims).count()
+        == 0
+    )
