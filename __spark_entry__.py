@@ -2678,6 +2678,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_join_conv"] = fts_join_conv
 
+    def fts_join_children(s, d):
+        """ToChildBlockJoinQuery analog: the top-5 conversations by summed
+        turn scores, then every 'user' turn of those conversations carrying
+        its parent's score — parent roll-up reused, children fetched by
+        broadcasting the 5 parent rows against one doc_dim scan."""
+        from cuvs_lucene_spark.query import search_children
+
+        res = search_children(
+            s, _index_for(s, d), "merge sort join",
+            parent_by="conv_id", k=10_000, k_parents=5,
+            score_mode="total", child_filter=F.col("role") == "user",
+            float32=False,
+        )
+        return (
+            res.withColumn("score_r", F.round("score", 4))
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("score_r").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("doc_id"))
+        )
+
+    q["fts_join_children"] = fts_join_children
+
     def fts_highlight(s, d):
         """Highlighter (Lucene Highlighter analog): top-k hits joined back
         to the source transcripts (k-key IN-filter pushed into the scan),
@@ -3682,6 +3708,23 @@ GROUP BY d.role ORDER BY facet ASC
     o["fts_sorted_ts"] = _oracle_sorted_sql(["merge", "sort", "join"], 10, desc=True)
     o["fts_collapse_conv"] = _oracle_collapse_sql(["merge", "sort", "join"], 10, "conv_id")
     o["fts_join_conv"] = _oracle_blockjoin_sql(["merge", "sort", "join"], 10, "conv_id")
+    o["fts_join_children"] = f"""{_ORACLE_PREFIX},
+{_scores_cte(["merge", "sort", "join"], "or", "")},
+parents AS (
+  SELECT d.conv_id AS parent,
+         CAST(sum(CAST(s.score AS DECIMAL(38,10))) AS DOUBLE) AS score
+  FROM scores s JOIN dlq d USING (doc_id)
+  GROUP BY d.conv_id
+),
+topp AS (SELECT parent, score FROM parents
+         ORDER BY score DESC, parent ASC LIMIT 5)
+SELECT d.doc_id AS doc_id, t.parent AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx,
+       round(t.score, 4) AS score
+FROM topp t JOIN dlq d ON d.conv_id = t.parent
+WHERE d.role = 'user'
+ORDER BY score DESC, conv_id ASC, doc_id ASC
+"""
     o["fts_highlight"] = _oracle_highlight_sql(["merge", "sort", "join"], 10)
     # span-accurate highlighter: topk + marked set from the SAME ordered
     # min-position chain ("merge sort"~5); window/tagging as fts_highlight

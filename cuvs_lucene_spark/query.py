@@ -1228,6 +1228,69 @@ def facet_ranges(
     ).select(F.col("facet"), F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def search_children(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    parent_by: str = "conv_id",
+    k: int = 50,
+    k_parents: int = 10,
+    score_mode: str = "max",
+    mode: str = "or",
+    child_filter: Column | str | None = None,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+) -> DataFrame:
+    """``ToChildBlockJoinQuery`` analog: match PARENTS with the query (child
+    scores rolled up under ``score_mode``, exactly the ToParentBlockJoin path
+    this composes with), then return the CHILD docs of the top ``k_parents``
+    parents, every child carrying its parent's score — Lucene propagates the
+    parent score to each child the same way. ``child_filter`` restricts which
+    children are returned (a doc_dim predicate — Lucene's childFilter), and
+    tombstoned children never surface (liveDocs, D1).
+
+    Output: (doc_id, <parent_by>, score, conv_id, turn_idx) ordered by
+    (score desc, parent asc, doc_id asc), limited to ``k``.
+
+    Plan shape at scale: the parent roll-up is the existing parent_by path
+    (scored match set → one groupBy shuffle → top-k_parents). The child fetch
+    BROADCASTS those ≤k_parents rows against one doc_dim scan — no second
+    postings scan, no shuffle of the corpus — then TakeOrderedAndProject
+    bounds the output at k."""
+    rd = reader or IndexReader(spark, index_dir)
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    parents = search(
+        spark, index_dir, query, k=k_parents, mode=mode, reader=rd,
+        float32=float32, field=field, exclude=exclude, msm=msm,
+        parent_by=parent_by, score_mode=score_mode,
+    ).select(parent_by, "score")
+    dd = rd.cat.read_doc_dim(spark)
+    children = dd.join(F.broadcast(parents), parent_by)
+    if child_filter is not None:
+        cf = (
+            F.expr(child_filter) if isinstance(child_filter, str) else child_filter
+        )
+        children = children.where(cf)
+    del_ids = deleted_doc_ids(spark, rd.cat)
+    if del_ids is not None:
+        children = children.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    cols = ["doc_id", parent_by, "score", "conv_id", "turn_idx"]
+    seen, sel = set(), []
+    for c in cols:
+        if c not in seen:
+            seen.add(c)
+            sel.append(c)
+    return (
+        children.select(*sel)
+        .orderBy(F.desc("score"), F.asc(parent_by), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def drill_down(
     spark: SparkSession,
     index_dir: str,

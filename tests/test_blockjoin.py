@@ -99,3 +99,51 @@ def test_parent_rollup_guards_and_empty(spark, tiny_index):
     out = search(spark, tiny_index, "zzzzqqqq", parent_by="conv_id")
     assert out.columns == ["conv_id", "score", "n_hits"]
     assert out.count() == 0
+
+
+def test_children_fetch_matches_spec(spark, tiny_index, oracle_tiny):
+    """search_children == (top-k_parents via the parent path) x doc_dim
+    children, parent score propagated to every child; child_filter honored;
+    ordering (score desc, parent asc, doc_id asc)."""
+    from pyspark.sql import functions as F
+
+    from cuvs_lucene_spark.query import search_children
+
+    kp = 4
+    parents = search(
+        spark, tiny_index, Q, k=kp, parent_by="conv_id",
+        score_mode="total", float32=False,
+    ).collect()
+    pscore = {r["conv_id"]: r["score"] for r in parents}
+    meta = _conv_of(spark, tiny_index)
+    want = sorted(
+        (
+            (-pscore[row["conv_id"]], row["conv_id"], d)
+            for d, row in meta.iterrows()
+            if row["conv_id"] in pscore and row["role"] == "user"
+        ),
+    )
+    got = search_children(
+        spark, tiny_index, Q, parent_by="conv_id", k=ALL, k_parents=kp,
+        score_mode="total", child_filter=F.col("role") == "user",
+        float32=False,
+    ).collect()
+    assert [(r["doc_id"], r["conv_id"]) for r in got] == [
+        (d, c) for _, c, d in want
+    ]
+    for r in got:
+        assert abs(r["score"] - pscore[r["conv_id"]]) < 1e-9  # parent score
+    # k truncation applies after ordering
+    got3 = search_children(
+        spark, tiny_index, Q, parent_by="conv_id", k=3, k_parents=kp,
+        score_mode="total", child_filter=F.col("role") == "user",
+        float32=False,
+    ).collect()
+    assert [(r["doc_id"], r["conv_id"]) for r in got3] == [
+        (d, c) for _, c, d in want[:3]
+    ]
+    # absent term -> no parents -> no children
+    assert (
+        search_children(spark, tiny_index, "zzqqneverterm", k_parents=3).count()
+        == 0
+    )
