@@ -260,6 +260,53 @@ class IndexCatalog:
             out[sid] = {"deleted": deleted, "kept": kept}
         return out
 
+    def disk_usage(self) -> dict:
+        """Committed-bytes accounting — the Lucene ``IndexDiskUsage`` tool /
+        Luke overview analog, answering "what is this index spending its
+        bytes on" per segment and per table (postings vs dictionary vs
+        doc_dim), plus tombstone batches and commit-history metadata.
+
+        Metadata-only: sizes come from each segment's committed files.json
+        and the manifest's pinned tombstone entries — no data file is ever
+        stat'd or read, so this is O(segments) driver work at any corpus
+        size (use check_files for disk-truth verification). Orphan files are
+        NOT counted (they are reclaimable, not index state — gc_orphans)."""
+        m = self.read_manifest()
+        segs: dict = {}
+        total = 0
+        for s in m["segments"]:
+            sid = s["id"]
+            p = self.files_path(sid)
+            listing = json.loads(fs.read_bytes(p)) if fs.exists(p) else {}
+            per = {}
+            for table in self._TABLE_DIRS:
+                ent = listing.get(table, [])
+                b = sum(int(f["bytes"]) for f in ent)
+                per[table] = {"files": len(ent), "bytes": b}
+                total += b
+            segs[sid] = {
+                **per,
+                "bytes": sum(t["bytes"] for t in per.values()),
+                "doc_count": s.get("doc_count"),
+            }
+        del_ent = m.get("delete_files", [])
+        del_bytes = sum(int(e["bytes"]) for e in del_ent)
+        total += del_bytes
+        commit_bytes = 0
+        cdir = fs.join(self.index_dir, "commits")
+        n_commits = 0
+        if fs.isdir(cdir):
+            for _rel, sz in fs.list_files_recursive(cdir):
+                commit_bytes += sz
+                n_commits += 1
+        total += commit_bytes
+        return {
+            "segments": segs,
+            "deletes": {"files": len(del_ent), "bytes": del_bytes},
+            "commits": {"files": n_commits, "bytes": commit_bytes},
+            "total_bytes": total,
+        }
+
     def _data_files(self, sid: int, table: str) -> list[str] | None:
         """Committed file list for one segment table (absolute paths).
 

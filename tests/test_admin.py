@@ -130,3 +130,48 @@ class TestBackupRollbackReopen:
         cat.prune_commits(keep_last=1)
         with pytest.raises(Exception, match="not retained"):
             cat.rollback_to(v0)
+
+
+class TestDiskUsage:
+    def test_disk_usage_matches_check_files_and_updates(
+        self, spark, tiny_df, tmp_path_factory
+    ):
+        """disk_usage == committed bytes per check_files; orphans NOT
+        counted; a delete batch adds tombstone bytes; metadata-only."""
+        d = str(tmp_path_factory.mktemp("du") / "idx")
+        build_index(spark, tiny_df.limit(500), d, buckets=8, salt_buckets=4,
+                    hot_df_ratio=0.10)
+        cat = IndexCatalog(d)
+        du = cat.disk_usage()
+        cf = cat.check_files()
+        assert set(du["segments"]) == set(cf)
+        for sid, rep in cf.items():
+            assert du["segments"][sid]["bytes"] == rep["bytes"]
+            per = du["segments"][sid]
+            assert per["bytes"] == sum(
+                per[t]["bytes"] for t in ("doc_dim", "postings", "dictionary")
+            )
+            assert per["postings"]["bytes"] > 0
+        assert du["deletes"] == {"files": 0, "bytes": 0}
+        assert du["commits"]["files"] >= 1
+        assert du["total_bytes"] == (
+            sum(s["bytes"] for s in du["segments"].values())
+            + du["commits"]["bytes"]
+        )
+
+        # plant an orphan: usage unchanged (it is not index state)
+        sid = next(iter(du["segments"]))
+        orphan = fs.join(cat._table_dir(sid, "postings"), "part-orphan.parquet")
+        fs.write_bytes_atomic(orphan, b"x" * 1234)
+        assert cat.disk_usage()["total_bytes"] == du["total_bytes"]
+
+        # a delete batch becomes visible as tombstone bytes
+        victims = spark.createDataFrame(
+            [(r["conv_id"], r["turn_idx"])
+             for r in cat.read_doc_dim(spark).limit(3).collect()],
+            "conv_id string, turn_idx int",
+        )
+        delete_docs(spark, d, victims)
+        du2 = cat.reopen().disk_usage() if hasattr(cat, "reopen") else IndexCatalog(d).disk_usage()
+        assert du2["deletes"]["files"] >= 1 and du2["deletes"]["bytes"] > 0
+        assert du2["total_bytes"] > du["total_bytes"]
