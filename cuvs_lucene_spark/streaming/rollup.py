@@ -153,3 +153,77 @@ def conversation_state(stream_df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation sessionization — event-time session windows
+# ---------------------------------------------------------------------------
+
+def conversation_sessions(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming sessionization: one row per (conversation, session), where a
+    session is a maximal run of turns with inter-turn gaps < ``gap``
+    (``F.session_window`` — session end = last event + gap, the Spark/Flink
+    session-window definition). Emits (key, session_start, session_end,
+    n_turns, n_tokens); n_tokens uses the index's pinned tokenizer so
+    session budgets line up with the engine's dl accounting.
+
+    Scale shape: sessionization state is O(OPEN sessions) — the watermark
+    closes sessions ``watermark`` past their last event and frees their
+    state, which is what keeps a 10^12-turn feed bounded. One shuffle, on
+    the session key (same key the batch pipeline uses; AQE backstops skew).
+    Works identically on a batch DataFrame (no watermark needed) — the
+    streaming/batch twin property the equivalence test pins.
+    """
+    src = stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    if stream_df.isStreaming:
+        src = src.withWatermark("__ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col("__ts"), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(
+                F.coalesce(
+                    F.array_size(tokenize_col(F.col(text_col))), F.lit(0)
+                )
+            ).alias("n_tokens"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def sessions_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """Append-mode session sink: a session emits exactly once, when the
+    watermark passes its end (same exactly-once discipline as
+    `rollup_to_parquet`)."""
+    agg = conversation_sessions(stream_df, gap, watermark)
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -253,3 +253,96 @@ def test_stream_retention_bounds_commit_history(spark, tiny_df, tmp_path):
     assert on_disk <= cat.referenced_segment_ids()
     cat.check_index()
     assert search(spark, idx, "world school", k=5).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Conversation sessionization (event-time session windows)
+# ---------------------------------------------------------------------------
+
+def _session_spec(rows, gap_s):
+    """Independent sessionization: sort each conv by ts, split when the
+    inter-turn gap is >= gap_s (Spark merges events strictly closer than the
+    gap; an event exactly gap_s later starts a new session since the prior
+    session ended at last+gap), session_end = last_ts + gap_s."""
+    import collections
+    import datetime
+
+    by = collections.defaultdict(list)
+    for conv, ts, ntok in rows:
+        by[conv].append((ts, ntok))
+    out = []
+    for conv, evs in by.items():
+        evs.sort()
+        cur = [evs[0]]
+        for ev in evs[1:]:
+            if (ev[0] - cur[-1][0]).total_seconds() >= gap_s:
+                out.append((conv, cur))
+                cur = []
+            cur.append(ev)
+        out.append((conv, cur))
+    return sorted(
+        (
+            conv,
+            evs[0][0],
+            evs[-1][0] + datetime.timedelta(seconds=gap_s),
+            len(evs),
+            sum(n for _, n in evs),
+        )
+        for conv, evs in out
+    )
+
+
+def test_conversation_sessions_match_independent_spec(spark, tmp_path):
+    """Batch sessionization == independent pandas spec; streaming append
+    emits exactly the finalized sessions (end <= max_ts - watermark)."""
+    import datetime
+
+    from cuvs_lucene_spark.analysis import analyze_py
+    from cuvs_lucene_spark.streaming.rollup import (
+        conversation_sessions,
+        sessions_to_parquet,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    # conv A: two bursts 10 min apart (gap 5 min -> 2 sessions)
+    for i in range(4):
+        rows.append(("A", base + datetime.timedelta(seconds=30 * i), "hello world"))
+    for i in range(3):
+        rows.append(("A", base + datetime.timedelta(minutes=10, seconds=45 * i), "more text here"))
+    # conv B: one burst
+    for i in range(5):
+        rows.append(("B", base + datetime.timedelta(minutes=2, seconds=20 * i), "b text"))
+    # conv C: a late straggler burst near the end of the stream (must stay
+    # OPEN under the watermark and not be emitted by the streaming drain)
+    tail = base + datetime.timedelta(hours=3)
+    rows.append(("C", tail, "late arrival"))
+
+    df = spark.createDataFrame(
+        [(c, t, x) for c, t, x in rows], "conv_id string, ts timestamp, text string"
+    )
+    got = sorted(
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"], r["n_tokens"])
+        for r in conversation_sessions(df, gap="5 minutes").collect()
+    )
+    spec = _session_spec(
+        [(c, t, len(analyze_py(x, "standard"))) for c, t, x in rows], 300
+    )
+    assert got == spec
+    assert len([s for s in spec if s[0] == "A"]) == 2  # the gap really split
+
+    # streaming drain: only sessions finalized by the watermark emit
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    df.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    stream = spark.readStream.schema(df.schema).parquet(os.path.join(src, "*"))
+    q = sessions_to_parquet(stream, out, ckpt, gap="5 minutes", watermark="1 hour")
+    q.awaitTermination(300)
+    emitted = sorted(
+        (r["conv_id"], r["session_start"], r["session_end"], r["n_turns"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    )
+    max_ts = tail
+    cut = max_ts - datetime.timedelta(hours=1)
+    finalized = [s for s in spec if s[2] <= cut]
+    assert emitted == finalized
+    assert all(s[0] != "C" for s in emitted)  # open session held back
