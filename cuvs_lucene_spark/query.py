@@ -1228,6 +1228,80 @@ def facet_ranges(
     ).select(F.col("facet"), F.col("n_docs").cast("long").alias("n_docs"))
 
 
+def describe_index(
+    spark: SparkSession,
+    index_dir: str,
+    top_terms: int = 10,
+    reader: IndexReader | None = None,
+) -> dict:
+    """One-call index overview — the Luke "Overview" tab analog: commit
+    version, analyzer, fields, per-field collection stats (docCount, sumDl,
+    avgdl, #terms) and the top-``top_terms`` terms by df, segment summaries
+    (doc counts, tombstones), and the disk-usage roll-up.
+
+    Cost: manifest metadata + ONE dictionary aggregation job (the dictionary
+    is ~vocabulary-sized, not corpus-sized) — safe to call interactively
+    against an index of any corpus size."""
+    rd = reader or IndexReader(spark, index_dir)
+    from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
+
+    d = rd.cat.read_dictionary(spark)
+    per_field_rows = (
+        d.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("entries"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df").alias("sum_df"),
+        )
+        .collect()
+    )
+    top = {
+        fld: [
+            (r["term"], int(r["df"]))
+            for r in (
+                d.where(F.col("field") == fld)
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(top_terms)
+                .collect()
+            )
+        ]
+        for fld in rd.fields
+    }
+    del_ids = deleted_doc_ids(spark, rd.cat)
+    n_deleted = 0 if del_ids is None else int(del_ids.count())
+    fields = {}
+    for fld in rd.fields:
+        n, sum_dl, avgdl = rd.field_stats_of(fld)
+        stats_row = next(
+            (r for r in per_field_rows if r["field"] == fld), None
+        )
+        fields[fld] = {
+            "doc_count": int(n),
+            "sum_dl": int(sum_dl),
+            "avgdl": float(avgdl),
+            "n_terms": int(stats_row["n_terms"]) if stats_row else 0,
+            "top_terms": top.get(fld, []),
+        }
+    du = rd.cat.disk_usage() if hasattr(rd.cat, "disk_usage") else None
+    return {
+        "version": rd.manifest.get("version"),
+        "analyzer": rd.analyzer,
+        "fields": fields,
+        "segments": [
+            {
+                "id": s["id"],
+                "doc_count": s.get("doc_count"),
+                "run_id": s.get("run_id"),
+            }
+            for s in rd.manifest["segments"]
+        ],
+        "n_deleted": n_deleted,
+        "disk_usage": du,
+    }
+
+
 def search_children(
     spark: SparkSession,
     index_dir: str,

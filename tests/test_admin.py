@@ -175,3 +175,35 @@ class TestDiskUsage:
         du2 = cat.reopen().disk_usage() if hasattr(cat, "reopen") else IndexCatalog(d).disk_usage()
         assert du2["deletes"]["files"] >= 1 and du2["deletes"]["bytes"] > 0
         assert du2["total_bytes"] > du["total_bytes"]
+
+
+class TestDescribeIndex:
+    def test_overview_matches_oracle_facts(self, spark, tiny_df, oracle_tiny,
+                                           tmp_path_factory):
+        from cuvs_lucene_spark.query import describe_index
+
+        d = str(tmp_path_factory.mktemp("desc") / "idx")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4,
+                    hot_df_ratio=0.10)
+        ov = describe_index(spark, d, top_terms=5)
+        f = ov["fields"]["text"]
+        assert f["doc_count"] == oracle_tiny.n_docs
+        assert abs(f["avgdl"] - oracle_tiny.avgdl) < 1e-6
+        assert f["n_terms"] == len(oracle_tiny.postings)
+        want_top = sorted(
+            ((t, len(p[0])) for t, p in oracle_tiny.postings.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        assert f["top_terms"] == want_top
+        assert ov["analyzer"] == "standard" and ov["n_deleted"] == 0
+        assert ov["disk_usage"]["total_bytes"] > 0
+        assert [s["id"] for s in ov["segments"]] == [0]
+
+        # deletes show up
+        victims = spark.createDataFrame(
+            [(r["conv_id"], r["turn_idx"]) for r in
+             IndexCatalog(d).read_doc_dim(spark).limit(4).collect()],
+            "conv_id string, turn_idx int",
+        )
+        delete_docs(spark, d, victims)
+        assert describe_index(spark, d)["n_deleted"] == 4
