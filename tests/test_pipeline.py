@@ -691,3 +691,41 @@ class TestRepetition:
         ).collect()}
         assert 0 not in kept and 2 not in kept and 3 not in kept
         assert {1, 4, 5, 6} <= kept
+
+
+class TestRepetitionRandomized:
+    def test_random_corpora_match_duckdb(self, spark):
+        """Randomized parity: repetition signals over random multi-line,
+        repetitive corpora must match the DuckDB twin exactly (3 seeds)."""
+        import duckdb
+        import random
+
+        from cuvs_lucene_spark.pipeline import textstats as TS
+
+        vocab = ["alpha", "beta", "gamma", "delta", "buy", "now", "spam",
+                 "x1", "y2", ""]
+        for seed in (7, 42, 1337):
+            rng = random.Random(seed)
+            rows = []
+            for i in range(40):
+                lines = []
+                for _ in range(rng.randint(0, 5)):
+                    n = rng.randint(0, 12)
+                    words = [rng.choice(vocab) for _ in range(n)]
+                    if rng.random() < 0.4 and lines:
+                        lines.append(rng.choice(lines))  # duplicate a line
+                    else:
+                        lines.append(" ".join(words))
+                txt = "\n".join(lines) if lines else (None if i % 7 == 0 else "")
+                rows.append((i, txt))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            cols = ["doc_id", "n_lines", "frac_dup_lines", "frac_dup_bigram",
+                    "frac_top_bigram", "frac_dup_5gram"]
+            got = sorted(tuple(r[c] for c in cols)
+                         for r in TS.with_repetition(df).collect())
+            con = duckdb.connect()
+            con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+            con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+            want = sorted(tuple(r) for r in
+                          con.sql(TS.repetition_report_sql("t")).fetchall())
+            assert got == want, f"seed {seed}"
