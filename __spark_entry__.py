@@ -2453,6 +2453,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_stratified"] = sample_stratified
 
+    def pack_sequences_q(s, d):
+        """GPT-style concat-and-chunk packing bookkeeping: deterministic
+        global token prefix sum (two-level base scheme, range shuffle +
+        partition-local window) -> per-doc sequence placement."""
+        from cuvs_lucene_spark.pipeline.packing import pack_sequences
+
+        return pack_sequences(_docs(s, d), seq_len=128).orderBy("doc_id")
+
+    q["pack_sequences"] = pack_sequences_q
+
     def textstats_repetition(s, d):
         """Gopher/C4-style repetition signals (dup-line fraction, dup/top
         bigram and dup 5-gram window fractions) in one vectorized Arrow
@@ -3874,6 +3884,9 @@ SELECT doc_id,
 FROM p ORDER BY doc_id
 """
     o["textstats_repetition"] = _ts.repetition_report_sql("documents")
+    from cuvs_lucene_spark.pipeline import packing as _pk
+
+    o["pack_sequences"] = _pk.pack_sequences_sql("documents", seq_len=128)
     from cuvs_lucene_spark.pipeline import sampling as _sp
 
     o["sample_stratified"] = f"""

@@ -729,3 +729,52 @@ class TestRepetitionRandomized:
             want = sorted(tuple(r) for r in
                           con.sql(TS.repetition_report_sql("t")).fetchall())
             assert got == want, f"seed {seed}"
+
+
+class TestPacking:
+    def test_placement_invariants_and_partition_independence(self, spark):
+        from cuvs_lucene_spark.pipeline import packing as PK
+
+        rows = [(i, " ".join(["tok"] * (i * 37 % 90))) for i in range(60)]
+        rows[7] = (7, None)
+        rows[13] = (13, "")
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        L = 64
+        outs = []
+        for p in (1, 3, 16):
+            out = sorted(
+                tuple(r) for r in PK.pack_sequences(
+                    df, L, partitions=p
+                ).collect()
+            )
+            outs.append(out)
+        assert outs[0] == outs[1] == outs[2]  # parallelism-independent
+        got = outs[0]
+        # contiguity: each doc starts exactly where the previous ended
+        run = 0
+        for (_id, n, tok_start, seq_s, seq_e, off) in got:
+            assert tok_start == run
+            run += n
+            assert seq_s == tok_start // L and off == tok_start % L
+            want_end = (tok_start + n - 1) // L if n > 0 else seq_s
+            assert seq_e == want_end
+            assert (seq_e > seq_s) == (n > 0 and off + n > L)
+        assert got[7][1] == 0 and got[13][1] == 0  # NULL/empty zero-width
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        from cuvs_lucene_spark.pipeline import packing as PK
+
+        rows = [(i, " ".join(["w%d" % (i + j) for j in range(i % 23)]))
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in PK.pack_sequences(df, 32).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in
+                      con.sql(PK.pack_sequences_sql("t", 32)).fetchall())
+        assert got == want
+        with pytest.raises(ValueError):
+            PK.pack_sequences(df, 0)
