@@ -227,3 +227,36 @@ def sessions_to_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup — the continuous-ingest sibling of pipeline/dedup.py
+# ---------------------------------------------------------------------------
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    by_content: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop duplicate rows from a stream: the first arrival of a key wins,
+    later arrivals within the watermark delay are discarded
+    (``dropDuplicatesWithinWatermark`` — state per key is freed once the
+    watermark passes it, which is what bounds dedup state on an unbounded
+    feed; two duplicates farther apart than the watermark may BOTH emit,
+    the documented at-least-once-per-watermark-window contract).
+
+    by_content=True dedups on md5(text) instead of the key columns — the
+    streaming twin of `pipeline/dedup.exact_duplicates` (retried producers /
+    re-delivered batches collapse to one row regardless of their keys).
+    """
+    src = stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    src = src.withWatermark("__ts", watermark)
+    if by_content:
+        src = src.withColumn(
+            "__k", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+        )
+        return src.dropDuplicatesWithinWatermark(["__k"]).drop("__k", "__ts")
+    return src.dropDuplicatesWithinWatermark(list(key_cols)).drop("__ts")

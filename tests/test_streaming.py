@@ -346,3 +346,50 @@ def test_conversation_sessions_match_independent_spec(spark, tmp_path):
     finalized = [s for s in spec if s[2] <= cut]
     assert emitted == finalized
     assert all(s[0] != "C" for s in emitted)  # open session held back
+
+
+def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """Planted key and content duplicates within the watermark collapse to
+    one row; distinct rows all survive."""
+    import datetime
+
+    from cuvs_lucene_spark.streaming.rollup import stream_exact_dedup
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, base, "hello world"),
+        ("c1", 0, base + datetime.timedelta(minutes=1), "hello world RETRY"),
+        ("c1", 1, base, "second turn"),
+        ("c2", 0, base + datetime.timedelta(minutes=2), "other conv"),
+        # content dup under different keys (producer re-delivery)
+        ("c3", 0, base + datetime.timedelta(minutes=3), "second turn"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, text string"
+    )
+    src, out, ckpt, out2, ckpt2 = (
+        str(tmp_path / p) for p in ("src", "out", "ckpt", "out2", "ckpt2")
+    )
+    df.coalesce(1).write.parquet(os.path.join(src, "f0"))
+
+    def drain(by_content, o, c):
+        stream = spark.readStream.schema(df.schema).parquet(os.path.join(src, "*"))
+        q = (
+            stream_exact_dedup(stream, by_content=by_content)
+            .writeStream.format("parquet")
+            .option("path", o).option("checkpointLocation", c)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(o).collect()
+
+    keyed = drain(False, out, ckpt)
+    assert len(keyed) == 4  # key dup (c1,0) collapsed
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in keyed) == [
+        ("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0)
+    ]
+    by_content = drain(True, out2, ckpt2)
+    texts = sorted(r["text"] for r in by_content)
+    # exact-content dup ("second turn" twice) collapsed; RETRY text differs
+    assert texts == ["hello world", "hello world RETRY", "other conv",
+                     "second turn"]
