@@ -165,6 +165,33 @@ def golden_queries() -> dict:
         "spannot_post2": lambda s, d: _spannear(
             s, d, "world school", slop=4, k=10, exclude="the", post=2
         ),
+        # round-4 session surfaces, encoded into the (doc_id, score) shape:
+        # children carry (doc_id, parent score) natively; sigterms freeze as
+        # (fg_df*1e6+bg_df, JLH) so any term-set/count drift trips; drill-
+        # sideways rows freeze as (crc32(dim|facet), n_docs).
+        "children_bj": lambda s, d: __import__(
+            "cuvs_lucene_spark.query", fromlist=["search_children"]
+        ).search_children(
+            s, d, "world school student", parent_by="conv_id",
+            k=20, k_parents=3, score_mode="total", float32=False,
+        ).select("doc_id", "score"),
+        "sigterms_k10": lambda s, d: __import__(
+            "cuvs_lucene_spark.sigterms", fromlist=["significant_terms"]
+        ).significant_terms(
+            s, d, "world school", fg_k=15, top_terms=10, float32=False
+        ).select(
+            (F.col("fg_df") * 1_000_000 + F.col("bg_df")).alias("doc_id"),
+            F.col("score"),
+        ),
+        "drill_sideways_enc": lambda s, d: __import__(
+            "cuvs_lucene_spark.query", fromlist=["drill_sideways"]
+        ).drill_sideways(
+            s, d, "world school",
+            dims={"role": ["user", "tool"], "turn_idx": [0, 1, 2, 3, 4]},
+        ).select(
+            F.crc32(F.concat_ws("|", "dim", "facet")).cast("long").alias("doc_id"),
+            F.col("n_docs").cast("double").alias("score"),
+        ),
     }
 
 
