@@ -1622,6 +1622,16 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+_PERC_QUERIES = {
+    "alert_merge_sort": {"must": ["merge", "sort"]},
+    "any2_stream_spark_window": {"should": ["stream", "spark", "window"],
+                                 "msm": 2},
+    "join_not_hash": {"must": ["join"], "must_not": ["hash"]},
+    "scan_or_batch": {"should": ["scan", "batch"]},
+    "table_plus1": {"must": ["table"], "should": ["key", "index"], "msm": 1},
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -2452,6 +2462,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["sample_stratified"] = sample_stratified
+
+    def percolate_q(s, d):
+        """Percolator (lucene-monitor / ES percolate analog): 5 registered
+        flat boolean queries matched against every document — broadcast
+        presearcher term table, one distinct-token doc scan, one candidate
+        aggregate."""
+        from cuvs_lucene_spark.percolator import percolate, register_queries
+
+        terms, meta = register_queries(s, _PERC_QUERIES)
+        return percolate(_docs(s, d), terms, meta)
+
+    q["percolate"] = percolate_q
 
     def pack_sequences_q(s, d):
         """GPT-style concat-and-chunk packing bookkeeping: deterministic
@@ -3887,6 +3909,9 @@ FROM p ORDER BY doc_id
     from cuvs_lucene_spark.pipeline import packing as _pk
 
     o["pack_sequences"] = _pk.pack_sequences_sql("documents", seq_len=128)
+    from cuvs_lucene_spark.percolator import percolate_sql as _perc_sql
+
+    o["percolate"] = _perc_sql("documents", _PERC_QUERIES)
     from cuvs_lucene_spark.pipeline import sampling as _sp
 
     o["sample_stratified"] = f"""
