@@ -142,3 +142,50 @@ class TestMultiReader:
         }
         victim = (top["conv_id"], top["turn_idx"])
         assert victim not in live_keys and victim in pinned_keys
+
+
+class TestMultiReaderAnalytics:
+    """Round-4 analytics surfaces compose with the federated handle: facets,
+    count, grouped/collapse already pinned elsewhere — here facet_counts,
+    facet_ranges and drill_sideways over N leaves must equal the one-shot
+    index (the match set and doc_dim re-base are leaf-transparent)."""
+
+    def test_facets_and_drill_sideways_federated(self, spark, fed):
+        from cuvs_lucene_spark.multireader import open_multi_reader
+        from cuvs_lucene_spark.query import (
+            count_matches,
+            drill_sideways,
+            facet_counts,
+        )
+
+        a, b, full = fed
+        rd = open_multi_reader(spark, [a, b])
+        q = "world school student"
+        fc_fed = {
+            (r["facet"], r["n_docs"])
+            for r in facet_counts(
+                spark, rd.cat.index_dir, q, facet="role", reader=rd
+            ).collect()
+        }
+        fc_full = {
+            (r["facet"], r["n_docs"])
+            for r in facet_counts(spark, full, q, facet="role").collect()
+        }
+        assert fc_fed == fc_full and fc_fed
+
+        assert count_matches(
+            spark, rd.cat.index_dir, q, reader=rd
+        ) == count_matches(spark, full, q)
+
+        dims = {"role": ["user", "tool"], "turn_idx": [0, 1, 2, 3, 4]}
+        ds_fed = {
+            (r["dim"], r["facet"], r["n_docs"])
+            for r in drill_sideways(
+                spark, rd.cat.index_dir, q, dims=dims, reader=rd
+            ).collect()
+        }
+        ds_full = {
+            (r["dim"], r["facet"], r["n_docs"])
+            for r in drill_sideways(spark, full, q, dims=dims).collect()
+        }
+        assert ds_fed == ds_full and ds_fed
