@@ -116,10 +116,19 @@ class TestMultiReader:
         cat = MultiIndexCatalog([a])
         assert not hasattr(cat, "commit_segment")  # no mutator surface
 
-    def test_leaf_version_pinning(self, spark, fed):
+    def test_leaf_version_pinning(self, spark, fed, tmp_path):
         """A leaf pinned to a pre-delete commit shows the deleted doc in the
-        federated view (MultiReader over DirectoryReader.open(IndexCommit))."""
-        a, b, full = fed
+        federated view (MultiReader over DirectoryReader.open(IndexCommit)).
+
+        Mutates a PRIVATE copy of leaf ``a``: the module-scoped ``fed``
+        fixture is shared with the analytics tests below, and a tombstone
+        written into the shared leaf would legitimately skew their
+        federated-vs-one-shot comparison."""
+        import shutil
+
+        a_shared, b, full = fed
+        a = str(tmp_path / "a_copy")
+        shutil.copytree(a_shared, a)
         top = search(spark, a, "world school", k=1).collect()[0]
         v0 = IndexCatalog(a).read_manifest()["version"]
         keys = (
