@@ -776,6 +776,46 @@ ORDER BY rank
 """
 
 
+def _oracle_lmd_sql(terms: list[str], k: int, mu: float = 2000.0) -> str:
+    """LMDirichletSimilarity top-k oracle: per matched term
+    max(0, ln(1 + tf/(mu·p_c)) + ln(mu/(dl_d+mu))) with
+    p_c = (cf+1)/(sumTotalTermFreq+1), same pivoted fixed-order float64 sum
+    as the BM25 oracle (cf and sum_dl computed in-SQL from the token
+    stream — the twin of the dictionary's cf column and the field stats)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"greatest(0, ln(1 + tf.tf / ({mu} * ts.pc)) "
+        f"+ ln({mu} / (d.dl_d + {mu})))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term,
+              (sum(tf) + 1.0) / ((SELECT sum_dl FROM stats) + 1.0) AS pc
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_highlight_sql(
     terms: list[str], k: int, window_size: int = 12, lead: int = 3,
     pre: str = "<em>", post: str = "</em>",
@@ -2815,6 +2855,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_classic"] = fts_topk_classic
 
+    def fts_topk_lmd(s, d):
+        """Pluggable Similarity #3: LM Dirichlet (Lucene
+        LMDirichletSimilarity, mu=2000) — language-model scoring from the
+        dictionary's cf column + the field token total; same postings scan
+        and kernel shape as BM25/classic."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            similarity="lmd", float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_lmd"] = fts_topk_lmd
+
     def fts_suggest(s, d):
         """Spell-check suggestion (DirectSpellChecker analog): dictionary
         terms within 2 edits of a misspelling, (distance asc, df desc,
@@ -3828,6 +3883,7 @@ FROM topk t JOIN dlq d USING (doc_id) JOIN frag f USING (doc_id)
 ORDER BY rank
 """
     o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
+    o["fts_topk_lmd"] = _oracle_lmd_sql(["merge", "sort", "join"], 10)
     o["fts_suggest"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,
        cast(count(*) AS bigint) AS df

@@ -28,6 +28,9 @@ TOKEN_PATTERN = "[^a-z0-9]+"
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# LM Dirichlet smoothing parameter (Lucene LMDirichletSimilarity default mu).
+LMD_MU = 2000.0
+
 
 # ---------------------------------------------------------------------------
 # Tokenizer — three rank-identical implementations

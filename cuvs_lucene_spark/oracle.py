@@ -28,6 +28,7 @@ import pandas as pd
 from cuvs_lucene_spark.analysis import (
     BM25_B,
     BM25_K1,
+    LMD_MU,
     dequantize_dl_np,
     quantize_dl_np,
     tokenize_py,
@@ -42,6 +43,7 @@ class OracleIndex:
     n_docs: int = 0
     avgdl: float = 0.0
     meta: pd.DataFrame = field(default=None, repr=False)  # doc_id, conv_id, turn_idx, role, ts
+    sum_dl: int = 0                     # sumTotalTermFreq (true lengths) — LM Dirichlet p_c
 
 
 def build_oracle_index(pdf: pd.DataFrame) -> OracleIndex:
@@ -76,7 +78,7 @@ def build_oracle_index(pdf: pd.DataFrame) -> OracleIndex:
     }
     meta = pdf[["conv_id", "turn_idx", "role", "ts"]].copy()
     meta.insert(0, "doc_id", doc_ids)
-    return OracleIndex(doc_ids, dl_d, packed, n_docs, avgdl, meta)
+    return OracleIndex(doc_ids, dl_d, packed, n_docs, avgdl, meta, sum_dl=sum_dl)
 
 
 def oracle_idf(idx: OracleIndex, term: str) -> float:
@@ -134,9 +136,21 @@ def oracle_search(
         if term not in idx.postings:
             continue
         d, tf = idx.postings[term]
-        idf = np.float32(oracle_term_weight(idx, term, similarity))
         dl32 = idx.dl_d[d].astype(np.float32)
         tf32 = tf.astype(np.float32)
+        if similarity == "lmd":
+            # LMDirichletSimilarity twin of make_score_kernel's lmd branch:
+            # same float32 per-term arithmetic, same ≥0 clamp
+            mu = np.float32(LMD_MU)
+            pc = np.float32(
+                (int(tf.sum()) + 1.0) / (idx.sum_dl + 1.0)
+            )
+            s = np.log1p(tf32 / (mu * pc)) + np.log(mu / (dl32 + mu))
+            s = np.maximum(s, np.float32(0.0)).astype(np.float32)
+            acc[d] += s.astype(np.float64) * weights[term]
+            matched[d] += 1
+            continue
+        idf = np.float32(oracle_term_weight(idx, term, similarity))
         if similarity == "classic":
             s = (idf * np.sqrt(tf32) / np.sqrt(dl32)).astype(np.float32)
         else:

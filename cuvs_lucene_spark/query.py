@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, tokenize_py
+from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, LMD_MU, tokenize_py
 from cuvs_lucene_spark.codec import unpack_u64_blocks
 from cuvs_lucene_spark.oracle import dequantize_dl_np
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
@@ -92,16 +92,17 @@ SCORE_ROWS_SCHEMA = StructType(
 
 
 # driver-side term-stats (TermStates) cache: {(snap_key, field): {term: (df,
-# bucket)}}. Bounded: at most _TERM_CACHE_MAX_KEYS snapshots (insertion-order
-# eviction — reopening after compaction ages out the old snapshot) and
-# _TERM_CACHE_MAX_TERMS terms per snapshot. Absent terms are cached as
-# (0, -1). Safe under deletes: tombstones never change df (SURVEY §4.3.2).
-_TERM_STATS_CACHE: dict[tuple, dict[str, tuple[int, int]]] = {}
+# bucket, cf)}}. Bounded: at most _TERM_CACHE_MAX_KEYS snapshots
+# (insertion-order eviction — reopening after compaction ages out the old
+# snapshot) and _TERM_CACHE_MAX_TERMS terms per snapshot. Absent terms are
+# cached as (0, -1, 0). Safe under deletes: tombstones never change df or cf
+# (SURVEY §4.3.2).
+_TERM_STATS_CACHE: dict[tuple, dict[str, tuple[int, int, int]]] = {}
 _TERM_CACHE_MAX_KEYS = 8
 _TERM_CACHE_MAX_TERMS = 65536
 
 
-def _term_stats_cache(snap_key, field: str) -> dict[str, tuple[int, int]]:
+def _term_stats_cache(snap_key, field: str) -> dict[str, tuple[int, int, int]]:
     key = (snap_key, field)
     cache = _TERM_STATS_CACHE.get(key)
     if cache is None:
@@ -251,12 +252,13 @@ class IndexReader:
 
     def term_stats(
         self, terms: list[str], field: str | None = None
-    ) -> dict[str, tuple[int, int]]:
-        """{term: (global df, bucket)} for ONE field in ONE tiny job — df
-        summed across segments (Lucene computes idf at IndexSearcher level,
-        not per-segment — SURVEY §4.3.2); bucket rides along so query planning
-        needs no second hash job (it is identical across segments by
-        construction)."""
+    ) -> dict[str, tuple[int, int, int]]:
+        """{term: (global df, bucket, global cf)} for ONE field in ONE tiny
+        job — df and cf (totalTermFreq) summed across segments (Lucene
+        computes idf at IndexSearcher level, not per-segment — SURVEY
+        §4.3.2); bucket rides along so query planning needs no second hash
+        job (it is identical across segments by construction). cf feeds the
+        LM Dirichlet collection probability; BM25/classic ignore it."""
         if not terms or not self.manifest["segments"]:
             return {}
         fld = self.resolve_field(field)
@@ -271,13 +273,20 @@ class IndexReader:
                 self.cat.read_dictionary(self.spark)
                 .where((F.col("field") == fld) & F.col("term").isin(missing))
                 .groupBy("term")
-                .agg(F.sum("df").alias("df"), F.min("bucket").alias("bucket"))
+                .agg(
+                    F.sum("df").alias("df"),
+                    F.min("bucket").alias("bucket"),
+                    F.sum("cf").alias("cf"),
+                )
                 .collect()
             )
-            found = {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+            found = {
+                r["term"]: (int(r["df"]), int(r["bucket"]), int(r["cf"]))
+                for r in rows
+            }
             if len(cache) + len(missing) <= _TERM_CACHE_MAX_TERMS:
                 for t in missing:
-                    cache[t] = found.get(t, (0, -1))  # (0,-1) = absent
+                    cache[t] = found.get(t, (0, -1, 0))  # (0,-1,0) = absent
             return {
                 **{t: cache[t] for t in terms if cache.get(t, (0, -1))[1] >= 0},
                 **found,
@@ -299,6 +308,9 @@ class IndexReader:
             appears in both the query weight and the field weight (coord and
             queryNorm were removed in Lucene 7+, so the modern classic score
             is boost · idf'² · √tf · 1/√dl).
+        (lmd — LMDirichletSimilarity — is handled by search() directly: its
+        per-term statistic is the collection probability, which needs cf and
+        the field token total rather than df alone.)
         """
         if similarity == "bm25":
             return self.idf(df, n_docs)
@@ -369,6 +381,18 @@ def make_score_kernel(
                 s = (
                     idf_v.astype(ftype) * np.sqrt(tff) / np.sqrt(dlf)
                 ).astype(ftype)
+            elif similarity == "lmd":
+                # LMDirichletSimilarity (published formula; Zhai & Lafferty
+                # 2001): per matched term
+                #   max(0, ln(1 + tf/(mu·p_c)) + ln(mu/(dl+mu)))
+                # with p_c = (cf+1)/(sumTotalTermFreq+1) precomputed by
+                # search() and carried in meta[0] (idf_v). The clamp is
+                # Lucene's (scores are non-negative); dl is the same
+                # dequantized norm every Similarity reads.
+                mu = ftype(LMD_MU)
+                pc = idf_v.astype(ftype)
+                s = np.log1p(tff / (mu * pc)) + np.log(mu / (dlf + mu))
+                s = np.maximum(s, ftype(0.0)).astype(ftype)
             else:
                 kf = ftype(BM25_K1) * (
                     ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
@@ -459,11 +483,14 @@ def search(
         drop a representative; prune="auto" silently stays exhaustive.
     similarity — per-search Similarity (the Lucene
         IndexSearcher.setSimilarity analog): "bm25" (default,
-        BM25Similarity) or "classic" (TFIDFSimilarity: idf'² · √tf · 1/√dl
+        BM25Similarity), "classic" (TFIDFSimilarity: idf'² · √tf · 1/√dl
         with idf' = 1 + ln((N+1)/(df+1)), over the SAME stored quantized
-        norms). Composes with pruning: the block upper bound
-        idf'² · √max_tf / √min_dl_d is monotone in the same per-block stats
-        BM25's bound uses, so block-max pruning stays lossless.
+        norms), or "lmd" (LMDirichletSimilarity: per matched term
+        max(0, ln(1 + tf/(μ·p_c)) + ln(μ/(dl+μ))), μ=2000,
+        p_c = (cf+1)/(sumTotalTermFreq+1) from the dictionary's cf column).
+        All compose with pruning: each block upper bound is monotone in the
+        same per-block (max_tf, min_dl_d) stats BM25's bound uses, so
+        block-max pruning stays lossless.
     boost_by — a Column (or SQL string) over doc_dim columns multiplied into
         every matching doc's float64 score BEFORE top-k selection — the
         Lucene FunctionScoreQuery / DoubleValuesSource analog (e.g. a
@@ -602,10 +629,20 @@ def search(
         return empty
     if msm is not None and len(present) < msm:
         return empty  # fewer present terms than the match minimum
-    term_meta = {
-        t: (rd.term_weight(stats[t][0], f_docs, similarity), weights[t])
-        for t in present
-    }
+    if similarity == "lmd":
+        # LM Dirichlet needs the collection LM, not an idf: meta[0] carries
+        # the per-term collection probability p_c = (cf+1)/(sumTotalTermFreq
+        # +1) (Lucene LMSimilarity.fillBasicStats), computed from the
+        # dictionary's cf and the field's token total.
+        term_meta = {
+            t: ((stats[t][2] + 1.0) / (_f_sdl + 1.0), weights[t])
+            for t in present
+        }
+    else:
+        term_meta = {
+            t: (rd.term_weight(stats[t][0], f_docs, similarity), weights[t])
+            for t in present
+        }
 
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in present}))
@@ -2420,8 +2457,10 @@ def _prune_blocks(
     Upper bound of any posting in a block for term t:
         bm25:    ub_t(block) = w_t * idf_t * max_tf / (max_tf + K(min_dl_d))
         classic: ub_t(block) = w_t * idf'² * √max_tf / √min_dl_d
-    (either score increases in tf, decreases in dl — SURVEY §4.3.6, so the
-    same stored per-block (max_tf, min_dl_d) stats bound both Similarities). A doc's total
+        lmd:     ub_t(block) = w_t * max(0, ln(1+max_tf/(μ·p_c))
+                                            + ln(μ/(min_dl_d+μ)))
+    (every score increases in tf, decreases in dl — SURVEY §4.3.6, so the
+    same stored per-block (max_tf, min_dl_d) stats bound all Similarities). A doc's total
     score ≤ ub_t(its block) + Σ_{t'≠t} UB(t') with UB(t') the term-global max
     block bound. Phase 1: exactly score the union of the top-m blocks per
     term → θ = k-th best total. Phase 2: keep blocks whose relaxed bound
@@ -2456,6 +2495,25 @@ def _prune_blocks(
             idf_map[F.col("term")]
             * F.sqrt(F.col("max_tf").cast("double"))
             / F.sqrt(F.col("min_dl_d").cast("double"))
+        )
+    elif similarity == "lmd":
+        # LM Dirichlet block bound: the per-posting score increases in tf
+        # and decreases in dl, so (max_tf, min_dl_d) bounds the block just
+        # like BM25/classic; meta[0] is p_c here, and the weight multiplies
+        # OUTSIDE the ≥0 clamp (the clamp commutes with a positive boost).
+        pc_map = F.create_map(
+            *[x for t, (pc, _) in term_meta.items() for x in (F.lit(t), F.lit(pc))]
+        )
+        w_map = F.create_map(
+            *[x for t, (_, w) in term_meta.items() for x in (F.lit(t), F.lit(float(w)))]
+        )
+        ub_expr = w_map[F.col("term")] * F.greatest(
+            F.lit(0.0),
+            F.log1p(
+                F.col("max_tf").cast("double")
+                / (F.lit(LMD_MU) * pc_map[F.col("term")])
+            )
+            + F.log(F.lit(LMD_MU) / (F.col("min_dl_d").cast("double") + F.lit(LMD_MU))),
         )
     else:
         kf = F.lit(BM25_K1) * (

@@ -56,3 +56,45 @@ def test_classic_actually_differs_from_bm25(spark, tiny_index):
 def test_unknown_similarity_raises(spark, tiny_index):
     with pytest.raises(ValueError, match="similarity"):
         search(spark, tiny_index, "world", k=5, similarity="dfr")
+
+
+@pytest.mark.parametrize(
+    "q,mode,msm",
+    [
+        ("world school student", "or", None),
+        ("the be to", "or", None),
+        ("world the", "and", None),
+        ("look only come its", "or", 2),
+        ("w01746 people w01763", "or", None),
+    ],
+)
+def test_lmd_matches_oracle(spark, tiny_index, oracle_tiny, q, mode, msm):
+    """LMDirichletSimilarity: rank+score-identical to the numpy oracle's
+    independent float32 transliteration (p_c from collection tf totals)."""
+    exp = oracle_search(oracle_tiny, q, k=10, mode=mode, msm=msm, similarity="lmd")
+    got = search(
+        spark, tiny_index, q, k=10, mode=mode, msm=msm, similarity="lmd"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert float(r["score"]) == pytest.approx(s, rel=1e-6, abs=1e-6)
+
+
+def test_lmd_pruned_equals_exhaustive(spark, tiny_index):
+    # the lmd block bound (max_tf, min_dl_d monotonicity + clamp) must be
+    # lossless exactly like bm25/classic
+    q = "world school student the"
+    ex = search(spark, tiny_index, q, k=10, similarity="lmd", prune=False).collect()
+    pr = search(spark, tiny_index, q, k=10, similarity="lmd", prune=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in pr
+    ]
+
+
+def test_lmd_common_term_scores_clamp_to_zero(spark, tiny_index):
+    # a very common term in a long doc drives ln(mu/(dl+mu)) + ln(1+tf/..)
+    # negative for low-tf matches; Lucene clamps per-term scores at 0, so
+    # every returned score must be >= 0 (and the engine must not rank pure
+    # clamped-zero docs above genuine positives)
+    got = search(spark, tiny_index, "the world", k=20, similarity="lmd").collect()
+    assert got and all(float(r["score"]) >= 0.0 for r in got)
