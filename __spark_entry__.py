@@ -816,6 +816,43 @@ ORDER BY rank
 """
 
 
+def _oracle_lmjm_sql(terms: list[str], k: int, lam: float = 0.1) -> str:
+    """LMJelinekMercerSimilarity top-k oracle: per matched term
+    ln(1 + ((1-λ)·tf/dl_d)/(λ·p_c)) with the same in-SQL p_c as the
+    Dirichlet oracle; always positive, no clamp."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ln(1 + (({1.0 - lam}) * tf.tf / d.dl_d) / ({lam} * ts.pc))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term,
+              (sum(tf) + 1.0) / ((SELECT sum_dl FROM stats) + 1.0) AS pc
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_highlight_sql(
     terms: list[str], k: int, window_size: int = 12, lead: int = 3,
     pre: str = "<em>", post: str = "</em>",
@@ -2870,6 +2907,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_lmd"] = fts_topk_lmd
 
+    def fts_topk_lmjm(s, d):
+        """Pluggable Similarity #4: LM Jelinek-Mercer (Lucene
+        LMJelinekMercerSimilarity, lambda=0.1) — the mixture-model LM twin
+        of the Dirichlet gate, same collection-probability plumbing."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            similarity="lmjm", float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_lmjm"] = fts_topk_lmjm
+
     def fts_suggest(s, d):
         """Spell-check suggestion (DirectSpellChecker analog): dictionary
         terms within 2 edits of a misspelling, (distance asc, df desc,
@@ -3884,6 +3935,7 @@ ORDER BY rank
 """
     o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
     o["fts_topk_lmd"] = _oracle_lmd_sql(["merge", "sort", "join"], 10)
+    o["fts_topk_lmjm"] = _oracle_lmjm_sql(["merge", "sort", "join"], 10)
     o["fts_suggest"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,
        cast(count(*) AS bigint) AS df

@@ -31,6 +31,11 @@ BM25_B = 0.75
 # LM Dirichlet smoothing parameter (Lucene LMDirichletSimilarity default mu).
 LMD_MU = 2000.0
 
+# LM Jelinek-Mercer mixing weight (Lucene LMJelinekMercerSimilarity lambda;
+# the constructor takes it explicitly — 0.1 is the published short-query
+# setting from Zhai & Lafferty 2001, which Lucene's own tests use).
+LMJM_LAMBDA = 0.1
+
 
 # ---------------------------------------------------------------------------
 # Tokenizer — three rank-identical implementations

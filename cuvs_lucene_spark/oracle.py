@@ -29,6 +29,7 @@ from cuvs_lucene_spark.analysis import (
     BM25_B,
     BM25_K1,
     LMD_MU,
+    LMJM_LAMBDA,
     dequantize_dl_np,
     quantize_dl_np,
     tokenize_py,
@@ -138,15 +139,21 @@ def oracle_search(
         d, tf = idx.postings[term]
         dl32 = idx.dl_d[d].astype(np.float32)
         tf32 = tf.astype(np.float32)
-        if similarity == "lmd":
-            # LMDirichletSimilarity twin of make_score_kernel's lmd branch:
-            # same float32 per-term arithmetic, same ≥0 clamp
-            mu = np.float32(LMD_MU)
+        if similarity in ("lmd", "lmjm"):
+            # LM-Similarity twins of make_score_kernel's lmd/lmjm branches:
+            # same float32 per-term arithmetic, same p_c, same ≥0 clamp
             pc = np.float32(
                 (int(tf.sum()) + 1.0) / (idx.sum_dl + 1.0)
             )
-            s = np.log1p(tf32 / (mu * pc)) + np.log(mu / (dl32 + mu))
-            s = np.maximum(s, np.float32(0.0)).astype(np.float32)
+            if similarity == "lmd":
+                mu = np.float32(LMD_MU)
+                s = np.log1p(tf32 / (mu * pc)) + np.log(mu / (dl32 + mu))
+                s = np.maximum(s, np.float32(0.0)).astype(np.float32)
+            else:
+                lam = np.float32(LMJM_LAMBDA)
+                s = np.log1p(
+                    ((np.float32(1.0) - lam) * tf32 / dl32) / (lam * pc)
+                ).astype(np.float32)
             acc[d] += s.astype(np.float64) * weights[term]
             matched[d] += 1
             continue

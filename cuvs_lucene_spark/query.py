@@ -39,7 +39,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from cuvs_lucene_spark.analysis import BM25_B, BM25_K1, LMD_MU, tokenize_py
+from cuvs_lucene_spark.analysis import (
+    BM25_B,
+    BM25_K1,
+    LMD_MU,
+    LMJM_LAMBDA,
+    tokenize_py,
+)
 from cuvs_lucene_spark.codec import unpack_u64_blocks
 from cuvs_lucene_spark.oracle import dequantize_dl_np
 from cuvs_lucene_spark.sources.catalog import IndexCatalog
@@ -308,9 +314,9 @@ class IndexReader:
             appears in both the query weight and the field weight (coord and
             queryNorm were removed in Lucene 7+, so the modern classic score
             is boost · idf'² · √tf · 1/√dl).
-        (lmd — LMDirichletSimilarity — is handled by search() directly: its
-        per-term statistic is the collection probability, which needs cf and
-        the field token total rather than df alone.)
+        (lmd/lmjm — the LM Similarities — are handled by search() directly:
+        their per-term statistic is the collection probability, which needs
+        cf and the field token total rather than df alone.)
         """
         if similarity == "bm25":
             return self.idf(df, n_docs)
@@ -393,6 +399,15 @@ def make_score_kernel(
                 pc = idf_v.astype(ftype)
                 s = np.log1p(tff / (mu * pc)) + np.log(mu / (dlf + mu))
                 s = np.maximum(s, ftype(0.0)).astype(ftype)
+            elif similarity == "lmjm":
+                # LMJelinekMercerSimilarity (Zhai & Lafferty 2001):
+                #   ln(1 + ((1-λ)·tf/dl) / (λ·p_c))
+                # — always positive, no clamp needed; same p_c in meta[0].
+                lam = ftype(LMJM_LAMBDA)
+                pc = idf_v.astype(ftype)
+                s = np.log1p(
+                    ((ftype(1.0) - lam) * tff / dlf) / (lam * pc)
+                ).astype(ftype)
             else:
                 kf = ftype(BM25_K1) * (
                     ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
@@ -485,9 +500,11 @@ def search(
         IndexSearcher.setSimilarity analog): "bm25" (default,
         BM25Similarity), "classic" (TFIDFSimilarity: idf'² · √tf · 1/√dl
         with idf' = 1 + ln((N+1)/(df+1)), over the SAME stored quantized
-        norms), or "lmd" (LMDirichletSimilarity: per matched term
+        norms), "lmd" (LMDirichletSimilarity: per matched term
         max(0, ln(1 + tf/(μ·p_c)) + ln(μ/(dl+μ))), μ=2000,
-        p_c = (cf+1)/(sumTotalTermFreq+1) from the dictionary's cf column).
+        p_c = (cf+1)/(sumTotalTermFreq+1) from the dictionary's cf column),
+        or "lmjm" (LMJelinekMercerSimilarity:
+        ln(1 + ((1−λ)·tf/dl)/(λ·p_c)), λ=0.1).
         All compose with pruning: each block upper bound is monotone in the
         same per-block (max_tf, min_dl_d) stats BM25's bound uses, so
         block-max pruning stays lossless.
@@ -629,11 +646,11 @@ def search(
         return empty
     if msm is not None and len(present) < msm:
         return empty  # fewer present terms than the match minimum
-    if similarity == "lmd":
-        # LM Dirichlet needs the collection LM, not an idf: meta[0] carries
-        # the per-term collection probability p_c = (cf+1)/(sumTotalTermFreq
-        # +1) (Lucene LMSimilarity.fillBasicStats), computed from the
-        # dictionary's cf and the field's token total.
+    if similarity in ("lmd", "lmjm"):
+        # The LM Similarities need the collection LM, not an idf: meta[0]
+        # carries the per-term collection probability p_c = (cf+1)/
+        # (sumTotalTermFreq+1) (Lucene LMSimilarity.fillBasicStats),
+        # computed from the dictionary's cf and the field's token total.
         term_meta = {
             t: ((stats[t][2] + 1.0) / (_f_sdl + 1.0), weights[t])
             for t in present
@@ -2459,6 +2476,7 @@ def _prune_blocks(
         classic: ub_t(block) = w_t * idf'² * √max_tf / √min_dl_d
         lmd:     ub_t(block) = w_t * max(0, ln(1+max_tf/(μ·p_c))
                                             + ln(μ/(min_dl_d+μ)))
+        lmjm:    ub_t(block) = w_t * ln(1 + ((1−λ)·max_tf/min_dl_d)/(λ·p_c))
     (every score increases in tf, decreases in dl — SURVEY §4.3.6, so the
     same stored per-block (max_tf, min_dl_d) stats bound all Similarities). A doc's total
     score ≤ ub_t(its block) + Σ_{t'≠t} UB(t') with UB(t') the term-global max
@@ -2496,9 +2514,9 @@ def _prune_blocks(
             * F.sqrt(F.col("max_tf").cast("double"))
             / F.sqrt(F.col("min_dl_d").cast("double"))
         )
-    elif similarity == "lmd":
-        # LM Dirichlet block bound: the per-posting score increases in tf
-        # and decreases in dl, so (max_tf, min_dl_d) bounds the block just
+    elif similarity in ("lmd", "lmjm"):
+        # LM block bounds: each per-posting score increases in tf and
+        # decreases in dl, so (max_tf, min_dl_d) bounds the block just
         # like BM25/classic; meta[0] is p_c here, and the weight multiplies
         # OUTSIDE the ≥0 clamp (the clamp commutes with a positive boost).
         pc_map = F.create_map(
@@ -2507,14 +2525,27 @@ def _prune_blocks(
         w_map = F.create_map(
             *[x for t, (_, w) in term_meta.items() for x in (F.lit(t), F.lit(float(w)))]
         )
-        ub_expr = w_map[F.col("term")] * F.greatest(
-            F.lit(0.0),
-            F.log1p(
-                F.col("max_tf").cast("double")
-                / (F.lit(LMD_MU) * pc_map[F.col("term")])
+        if similarity == "lmd":
+            ub_expr = w_map[F.col("term")] * F.greatest(
+                F.lit(0.0),
+                F.log1p(
+                    F.col("max_tf").cast("double")
+                    / (F.lit(LMD_MU) * pc_map[F.col("term")])
+                )
+                + F.log(
+                    F.lit(LMD_MU)
+                    / (F.col("min_dl_d").cast("double") + F.lit(LMD_MU))
+                ),
             )
-            + F.log(F.lit(LMD_MU) / (F.col("min_dl_d").cast("double") + F.lit(LMD_MU))),
-        )
+        else:
+            ub_expr = w_map[F.col("term")] * F.log1p(
+                (
+                    F.lit(1.0 - LMJM_LAMBDA)
+                    * F.col("max_tf").cast("double")
+                    / F.col("min_dl_d").cast("double")
+                )
+                / (F.lit(LMJM_LAMBDA) * pc_map[F.col("term")])
+            )
     else:
         kf = F.lit(BM25_K1) * (
             F.lit(1.0 - BM25_B)

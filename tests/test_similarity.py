@@ -1,10 +1,12 @@
 """Pluggable Similarity (IndexSearcher.setSimilarity analog).
 
-``search(similarity="classic")`` scores with Lucene's TFIDFSimilarity
-(idf'² · √tf · 1/√dl over the same stored quantized norms) instead of BM25.
-Pinned rank+score-identical to the numpy oracle's classic mode, and the
-block-max pruned path (whose upper bound is monotone in the same per-block
-stats) must stay exactly equal to exhaustive.
+``search(similarity=...)`` swaps the scoring function over the same stored
+postings + quantized norms: "classic" (TFIDFSimilarity), "lmd"
+(LMDirichletSimilarity) and "lmjm" (LMJelinekMercerSimilarity) beside the
+default BM25. Each is pinned rank+score-identical to the numpy oracle's
+independent mode, and the block-max pruned path (whose upper bound is
+monotone in the same per-block stats) must stay exactly equal to
+exhaustive under every Similarity.
 """
 
 from __future__ import annotations
@@ -86,6 +88,36 @@ def test_lmd_pruned_equals_exhaustive(spark, tiny_index):
     q = "world school student the"
     ex = search(spark, tiny_index, q, k=10, similarity="lmd", prune=False).collect()
     pr = search(spark, tiny_index, q, k=10, similarity="lmd", prune=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in pr
+    ]
+
+
+@pytest.mark.parametrize(
+    "q,mode,msm",
+    [
+        ("world school student", "or", None),
+        ("the be to", "or", None),
+        ("world the", "and", None),
+        ("look only come its", "or", 2),
+    ],
+)
+def test_lmjm_matches_oracle(spark, tiny_index, oracle_tiny, q, mode, msm):
+    """LMJelinekMercerSimilarity: rank+score-identical to the numpy
+    oracle's independent transliteration (same p_c, mixture formula)."""
+    exp = oracle_search(oracle_tiny, q, k=10, mode=mode, msm=msm, similarity="lmjm")
+    got = search(
+        spark, tiny_index, q, k=10, mode=mode, msm=msm, similarity="lmjm"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert float(r["score"]) == pytest.approx(s, rel=1e-6, abs=1e-6)
+
+
+def test_lmjm_pruned_equals_exhaustive(spark, tiny_index):
+    q = "world school student the"
+    ex = search(spark, tiny_index, q, k=10, similarity="lmjm", prune=False).collect()
+    pr = search(spark, tiny_index, q, k=10, similarity="lmjm", prune=True).collect()
     assert [(r["doc_id"], r["score"]) for r in ex] == [
         (r["doc_id"], r["score"]) for r in pr
     ]
