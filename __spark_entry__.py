@@ -816,6 +816,47 @@ ORDER BY rank
 """
 
 
+def _oracle_bm25_tuned_sql(
+    terms: list[str], k: int, k1: float = 0.9, b: float = 0.4
+) -> str:
+    """BM25 with non-default free parameters (BM25Similarity(k1, b) — the
+    0.9/0.4 pair is the published short-text tuning): the standard pivoted
+    oracle with k1/b interpolated instead of the 1.2/0.75 constants."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {k1} * "
+        f"({1 - b} + {b} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+       t.doc_id AS doc_id, d.conv_id AS conv_id,
+       cast(d.turn_idx AS bigint) AS turn_idx, t.score_r AS score
+FROM topk t JOIN dlq d USING (doc_id)
+ORDER BY rank
+"""
+
+
 def _oracle_lmjm_sql(terms: list[str], k: int, lam: float = 0.1) -> str:
     """LMJelinekMercerSimilarity top-k oracle: per matched term
     ln(1 + ((1-λ)·tf/dl_d)/(λ·p_c)) with the same in-SQL p_c as the
@@ -2921,6 +2962,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_lmjm"] = fts_topk_lmjm
 
+    def fts_topk_bm25tuned(s, d):
+        """BM25 free parameters (BM25Similarity(k1, b) constructor analog):
+        the same OR query scored with the published short-text tuning
+        k1=0.9, b=0.4 — parameters thread into the kernel AND the
+        block-max bound, so tuned searches prune losslessly."""
+        from cuvs_lucene_spark.query import search
+
+        res = search(
+            s, _index_for(s, d), "merge sort join", k=10,
+            k1=0.9, b=0.4, float32=False,
+        )
+        return _ranked(res)
+
+    q["fts_topk_bm25tuned"] = fts_topk_bm25tuned
+
     def fts_suggest(s, d):
         """Spell-check suggestion (DirectSpellChecker analog): dictionary
         terms within 2 edits of a misspelling, (distance asc, df desc,
@@ -3936,6 +3992,7 @@ ORDER BY rank
     o["fts_topk_classic"] = _oracle_classic_sql(["merge", "sort", "join"], 10)
     o["fts_topk_lmd"] = _oracle_lmd_sql(["merge", "sort", "join"], 10)
     o["fts_topk_lmjm"] = _oracle_lmjm_sql(["merge", "sort", "join"], 10)
+    o["fts_topk_bm25tuned"] = _oracle_bm25_tuned_sql(["merge", "sort", "join"], 10)
     o["fts_suggest"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,
        cast(count(*) AS bigint) AS df

@@ -111,6 +111,8 @@ def oracle_search(
     exclude: str | None = None,
     msm: int | None = None,
     similarity: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) with Lucene float semantics.
 
@@ -161,9 +163,9 @@ def oracle_search(
         if similarity == "classic":
             s = (idf * np.sqrt(tf32) / np.sqrt(dl32)).astype(np.float32)
         else:
-            kf = np.float32(BM25_K1) * (
-                np.float32(1.0 - BM25_B)
-                + np.float32(BM25_B) * dl32 / np.float32(idx.avgdl)
+            kf = np.float32(k1) * (
+                np.float32(1.0 - b)
+                + np.float32(b) * dl32 / np.float32(idx.avgdl)
             )
             s = (idf * tf32 / (tf32 + kf)).astype(np.float32)
         acc[d] += s.astype(np.float64) * weights[term]

@@ -328,7 +328,7 @@ class IndexReader:
 
 def make_score_kernel(
     term_meta: dict[str, tuple[float, int]], avgdl: float, float32: bool = True,
-    similarity: str = "bm25",
+    similarity: str = "bm25", k1: float = BM25_K1, b: float = BM25_B,
 ):
     """mapInPandas kernel: posting blocks → (doc_id, tidx, per-term score).
 
@@ -409,8 +409,10 @@ def make_score_kernel(
                     ((ftype(1.0) - lam) * tff / dlf) / (lam * pc)
                 ).astype(ftype)
             else:
-                kf = ftype(BM25_K1) * (
-                    ftype(1.0 - BM25_B) + ftype(BM25_B) * dlf / ftype(avgdl)
+                # k1/b default to the Lucene constants; BM25Similarity(k1, b)
+                # parametrization threads them per-search
+                kf = ftype(k1) * (
+                    ftype(1.0 - b) + ftype(b) * dlf / ftype(avgdl)
                 )
                 s = (idf_v.astype(ftype) * tff / (tff + kf)).astype(ftype)
             yield pd.DataFrame(
@@ -445,6 +447,8 @@ def search(
     boost_by: Column | str | None = None,
     parent_by: str | None = None,
     score_mode: str = "max",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Top-k BM25 search returning (doc_id, score, conv_id, turn_idx).
 
@@ -505,6 +509,10 @@ def search(
         p_c = (cf+1)/(sumTotalTermFreq+1) from the dictionary's cf column),
         or "lmjm" (LMJelinekMercerSimilarity:
         ln(1 + ((1−λ)·tf/dl)/(λ·p_c)), λ=0.1).
+    k1, b — BM25 free parameters (Lucene BM25Similarity(k1, b); defaults are
+        the Lucene defaults 1.2/0.75). Only read when similarity="bm25";
+        threaded into both the scoring kernel and the block-max bound, so
+        tuned-parameter searches prune losslessly too.
         All compose with pruning: each block upper bound is monotone in the
         same per-block (max_tf, min_dl_d) stats BM25's bound uses, so
         block-max pruning stays lossless.
@@ -709,11 +717,11 @@ def search(
         postings = _prune_blocks(
             spark, rd, postings, term_meta, k, mode, filter_cond,
             prune_blocks_per_term, del_ids, avgdl=f_avgdl, after=after,
-            ex_ids=ex_ids, similarity=similarity,
+            ex_ids=ex_ids, similarity=similarity, k1=k1, b=b,
         )
 
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, f_avgdl, float32, similarity),
+        make_score_kernel(term_meta, f_avgdl, float32, similarity, k1=k1, b=b),
         SCORE_ROWS_SCHEMA,
     )
     if ex_ids is not None:
@@ -2468,6 +2476,8 @@ def _prune_blocks(
     after: tuple[float, int] | None = None,
     ex_ids: DataFrame | None = None,
     similarity: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Bound-safe distributed block-max pruning.
 
@@ -2547,9 +2557,9 @@ def _prune_blocks(
                 / (F.lit(LMJM_LAMBDA) * pc_map[F.col("term")])
             )
     else:
-        kf = F.lit(BM25_K1) * (
-            F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B) * F.col("min_dl_d").cast("double") / F.lit(avgdl)
+        kf = F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("min_dl_d").cast("double") / F.lit(avgdl)
         )
         ub_expr = (
             idf_map[F.col("term")]
@@ -2594,7 +2604,8 @@ def _prune_blocks(
     # float64 and uses a RELATIVE slack below.
     phase1 = top_blocks.select(*SCORE_KERNEL_COLS).mapInPandas(
         make_score_kernel(
-            term_meta, avgdl, float32=(after is None), similarity=similarity
+            term_meta, avgdl, float32=(after is None), similarity=similarity,
+            k1=k1, b=b,
         ),
         SCORE_ROWS_SCHEMA,
     )

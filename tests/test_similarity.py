@@ -123,6 +123,39 @@ def test_lmjm_pruned_equals_exhaustive(spark, tiny_index):
     ]
 
 
+@pytest.mark.parametrize("k1,b", [(0.9, 0.4), (2.0, 0.0), (1.2, 1.0)])
+def test_bm25_tuned_params_match_oracle(spark, tiny_index, oracle_tiny, k1, b):
+    """BM25Similarity(k1, b) parametrization: engine == oracle at the same
+    non-default constants (b=0 disables length normalization entirely;
+    b=1 is full normalization)."""
+    q = "world school student"
+    exp = oracle_search(oracle_tiny, q, k=10, k1=k1, b=b)
+    got = search(spark, tiny_index, q, k=10, k1=k1, b=b).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert float(r["score"]) == pytest.approx(s, rel=1e-6)
+
+
+def test_bm25_tuned_pruned_equals_exhaustive(spark, tiny_index):
+    # the tuned constants must reach the block bound too, or pruning would
+    # compare default-constant bounds against tuned-constant scores
+    q = "world school student the"
+    ex = search(spark, tiny_index, q, k=10, k1=0.9, b=0.4, prune=False).collect()
+    pr = search(spark, tiny_index, q, k=10, k1=0.9, b=0.4, prune=True).collect()
+    assert [(r["doc_id"], r["score"]) for r in ex] == [
+        (r["doc_id"], r["score"]) for r in pr
+    ]
+
+
+def test_bm25_default_params_unchanged(spark, tiny_index):
+    q = "world school"
+    base = search(spark, tiny_index, q, k=10).collect()
+    expl = search(spark, tiny_index, q, k=10, k1=1.2, b=0.75).collect()
+    assert [(r["doc_id"], r["score"]) for r in base] == [
+        (r["doc_id"], r["score"]) for r in expl
+    ]
+
+
 def test_lmd_common_term_scores_clamp_to_zero(spark, tiny_index):
     # a very common term in a long doc drives ln(mu/(dl+mu)) + ln(1+tf/..)
     # negative for low-tf matches; Lucene clamps per-term scores at 0, so
