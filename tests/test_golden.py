@@ -97,6 +97,15 @@ def golden_queries() -> dict:
         "hot_single_k20": lambda s, d: search(s, d, "the", k=20),
         "rare_single": lambda s, d: search(s, d, "w01746", k=10),
         "pruned_or": lambda s, d: search(s, d, "the be to", k=10, prune=True),
+        "sim_lmd": lambda s, d: search(
+            s, d, "world school student", k=10, similarity="lmd"
+        ),
+        "sim_lmjm": lambda s, d: search(
+            s, d, "world school student", k=10, similarity="lmjm"
+        ),
+        "sim_bm25_tuned": lambda s, d: search(
+            s, d, "world school student", k=10, k1=0.9, b=0.4
+        ),
         "after_page2": after_page2,
         "phrase_exact": lambda s, d: search_phrase(s, d, "the w49999", k=10),
         "phrase_slop2": lambda s, d: search_phrase(s, d, "be to", k=10, slop=2),

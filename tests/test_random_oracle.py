@@ -134,6 +134,31 @@ def test_random_corpus_engine_equals_oracle(
             for (gd, gs), (_ed, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-5, (seed, spec, prune, gd, gs, es)
 
+    # every non-default Similarity on the same random corpus: one OR query
+    # each under classic / lmd / lmjm / tuned-BM25, exhaustive AND pruned
+    # (the per-similarity block bounds must stay lossless on arbitrary
+    # tf/dl/cf shapes, not just the fixed tiny fixture)
+    sim_q = " ".join(rng.choice(vocab_words, size=3, replace=True))
+    for sim_kw in (
+        {"similarity": "classic"},
+        {"similarity": "lmd"},
+        {"similarity": "lmjm"},
+        {"k1": 0.9, "b": 0.4},
+    ):
+        exp = oracle_search(oracle, sim_q, k=10, **sim_kw)
+        for prune in (False, True):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, d, sim_q, k=10, prune=prune, **sim_kw
+                ).collect()
+            ]
+            assert [x[0] for x in got] == [x[0] for x in exp], (
+                seed, sim_q, sim_kw, prune, got, exp
+            )
+            for (gd, gs), (_ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-5, (seed, sim_kw, prune, gd, gs, es)
+
     # ordered span-near on the same random corpus, vs the independent
     # pure-python loop-spec oracle (test_spans.oracle_span_near)
     from test_spans import oracle_span_near
