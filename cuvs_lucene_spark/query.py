@@ -743,6 +743,9 @@ def search_batch(
     reader: IndexReader | None = None,
     float32: bool = True,
     field: str | None = None,
+    similarity: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Top-k BM25 for MANY queries in ONE job: (qid, doc_id, score, conv_id,
     turn_idx), qid = the query's position in `queries`. `mode` is one
@@ -800,14 +803,26 @@ def search_batch(
 
     active = sorted({t for _qi, _w, pres, _m in specs for t in pres})
     tindex = {t: i for i, t in enumerate(active)}
-    term_meta = {t: (rd.idf(stats[t][0], f_docs), 1) for t in active}
+    # same Similarity dispatch as search(): the LM sims need p_c (cf + the
+    # field token total), everything else a df-derived weight — the shared
+    # pivot downstream is similarity-agnostic (per-(doc,term) scores)
+    if similarity in ("lmd", "lmjm"):
+        term_meta = {
+            t: ((stats[t][2] + 1.0) / (_f_sdl + 1.0), 1) for t in active
+        }
+    else:
+        term_meta = {
+            t: (rd.term_weight(stats[t][0], f_docs, similarity), 1)
+            for t in active
+        }
     postings = rd.cat.read_postings(spark).where(
         F.col("bucket").isin(sorted({stats[t][1] for t in active}))
         & (F.col("field") == fld)
         & F.col("term").isin(active)
     )
     score_rows = postings.select(*SCORE_KERNEL_COLS).mapInPandas(
-        make_score_kernel(term_meta, f_avgdl, float32), SCORE_ROWS_SCHEMA
+        make_score_kernel(term_meta, f_avgdl, float32, similarity, k1=k1, b=b),
+        SCORE_ROWS_SCHEMA,
     )
     del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:

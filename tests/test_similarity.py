@@ -156,6 +156,34 @@ def test_bm25_default_params_unchanged(spark, tiny_index):
     ]
 
 
+@pytest.mark.parametrize(
+    "sim_kw",
+    [
+        {"similarity": "classic"},
+        {"similarity": "lmd"},
+        {"similarity": "lmjm"},
+        {"k1": 0.9, "b": 0.4},
+    ],
+    ids=["classic", "lmd", "lmjm", "bm25tuned"],
+)
+def test_batch_matches_sequential_under_similarity(spark, tiny_index, sim_kw):
+    """search_batch honors the Similarity knobs: batched results equal the
+    per-query search() results under every non-default Similarity."""
+    from cuvs_lucene_spark.query import search_batch
+
+    qs = ["world school", "the student people", "w01746"]
+    batch = search_batch(spark, tiny_index, qs, k=8, **sim_kw).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qi, q in enumerate(qs):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, tiny_index, q, k=8, **sim_kw).collect()
+        ]
+        assert got.get(qi, []) == want, (q, sim_kw)
+
+
 def test_lmd_common_term_scores_clamp_to_zero(spark, tiny_index):
     # a very common term in a long doc drives ln(mu/(dl+mu)) + ln(1+tf/..)
     # negative for low-tf matches; Lucene clamps per-term scores at 0, so
