@@ -857,6 +857,55 @@ ORDER BY rank
 """
 
 
+def _oracle_context_sql(terms: list[str], k: int, window: int) -> str:
+    """Context-retrieval oracle: the standard BM25 topk CTE, each hit
+    expanded to its ±window turn neighborhood via a conv_id + turn-range
+    join against the corpus CTE (the twin of search_with_context's
+    broadcast range join)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    per = (
+        f"ts.idf * tf.tf / (tf.tf + {_BM25_K1} * "
+        f"({1 - _BM25_B} + {_BM25_B} * d.dl_d / s.avgdl))"
+    )
+    pivot = " + ".join(
+        f"{terms.count(t)} * COALESCE(max(CASE WHEN tf.term = '{t}' THEN {per} END), 0)"
+        for t in sorted(set(terms))
+    )
+    return f"""{_ORACLE_PREFIX},
+qt AS (SELECT * FROM (VALUES {vals}) AS v(term)),
+ts AS (SELECT term, count(*) AS df,
+              ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)/(count(*) + 0.5)) AS idf
+       FROM tf WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, ({pivot}) AS score
+  FROM tf
+  JOIN qt ON tf.term = qt.term
+  JOIN ts ON tf.term = ts.term
+  JOIN dlq d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 4) AS score_r
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+hitk AS (
+  SELECT row_number() OVER (ORDER BY t.score_r DESC, t.doc_id ASC) AS rank,
+         t.doc_id, d.conv_id, d.turn_idx, t.score_r
+  FROM topk t JOIN dlq d USING (doc_id)
+)
+SELECT h.rank, h.doc_id AS doc_id, h.conv_id AS conv_id,
+       cast(h.turn_idx AS bigint) AS turn_idx,
+       cast(b.turn_idx AS bigint) AS ctx_turn_idx,
+       cast(b.turn_idx - h.turn_idx AS bigint) AS ctx_offset,
+       cast(b.turn_idx = h.turn_idx AS bigint) AS is_hit,
+       b.role AS role, b.text AS text, h.score_r AS score
+FROM hitk h JOIN base b ON b.conv_id = h.conv_id
+  AND b.turn_idx BETWEEN h.turn_idx - {window} AND h.turn_idx + {window}
+ORDER BY rank, ctx_turn_idx
+"""
+
+
 def _oracle_lmjm_sql(terms: list[str], k: int, lam: float = 0.1) -> str:
     """LMJelinekMercerSimilarity top-k oracle: per matched term
     ln(1 + ((1-λ)·tf/dl_d)/(λ·p_c)) with the same in-SQL p_c as the
@@ -2977,6 +3026,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_topk_bm25tuned"] = fts_topk_bm25tuned
 
+    def fts_context(s, d):
+        """Context retrieval over transcripts: every top-k hit carries its
+        ±2-turn conversation neighborhood — k hit rows broadcast against
+        ONE corpus scan with a conv_id + turn-range predicate (no corpus
+        shuffle; ≤ k·5 output rows)."""
+        from cuvs_lucene_spark.query import search_with_context
+
+        res = search_with_context(
+            s, _index_for(s, d), derive_transcripts(s, d),
+            "merge sort join", k=5, window=2, float32=False,
+        )
+        res = res.withColumn("score_r", F.round("score", 4))
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            res.withColumn("rank", F.dense_rank().over(w))
+            .select(
+                F.col("rank").cast("long").alias("rank"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("ctx_turn_idx").cast("long").alias("ctx_turn_idx"),
+                F.col("offset").cast("long").alias("ctx_offset"),
+                F.col("is_hit").cast("long").alias("is_hit"),
+                "role",
+                "text",
+                F.col("score_r").alias("score"),
+            )
+            .orderBy("rank", "ctx_turn_idx")
+        )
+
+    q["fts_context"] = fts_context
+
     def fts_suggest(s, d):
         """Spell-check suggestion (DirectSpellChecker analog): dictionary
         terms within 2 edits of a misspelling, (distance asc, df desc,
@@ -3993,6 +4074,7 @@ ORDER BY rank
     o["fts_topk_lmd"] = _oracle_lmd_sql(["merge", "sort", "join"], 10)
     o["fts_topk_lmjm"] = _oracle_lmjm_sql(["merge", "sort", "join"], 10)
     o["fts_topk_bm25tuned"] = _oracle_bm25_tuned_sql(["merge", "sort", "join"], 10)
+    o["fts_context"] = _oracle_context_sql(["merge", "sort", "join"], 5, 2)
     o["fts_suggest"] = f"""{_ORACLE_PREFIX}
 SELECT term, cast(levenshtein(term, 'bat') AS bigint) AS distance,
        cast(count(*) AS bigint) AS df

@@ -1442,6 +1442,82 @@ def search_children(
     )
 
 
+def search_with_context(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = 2,
+    text_col: str = "text",
+    mode: str = "or",
+    filter_cond: Column | str | None = None,
+    prune: bool | str = False,
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    exclude: str | None = None,
+    msm: int | None = None,
+    similarity: str = "bm25",
+) -> DataFrame:
+    """Top-k search where every hit carries ±``window`` adjacent turns of
+    its conversation — context retrieval over transcripts (the
+    conversational analog of Lucene's stored-field neighborhood fetch:
+    the hit identifies a (conv_id, turn_idx) anchor, the context is the
+    turn-range block around it, like a ToChildBlockJoin restricted to the
+    anchor's neighborhood).
+
+    ``corpus`` is the source-of-truth transcripts DataFrame the index was
+    built from (the index stores no text — the same contract as
+    ``highlight``). A hit near a conversation edge simply truncates.
+    Overlapping hits each carry their own context rows.
+
+    Output: (doc_id, score, conv_id, turn_idx, ctx_turn_idx, offset,
+    is_hit, role, <text_col>) — one row per (hit, context turn), ordered
+    by (score desc, doc_id asc, ctx_turn_idx asc). ``offset`` =
+    ctx_turn_idx − turn_idx ∈ [−window, +window]; ``is_hit`` marks the
+    anchor row.
+
+    Plan shape at scale: the ≤k hit rows BROADCAST against ONE corpus
+    scan with a (conv_id equality AND turn-range) join predicate — no
+    shuffle of the corpus, ≤ k·(2·window+1) output rows; a corpus
+    clustered by conv_id prunes the scan to the hit conversations."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    rd = reader or IndexReader(spark, index_dir)
+    hits = search(
+        spark, index_dir, query, k=k, mode=mode, filter_cond=filter_cond,
+        prune=prune, reader=rd, float32=float32, field=field,
+        exclude=exclude, msm=msm, similarity=similarity,
+    )
+    ctx = corpus.select(
+        F.col("conv_id").alias("_ctx_conv"),
+        F.col("turn_idx").alias("ctx_turn_idx"),
+        "role",
+        text_col,
+    )
+    joined = F.broadcast(hits).join(
+        ctx,
+        (F.col("conv_id") == F.col("_ctx_conv"))
+        & (F.col("ctx_turn_idx") >= F.col("turn_idx") - F.lit(window))
+        & (F.col("ctx_turn_idx") <= F.col("turn_idx") + F.lit(window)),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "score",
+            "conv_id",
+            "turn_idx",
+            "ctx_turn_idx",
+            (F.col("ctx_turn_idx") - F.col("turn_idx")).alias("offset"),
+            (F.col("ctx_turn_idx") == F.col("turn_idx")).alias("is_hit"),
+            "role",
+            text_col,
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("ctx_turn_idx"))
+    )
+
+
 def drill_down(
     spark: SparkSession,
     index_dir: str,

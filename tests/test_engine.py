@@ -644,3 +644,63 @@ def test_drill_sideways_matches_per_dim_facets(spark, tiny_index):
         drill_sideways(spark, tiny_index, "zzqqneverterm", dims=dims).count()
         == 0
     )
+
+
+class TestSearchWithContext:
+    """Context retrieval (search_with_context): every hit carries its
+    ±window conversation neighborhood, pinned against an independent
+    pandas spec over the same corpus."""
+
+    def test_context_matches_pandas_spec(self, spark, tiny_index, tiny_df, tiny_pdf):
+        from cuvs_lucene_spark.query import search, search_with_context
+
+        q, w = "world school", 2
+        hits = [
+            (r["doc_id"], r["score"], r["conv_id"], r["turn_idx"])
+            for r in search(spark, tiny_index, q, k=5).collect()
+        ]
+        got = [
+            (r["doc_id"], r["conv_id"], r["ctx_turn_idx"], r["offset"],
+             r["is_hit"], r["role"], r["text"])
+            for r in search_with_context(
+                spark, tiny_index, tiny_df, q, k=5, window=w
+            ).collect()
+        ]
+        # independent spec: pandas range scan per hit, same ordering
+        pdf = tiny_pdf
+        want = []
+        for did, _s, cid, tix in hits:  # hits are (score desc, doc_id asc)
+            conv = pdf[pdf["conv_id"] == cid].sort_values("turn_idx")
+            win = conv[(conv["turn_idx"] >= tix - w) & (conv["turn_idx"] <= tix + w)]
+            for r in win.itertuples():
+                want.append(
+                    (did, cid, int(r.turn_idx), int(r.turn_idx) - tix,
+                     int(r.turn_idx) == tix, r.role, r.text)
+                )
+        assert got == want and got
+        # exactly one anchor row per hit; offsets bounded
+        anchors = [g for g in got if g[4]]
+        assert len(anchors) == len(hits)
+        assert all(-w <= g[3] <= w for g in got)
+
+    def test_window_zero_is_hits_only(self, spark, tiny_index, tiny_df):
+        from cuvs_lucene_spark.query import search, search_with_context
+
+        got = search_with_context(
+            spark, tiny_index, tiny_df, "world school", k=5, window=0
+        ).collect()
+        base = search(spark, tiny_index, "world school", k=5).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in base
+        ]
+        assert all(r["is_hit"] and r["offset"] == 0 for r in got)
+
+    def test_negative_window_rejected(self, spark, tiny_index, tiny_df):
+        import pytest as _pt
+
+        from cuvs_lucene_spark.query import search_with_context
+
+        with _pt.raises(ValueError, match="window"):
+            search_with_context(
+                spark, tiny_index, tiny_df, "world", k=5, window=-1
+            )
