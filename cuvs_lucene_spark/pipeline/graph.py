@@ -219,12 +219,19 @@ def knn_graph_build(
     edges each NN-Descent round replaced — the build's lineage signal).
     """
     spark = embeddings.sparkSession
-    n_input = embeddings.count()
+    # one driver action for input count, valid-node count, and dim (the
+    # former three separate jobs folded into a single scan)
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    stats = embeddings.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(valid.cast("long")).alias("n"),
+        F.max(F.when(valid, F.size(vec_col))).alias("dim"),
+    ).collect()[0]
+    n_input, n = int(stats["n_input"]), int(stats["n"] or 0)
     nodes = _nodes(embeddings, id_col, vec_col)
-    n = nodes.count()
     if n == 0:
         raise ValueError("knn_graph_build: empty input (or all vectors NULL)")
-    dim = int(nodes.select(F.size("v")).limit(1).collect()[0][0])
+    dim = int(stats["dim"])
     degree = min(degree, max(1, n - 1))
 
     if complete:
@@ -319,6 +326,7 @@ def knn_graph_build(
         f"{graph_dir}/meta.json", json.dumps(meta, indent=1).encode()
     )
     _GRAPH_META_CACHE.pop(graph_dir, None)
+    _GRAPH_ARRAYS_CACHE.pop(graph_dir, None)
     return meta
 
 
@@ -374,6 +382,180 @@ def _load_meta(graph_dir: str) -> dict:
     return _GRAPH_META_CACHE[graph_dir]
 
 
+# ---------------------------------------------------------------------------
+# broadcast beam kernel
+# ---------------------------------------------------------------------------
+#
+# The packed adjacency + vectors of a serving graph are tiny relative to the
+# corpus they index (n·(dim·8 + degree·8) bytes — ~100 MB per million
+# 64-dim nodes), so for any graph that would fit a Spark broadcast we can
+# hold it once in driver/worker memory and run the whole best-first descent
+# in numpy: ONE materialization job per index (cached across queries)
+# instead of ~2 Spark actions per hop × up to max_hops hops per query. This
+# is the same economics as Lucene serving HNSW from a mapped file — the
+# reference's serving path (CuVS2510GPUVectorsReader) never touches the
+# cluster per hop either. Result assembly still runs through the SAME final
+# Spark job as the distributed path (mask + rounding), so the output
+# contract and float behavior are identical; only candidate discovery moves
+# in-process. Graphs above the cap transparently fall back to the
+# distributed fused-hop path.
+
+BROADCAST_GRAPH_MAX_BYTES = 256 << 20
+
+_GRAPH_ARRAYS_CACHE: dict[str, dict] = {}
+
+
+def _graph_bytes_estimate(meta: dict) -> int:
+    n = int(meta.get("n", 0))
+    dim = int(meta.get("dim", 0))
+    degree = int(meta.get("degree", 16))
+    return n * (dim * 8 + degree * 8 + 32)
+
+
+def _graph_local_arrays(spark, index_dir: str, meta: dict) -> dict:
+    """Materialize the packed graph into driver-local numpy arrays, cached
+    per index dir (meta is immutable once written; *_append/compact swap the
+    whole meta.json atomically and bump "commit", which keys the cache)."""
+    key = f"{index_dir}@" + json.dumps(
+        [meta.get(k) for k in ("commit", "n", "dim", "degree", "entry", "conv", "n_gaps")]
+    )
+    hit = _GRAPH_ARRAYS_CACHE.get(index_dir)
+    if hit is not None and hit["key"] == key:
+        return hit
+    fmt = meta["format"]
+    if fmt == "hnsw-v1":
+        adj_rows = (
+            spark.read.parquet(f"{index_dir}/graph")
+            .select("src", "nbrs")
+            .collect()
+        )
+        adj = {int(r["src"]): np.asarray(r["nbrs"], dtype=np.int64) for r in adj_rows}
+    else:
+        edge_rows = (
+            spark.read.parquet(f"{index_dir}/edges")
+            .select("src", "dst")
+            .collect()
+        )
+        adj = {}
+        for r in edge_rows:
+            adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        adj = {s: np.asarray(d, dtype=np.int64) for s, d in adj.items()}
+    node_rows = (
+        spark.read.parquet(f"{index_dir}/nodes").select("id", "v").collect()
+    )
+    ids = np.asarray([int(r["id"]) for r in node_rows], dtype=np.int64)
+    vecs = np.asarray([r["v"] for r in node_rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, vecs = ids[order], vecs[order]
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    arrays = {
+        "key": key,
+        "adj": adj,
+        "ids": ids,
+        "vecs": vecs,
+        "norms": norms,
+        "row_of": {int(i): j for j, i in enumerate(ids)},
+    }
+    _GRAPH_ARRAYS_CACHE[index_dir] = arrays
+    return arrays
+
+
+def _np_score(arrays: dict, ids: list[int], q: np.ndarray, qn: float) -> dict:
+    """Cosine of `ids` against the query, float64 — same math as the Spark
+    `_dot/_norm` expression the distributed path collects."""
+    rows = [arrays["row_of"][i] for i in ids if i in arrays["row_of"]]
+    kept = [i for i in ids if i in arrays["row_of"]]
+    if not rows:
+        return {}
+    m = arrays["vecs"][rows]
+    c = (m @ q) / (arrays["norms"][rows] * qn)
+    return {int(i): float(s) for i, s in zip(kept, c)}
+
+
+def _beam_search_np(
+    arrays: dict, query: list[float], ef: int, max_hops: int, entry: int
+) -> dict[int, float]:
+    """The exact beam loop of graph_search, run in-process: same expansion
+    policy (all unexpanded beam members per hop), same (score desc, id asc)
+    tie-breaks, same stop rule — only the per-hop Spark actions are gone."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    visited: dict[int, float] = dict(_np_score(arrays, [entry], q, qn))
+    expanded: set[int] = set()
+    adj = arrays["adj"]
+    for _ in range(max_hops):
+        beam = sorted(visited.items(), key=lambda t: (-t[1], t[0]))[:ef]
+        frontier = [i for i, _ in beam if i not in expanded]
+        if not frontier:
+            break
+        expanded.update(frontier)
+        nbrs: set[int] = set()
+        for src in frontier:
+            a = adj.get(src)
+            if a is not None:
+                nbrs.update(int(x) for x in a)
+        new = [i for i in nbrs if i not in visited]
+        visited.update(_np_score(arrays, new, q, qn))
+    return visited
+
+
+def _hop_expand_score(
+    spark,
+    index_dir: str,
+    fmt: str,
+    frontier: list[int],
+    visited_ids: list[int],
+    query: list[float],
+) -> dict[int, float]:
+    """One FUSED hop for the distributed path: src-pruned adjacency scan →
+    explode → visited-exclusion → join nodes → cosine, all in ONE Spark job
+    (one collect of ≤ frontier·degree scalar rows) instead of the former
+    expand-then-score pair of actions."""
+    fl = [int(x) for x in frontier]
+    if fmt == "hnsw-v1":
+        cand = (
+            spark.read.parquet(f"{index_dir}/graph")
+            .where(F.col("src").isin(fl))
+            .select(F.explode("nbrs").alias("id"))
+            .distinct()
+        )
+    else:
+        cand = (
+            spark.read.parquet(f"{index_dir}/edges")
+            .where(F.col("src").isin(fl))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+    # exclude already-scored ids executor-side when the list is small enough
+    # for an IN; otherwise score-and-drop driver-side (same values anyway).
+    if visited_ids and len(visited_ids) <= 2048:
+        cand = cand.where(~F.col("id").isin([int(x) for x in visited_ids]))
+    q = _qlit([float(x) for x in query])
+    nodes = spark.read.parquet(f"{index_dir}/nodes")
+    rows = (
+        nodes.join(F.broadcast(cand), "id")
+        .select(
+            "id",
+            (_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))).alias("c"),
+        )
+        .collect()
+    )
+    return {int(r["id"]): float(r["c"]) for r in rows}
+
+
+def _check_dim(query: list[float], meta: dict, surface: str) -> None:
+    """Query-vector dimension validation at the API boundary — the analog of
+    the reference reader re-validating dimension against segment metadata
+    before searching (CuVS2510GPUVectorsReader.java:143-154)."""
+    dim = int(meta.get("dim", 0))
+    if dim and len(query) != dim:
+        raise ValueError(
+            f"{surface}: query vector has {len(query)} dims but the index "
+            f"was built with dim={dim}"
+        )
+
+
 def graph_to_hnsw(spark, graph_dir: str, hnsw_dir: str) -> dict:
     """Serialize the flat edge table into HNSW-style packed adjacency — the
     analog of the reference's CAGRA->HNSW conversion (single-layer, medoid
@@ -418,6 +600,7 @@ def graph_to_hnsw(spark, graph_dir: str, hnsw_dir: str) -> dict:
         f"{hnsw_dir}/meta.json", json.dumps(meta, indent=1).encode()
     )
     _GRAPH_META_CACHE.pop(hnsw_dir, None)
+    _GRAPH_ARRAYS_CACHE.pop(hnsw_dir, None)
     return meta
 
 
@@ -474,16 +657,27 @@ def graph_search(
     max_hops: int = 12,
     filter_cond=None,
     deletes: DataFrame | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Best-first beam search over the persisted graph (HNSW-search analog).
 
-    The driver holds only the beam (<= ef scored ids) and the visited set;
-    each hop is two pruned scans (adjacency, then new-node vectors). The
-    search expands every unexpanded beam member per hop — the batched
-    adaptation of HNSW's one-pop loop, trading a few extra scored candidates
-    for `max_hops` total Spark jobs instead of `ef` of them. Terminates when
-    the beam's top-ef is fully expanded (no unexpanded candidate can beat
-    the current worst beam member, HNSW's stop rule).
+    Two serving kernels, selected by ``kernel``:
+
+    - ``"broadcast"`` (default when the packed graph's estimated bytes fit
+      BROADCAST_GRAPH_MAX_BYTES): the adjacency + vectors are materialized
+      ONCE into cached local arrays and the whole descent runs in numpy —
+      zero Spark actions per hop, one final assembly job. This is how Lucene
+      serves HNSW (mapped file, no cluster round-trips) and removes the
+      ~2-actions-per-hop scheduling floor the distributed loop pays.
+    - ``"distributed"`` (forced, or when the graph exceeds the cap): the
+      driver holds only the beam (<= ef scored ids); each hop is ONE fused
+      Spark job (src-pruned adjacency scan joined to the node table, cosine
+      computed executor-side) collecting <= frontier·degree scalar rows.
+      The search expands every unexpanded beam member per hop — the batched
+      adaptation of HNSW's one-pop loop. Terminates when the beam's top-ef
+      is fully expanded (no unexpanded candidate can beat the current worst
+      beam member, HNSW's stop rule). Both kernels run the identical loop —
+      same expansion policy, same (score desc, id asc) tie-breaks.
 
     Filtering (filter_cond over the node-attribute table via ``accept_ids``
     below, deletes anti-join) follows Lucene filtered-HNSW: traversal is
@@ -496,19 +690,32 @@ def graph_search(
     meta = _load_meta(index_dir)
     fmt = meta["format"]
     entry = int(meta["entry"])
+    _check_dim(query, meta, "graph_search")
 
-    visited: dict[int, float] = {}
-    expanded: set[int] = set()
-    visited.update(_score_ids(spark, index_dir, [entry], query))
-    for _ in range(max_hops):
-        beam = sorted(visited.items(), key=lambda t: (-t[1], t[0]))[:ef]
-        frontier = [i for i, _ in beam if i not in expanded]
-        if not frontier:
-            break
-        expanded.update(frontier)
-        nbrs = _expand(spark, index_dir, fmt, frontier)
-        new = [i for i in nbrs if i not in visited]
-        visited.update(_score_ids(spark, index_dir, new, query))
+    if kernel == "auto":
+        kernel = (
+            "broadcast"
+            if _graph_bytes_estimate(meta) <= BROADCAST_GRAPH_MAX_BYTES
+            else "distributed"
+        )
+    if kernel == "broadcast":
+        arrays = _graph_local_arrays(spark, index_dir, meta)
+        visited = _beam_search_np(arrays, query, ef, max_hops, entry)
+    else:
+        visited = {}
+        expanded: set[int] = set()
+        visited.update(_score_ids(spark, index_dir, [entry], query))
+        for _ in range(max_hops):
+            beam = sorted(visited.items(), key=lambda t: (-t[1], t[0]))[:ef]
+            frontier = [i for i, _ in beam if i not in expanded]
+            if not frontier:
+                break
+            expanded.update(frontier)
+            visited.update(
+                _hop_expand_score(
+                    spark, index_dir, fmt, frontier, list(visited), query
+                )
+            )
 
     # result assembly: re-rank the surviving pool through one Spark job that
     # applies the acceptance mask and the exact path's rounding — identical
@@ -544,44 +751,66 @@ def graph_search_batch(
     k: int = 10,
     ef: int = 48,
     max_hops: int = 12,
+    kernel: str = "auto",
 ) -> DataFrame:
-    """Batched beam search: Q queries share every hop's scans (the adjacency
+    """Batched beam search — the batch analog of search_batch on the FTS
+    side. Same two kernels as graph_search: ``broadcast`` runs every query's
+    whole descent against the cached local arrays (zero per-hop actions);
+    ``distributed`` shares each hop's scans across the batch (the adjacency
     scan is pruned by the UNION of frontiers; candidate scoring ships each
     node's vector once and scores it against exactly the queries that need
     it, executor-side). Driver state stays <= Q·(ef + degree·frontier) ids.
 
-    Returns (qid, rank, id, score) — the batch analog of search_batch on the
-    FTS side.
+    Returns (qid, rank, id, score).
     """
     meta = _load_meta(index_dir)
     fmt = meta["format"]
     entry = int(meta["entry"])
     qmat = {int(qid): [float(x) for x in vec] for qid, vec in queries}
+    for qid, vec in qmat.items():
+        _check_dim(vec, meta, f"graph_search_batch[qid={qid}]")
 
-    visited: dict[int, dict[int, float]] = {qid: {} for qid in qmat}
-    expanded: dict[int, set[int]] = {qid: set() for qid in qmat}
-    first = _score_pairs_batch(spark, index_dir, [(qid, entry) for qid in qmat], qmat)
-    for qid, i, s in first:
-        visited[qid][i] = s
-
-    for _ in range(max_hops):
-        frontiers: dict[int, list[int]] = {}
-        for qid in qmat:
-            beam = sorted(visited[qid].items(), key=lambda t: (-t[1], t[0]))[:ef]
-            frontiers[qid] = [i for i, _ in beam if i not in expanded[qid]]
-        union_frontier = sorted({i for f in frontiers.values() for i in f})
-        if not union_frontier:
-            break
-        nbr_map = _expand_map(spark, index_dir, fmt, union_frontier)
-        need: list[tuple[int, int]] = []
-        for qid, f in frontiers.items():
-            expanded[qid].update(f)
-            cand: set[int] = set()
-            for src in f:
-                cand.update(nbr_map.get(src, ()))
-            need.extend((qid, i) for i in cand if i not in visited[qid])
-        for qid, i, s in _score_pairs_batch(spark, index_dir, need, qmat):
+    if kernel == "auto":
+        kernel = (
+            "broadcast"
+            if _graph_bytes_estimate(meta) <= BROADCAST_GRAPH_MAX_BYTES
+            else "distributed"
+        )
+    if kernel == "broadcast":
+        arrays = _graph_local_arrays(spark, index_dir, meta)
+        visited = {
+            qid: _beam_search_np(arrays, vec, ef, max_hops, entry)
+            for qid, vec in qmat.items()
+        }
+    else:
+        visited = {qid: {} for qid in qmat}
+        expanded: dict[int, set[int]] = {qid: set() for qid in qmat}
+        first = _score_pairs_batch(
+            spark, index_dir, [(qid, entry) for qid in qmat], qmat
+        )
+        for qid, i, s in first:
             visited[qid][i] = s
+
+        for _ in range(max_hops):
+            frontiers: dict[int, list[int]] = {}
+            for qid in qmat:
+                beam = sorted(
+                    visited[qid].items(), key=lambda t: (-t[1], t[0])
+                )[:ef]
+                frontiers[qid] = [i for i, _ in beam if i not in expanded[qid]]
+            union_frontier = sorted({i for f in frontiers.values() for i in f})
+            if not union_frontier:
+                break
+            nbr_map = _expand_map(spark, index_dir, fmt, union_frontier)
+            need: list[tuple[int, int]] = []
+            for qid, f in frontiers.items():
+                expanded[qid].update(f)
+                cand: set[int] = set()
+                for src in f:
+                    cand.update(nbr_map.get(src, ()))
+                need.extend((qid, i) for i in cand if i not in visited[qid])
+            for qid, i, s in _score_pairs_batch(spark, index_dir, need, qmat):
+                visited[qid][i] = s
 
     out = []
     for qid in sorted(qmat):
