@@ -1,0 +1,122 @@
+"""Targeted regression repros for defects found in round-4 review.
+
+Each test pins one specific historical hazard:
+
+  1. the driver-side TermStates cache serving stale df/cf after a
+     delete-and-rebuild at the same path with a caller-fixed run_id
+     (the snapshot key must include the manifest commit identity, not just
+     (segment id, run_id) — Lucene's reader caches are likewise keyed per
+     commit point);
+  2. searchAfter page membership at cursor scores > 8, where a float32 ULP
+     exceeds an absolute 1e-6 slack and a boundary doc could be
+     misclassified (phase 1 must run float64 with a RELATIVE slack when
+     ``after`` is set).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuvs_lucene_spark.operators.build import build_index
+from cuvs_lucene_spark.query import IndexReader, search
+
+
+def _transcripts(spark, rows):
+    """(conv_id, turn_idx, role, text, tool, ts) frame from (text,) specs."""
+    base = datetime.datetime(2026, 1, 1)
+    data = [
+        (
+            f"conv-{i // 8:08d}",
+            i % 8,
+            ["user", "assistant"][i % 2],
+            text,
+            None,
+            base + datetime.timedelta(seconds=i),
+        )
+        for i, text in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+class TestTermStatsCacheRebuild:
+    def test_term_stats_fresh_after_rebuild_same_run_id(
+        self, spark, tmp_path_factory
+    ):
+        """Delete-and-rebuild at the SAME path with the SAME caller run_id
+        must not serve the old snapshot's df/cf from the process-global
+        term-stats cache: (id, run_id) collide by construction, so the
+        snapshot key has to carry the manifest commit identity."""
+        from cuvs_lucene_spark.sources import fs
+
+        d = str(tmp_path_factory.mktemp("idx") / "stale_ts")
+        half = _transcripts(spark, ["merge sort"] * 20)
+        build_index(spark, half, d, buckets=4, salt_buckets=2, run_id="fixed")
+        rd1 = IndexReader(spark, d)
+        df1 = rd1.term_stats(["merge"])["merge"][0]
+        assert df1 == 20
+        # cache is hot now: a second lookup must not issue a fresh seek
+        assert rd1.term_stats(["merge"])["merge"][0] == 20
+
+        fs.delete_dir(d)
+        full = _transcripts(spark, ["merge sort"] * 20 + ["merge join"] * 30)
+        build_index(spark, full, d, buckets=4, salt_buckets=2, run_id="fixed")
+        rd2 = IndexReader(spark, d)
+        assert rd2._snap_key != rd1._snap_key
+        df2, _, cf2 = rd2.term_stats(["merge"])["merge"]
+        assert df2 == 50 and cf2 == 50
+
+        # and the scoring path agrees (idf reflects the NEW df)
+        top = search(spark, d, "merge", k=60, reader=rd2).collect()
+        assert len(top) == 50
+
+
+class TestSearchAfterHighScoreCursor:
+    @pytest.fixture(scope="class")
+    def rare_index(self, spark, tmp_path_factory):
+        """Corpus engineered so multi-term hits score far above 8: three
+        very rare terms (df=4 of 300) co-occur in the top docs, putting the
+        page-1 cursor score around 3 x idf x (k1+1) >> 8."""
+        texts = ["alpha beta common filler words here"] * 600
+        # 9 docs carrying rare terms (df=6 each); 3 docs have all three at
+        # tf=2, so their score is ~3 terms x idf~4.5 x tf-factor~1.4 >> 8
+        for i in range(3):
+            texts.append("zebra zebra quokka quokka axolotl axolotl alpha")
+        for i in range(3):
+            texts.append("zebra quokka alpha noise")
+        for i in range(3):
+            texts.append("axolotl alpha noise")
+        d = str(tmp_path_factory.mktemp("idx") / "rare")
+        build_index(
+            spark, _transcripts(spark, texts), d, buckets=4, salt_buckets=2
+        )
+        return d
+
+    def test_pruned_paging_matches_exhaustive_above_score_8(
+        self, spark, rare_index
+    ):
+        q = "zebra quokka axolotl"
+        page1 = search(spark, rare_index, q, k=4, prune=True).collect()
+        assert page1 and page1[0]["score"] > 8.0, (
+            "repro precondition: cursor score must exceed the float32-ULP "
+            "hazard threshold"
+        )
+        cursor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+        tail_ex = search(spark, rare_index, q, k=10, after=cursor).collect()
+        tail_pr = search(
+            spark, rare_index, q, k=10, prune=True, after=cursor
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in tail_pr] == [
+            (r["doc_id"], r["score"]) for r in tail_ex
+        ]
+        # pages partition the full result list exactly
+        full = search(spark, rare_index, q, k=20).collect()
+        assert [r["doc_id"] for r in page1 + tail_ex] == [
+            r["doc_id"] for r in full[: len(page1) + len(tail_ex)]
+        ]
