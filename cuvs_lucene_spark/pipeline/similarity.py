@@ -82,12 +82,26 @@ def cosine_topk(
     """
     q = _qlit(query)
     embeddings = _apply_vector_mask(embeddings, id_col, filter_cond, deletes)
+    # dimension guard (CuVS2510GPUVectorsReader.java:143-154 analog):
+    # cosine_topk has no index metadata to pre-validate against — it is a
+    # DataFrame op, not an index — so the check rides the scan itself:
+    # zero extra jobs, and a mismatched row fails loudly naming both dims
+    # instead of silently zip_with-truncating the dot product.
+    dim_ok = F.size(F.col(vec_col)) == F.lit(len(query))
+    guarded = F.when(dim_ok, F.col(vec_col).cast("array<double>")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cosine_topk: query vector has {len(query)} dims but "
+                    f"row vector has "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     d = embeddings.select(
         F.col(id_col).alias("id"),
-        (
-            _dot(F.col(vec_col).cast("array<double>"), q)
-            / (_norm(F.col(vec_col).cast("array<double>")) * _norm(q))
-        ).alias("cos"),
+        (_dot(guarded, q) / (_norm(guarded) * _norm(q))).alias("cos"),
     )
     topk = (
         d.withColumn("score", F.round("cos", 6))
@@ -272,6 +286,13 @@ def ivf_search(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cents = _collect_centroids(centroids)
+    if cents:
+        cdim = len(next(iter(cents.values())))
+        if len(query) != cdim:
+            raise ValueError(
+                f"ivf_search: query vector has {len(query)} dims but the "
+                f"index was trained with dim={cdim}"
+            )
     probe_ids = _nearest_centroid_ids(cents, query, nprobe)
     if len(probe_ids) >= len(cents):
         return cosine_topk(emb, query, k, id_col="id", vec_col="v")
@@ -462,6 +483,11 @@ def ivf_probe_search(
     by role/ts attributes kept in a separate dim table); `deletes` ids are
     anti-joined so tombstoned vectors are never returned."""
     cids, mat = _load_centroids(spark, ivf_dir)
+    if mat.size and len(query) != mat.shape[1]:
+        raise ValueError(
+            f"ivf_probe_search: query vector has {len(query)} dims but the "
+            f"index was trained with dim={mat.shape[1]}"
+        )
     q = np.asarray(query, dtype=np.float64)
     d2 = ((mat - q) ** 2).sum(axis=1)
     order = np.lexsort((cids, d2))[:nprobe]
@@ -957,6 +983,11 @@ def ivfpq_search(
     the hash-match gate config. filter_cond/deletes: the usual acceptDocs
     surface, applied before ranking."""
     cids, mat = _load_centroids(spark, ivfpq_dir)
+    if mat.size and len(query) != mat.shape[1]:
+        raise ValueError(
+            f"ivfpq_search: query vector has {len(query)} dims but the "
+            f"index was trained with dim={mat.shape[1]}"
+        )
     q = np.asarray(query, dtype=np.float64)
     d2 = ((mat - q) ** 2).sum(axis=1)
     probe_ids = [int(c) for c in cids[np.lexsort((cids, d2))[:nprobe]]]

@@ -108,6 +108,21 @@ _TERM_CACHE_MAX_KEYS = 8
 _TERM_CACHE_MAX_TERMS = 65536
 
 
+# the pluggable Similarity registry (IndexSearcher.setSimilarity analog).
+# Validated UP FRONT at every query entry point: a typo like "lmdir" must
+# fail with an explicit error before any term-stats or analysis work runs,
+# not by falling through to the BM25/classic branch deep in a kernel.
+KNOWN_SIMILARITIES = ("bm25", "classic", "lmd", "lmjm")
+
+
+def _check_similarity(similarity: str) -> None:
+    if similarity not in KNOWN_SIMILARITIES:
+        raise ValueError(
+            f"unknown similarity {similarity!r}; expected one of "
+            f"{', '.join(KNOWN_SIMILARITIES)}"
+        )
+
+
 def _term_stats_cache(snap_key, field: str) -> dict[str, tuple[int, int, int]]:
     key = (snap_key, field)
     cache = _TERM_STATS_CACHE.get(key)
@@ -544,6 +559,7 @@ def search(
         child θ and a representative child could be pruned);
         prune="auto" silently stays exhaustive.
     """
+    _check_similarity(similarity)
     rd = reader or IndexReader(spark, index_dir)
     if parent_by is not None:
         if score_mode not in ("max", "min", "total", "avg"):
@@ -768,6 +784,7 @@ def search_batch(
     """
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
+    _check_similarity(similarity)
     rd = reader or IndexReader(spark, index_dir)
     out_t = "float" if float32 else "double"
     empty = spark.createDataFrame(
@@ -1459,6 +1476,8 @@ def search_with_context(
     exclude: str | None = None,
     msm: int | None = None,
     similarity: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Top-k search where every hit carries ±``window`` adjacent turns of
     its conversation — context retrieval over transcripts (the
@@ -1488,7 +1507,7 @@ def search_with_context(
     hits = search(
         spark, index_dir, query, k=k, mode=mode, filter_cond=filter_cond,
         prune=prune, reader=rd, float32=float32, field=field,
-        exclude=exclude, msm=msm, similarity=similarity,
+        exclude=exclude, msm=msm, similarity=similarity, k1=k1, b=b,
     )
     ctx = corpus.select(
         F.col("conv_id").alias("_ctx_conv"),

@@ -120,3 +120,117 @@ class TestSearchAfterHighScoreCursor:
         assert [r["doc_id"] for r in page1 + tail_ex] == [
             r["doc_id"] for r in full[: len(page1) + len(tail_ex)]
         ]
+
+
+class TestLMSimilarityUnderTombstones:
+    """Pins the engine==oracle property for the LM Similarities on an index
+    WITH tombstones (round-4 advice: no lmd/lmjm test exercised deletes).
+
+    Semantics pinned: collection stats (cf -> p_c, n_docs, avgdl) keep
+    covering tombstoned docs until merge — Lucene's pre-merge behavior, and
+    the engine's documented contract — while tombstoned docs are masked from
+    RESULTS. The oracle mirrors that exactly by scoring over the full corpus
+    and applying the delete set as an accept mask at collection time only.
+    """
+
+    @pytest.mark.parametrize("similarity", ["lmd", "lmjm"])
+    def test_lm_scores_match_oracle_with_deletes(
+        self, spark, tiny_df, tiny_pdf, oracle_tiny, tmp_path_factory, similarity
+    ):
+        from cuvs_lucene_spark.operators.deletes import delete_docs
+        from cuvs_lucene_spark.oracle import oracle_search
+
+        d = str(tmp_path_factory.mktemp("idx") / f"lm_del_{similarity}")
+        build_index(spark, tiny_df, d, buckets=8, salt_buckets=4)
+        victims = tiny_df.where(F.col("conv_id") < "conv-00000030").select(
+            "conv_id", "turn_idx"
+        )
+        n_del = delete_docs(spark, d, victims)
+        assert n_del > 0
+
+        meta = oracle_tiny.meta
+        accept = (meta["conv_id"] >= "conv-00000030").to_numpy()
+        for q in ["world school", "merge sort join", "the student"]:
+            exp = oracle_search(
+                oracle_tiny, q, k=10, accept=accept, similarity=similarity
+            )
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(spark, d, q, k=10, similarity=similarity).collect()
+            ]
+            assert [g for g, _ in got] == [e for e, _ in exp], (
+                f"{similarity} {q!r}: docIDs {got} != {exp}"
+            )
+            for (gd, gs), (_ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-5, (
+                    f"{similarity} {q!r}: score {gs} vs {es} for doc {gd}"
+                )
+
+
+class TestQueryValidation:
+    """Up-front argument validation added in round 5: explicit errors at the
+    API boundary instead of incidental failures deep in kernels."""
+
+    def test_unknown_similarity_fails_fast(self, spark, tiny_index):
+        with pytest.raises(ValueError, match="unknown similarity"):
+            search(spark, tiny_index, "world", similarity="lmdir")
+
+    def test_unknown_similarity_fails_fast_batch(self, spark, tiny_index):
+        from cuvs_lucene_spark.query import search_batch
+
+        with pytest.raises(ValueError, match="unknown similarity"):
+            search_batch(spark, tiny_index, ["world"], similarity="bm-25")
+
+    def test_context_carries_bm25_free_params(self, spark, tiny_df, tiny_index):
+        """search_with_context forwards k1/b: a tuned search's hit set must
+        equal plain search() with the same knobs."""
+        from cuvs_lucene_spark.query import search_with_context
+
+        tuned = search(spark, tiny_index, "world school", k=5, k1=0.5, b=0.9)
+        ctx = search_with_context(
+            spark, tiny_index, tiny_df, "world school", k=5, window=0,
+            k1=0.5, b=0.9,
+        )
+        want = [(r["doc_id"], r["score"]) for r in tuned.collect()]
+        got = [(r["doc_id"], r["score"]) for r in ctx.collect()]
+        assert got == want
+
+    def test_ivf_dim_mismatch_raises(self, spark, tmp_path_factory):
+        import numpy as np
+
+        from cuvs_lucene_spark.pipeline.similarity import (
+            cosine_topk,
+            ivf_build,
+            ivf_probe_search,
+        )
+
+        rng = np.random.default_rng(3)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(64)],
+            "vec_id long, embedding array<double>",
+        )
+        d = str(tmp_path_factory.mktemp("ivf") / "dimchk")
+        ivf_build(emb, d, n_centroids=4)
+        with pytest.raises(ValueError, match="8"):
+            ivf_probe_search(spark, d, [0.0] * 5, k=3)
+        # cosine_topk has no meta: the guard rides the scan
+        with pytest.raises(Exception, match="dims|RAISE_ERROR|5"):
+            cosine_topk(emb, [0.0, 1.0, 0.0, 0.0, 1.0], k=3).collect()
+
+    def test_ivfpq_dim_mismatch_raises(self, spark, tmp_path_factory):
+        import numpy as np
+
+        from cuvs_lucene_spark.pipeline.similarity import (
+            ivfpq_build,
+            ivfpq_search,
+        )
+
+        rng = np.random.default_rng(4)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(64)],
+            "vec_id long, embedding array<double>",
+        )
+        d = str(tmp_path_factory.mktemp("ivfpq") / "dimchk")
+        ivfpq_build(emb, d, n_centroids=4, m=2, ks=16)
+        with pytest.raises(ValueError, match="8"):
+            ivfpq_search(spark, d, [0.0] * 5, k=3)
