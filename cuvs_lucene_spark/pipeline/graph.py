@@ -104,14 +104,24 @@ def _top_degree(edges: DataFrame, degree: int) -> DataFrame:
 
 
 def _lsh_seed_pairs(
-    nodes: DataFrame, bits: int, bands: int, bucket_cap: int, seed: int
+    nodes: DataFrame,
+    bits: int,
+    bands: int,
+    bucket_cap: int,
+    seed: int,
+    left_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Seed candidates: sign-projection LSH buckets (bands × bits seeded
     hyperplanes); nodes sharing a band signature become candidate pairs.
     Buckets are capped (hash-ranked row_number <= bucket_cap) so a dense
     cluster cannot blow the band self-join up quadratically — the capped
     tail is exactly what later NN-Descent rounds recover via
-    neighbor-of-neighbor expansion."""
+    neighbor-of-neighbor expansion.
+
+    left_ids (append path): restrict the LEFT side of the bucket join to
+    these ids — pair generation then costs O(|left|·bucket_cap·bands)
+    instead of re-joining every existing bucket against itself, which is
+    what lets knn_graph_append avoid the full build's candidate sweep."""
     dim_row = nodes.select(F.size("v").alias("d")).limit(1).collect()
     dim = int(dim_row[0]["d"]) if dim_row else 0
     if dim == 0:
@@ -144,6 +154,12 @@ def _lsh_seed_pairs(
         .drop("_r")
     )
     l = capped.select("band", "sig", F.col("id").alias("src"))
+    if left_ids is not None:
+        l = l.join(
+            F.broadcast(left_ids.select(F.col("id").alias("src"))),
+            "src",
+            "left_semi",
+        )
     r = capped.select("band", "sig", F.col("id").alias("dst"))
     return (
         l.join(r, ["band", "sig"])
@@ -153,12 +169,22 @@ def _lsh_seed_pairs(
     )
 
 
-def _anchor_pairs(nodes: DataFrame, n_anchors: int, per_node: int, seed: int) -> DataFrame:
+def _anchor_pairs(
+    nodes: DataFrame,
+    n_anchors: int,
+    per_node: int,
+    seed: int,
+    members: DataFrame | None = None,
+) -> DataFrame:
     """Diversity seed: every node is paired with `per_node` hash-chosen
     members of a small global anchor set. NN-Descent needs a few RANDOM
     long-range edges to escape the locality of the LSH buckets (Dong et
     al.'s random init); anchors give that without assuming contiguous ids —
-    one tiny collect (the anchor ids), then a hash-join-free literal map."""
+    one tiny collect (the anchor ids), then a hash-join-free literal map.
+
+    members (append path): pair only THESE ids with the anchors (anchors
+    still drawn from the full node set), so appended nodes get their
+    long-range edges without touching every existing node."""
     anchors = [
         int(r["id"])
         for r in nodes.select("id")
@@ -180,8 +206,9 @@ def _anchor_pairs(nodes: DataFrame, n_anchors: int, per_node: int, seed: int) ->
             ).cast("int"),
         ),
     )
+    base = members if members is not None else nodes
     return (
-        nodes.select(F.col("id").alias("src"))
+        base.select(F.col("id").alias("src"))
         .select("src", F.explode(picks).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
@@ -322,6 +349,201 @@ def knn_graph_build(
         # NULL/empty hold no graph node; ids stay global so no ord remap.
         "n_gaps": int(n_input - n),
     }
+    idxfs.write_bytes_atomic(
+        f"{graph_dir}/meta.json", json.dumps(meta, indent=1).encode()
+    )
+    _GRAPH_META_CACHE.pop(graph_dir, None)
+    _GRAPH_ARRAYS_CACHE.pop(graph_dir, None)
+    return meta
+
+
+def knn_graph_append(
+    new_embeddings: DataFrame,
+    graph_dir: str,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    bands: int = 4,
+    bucket_cap: int = 128,
+    cand_cap: int = 256,
+    n_anchors: int = 64,
+    anchors_per_node: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Incremental node insertion + bounded merge — the graph-index analog
+    of the reference's native index merge (new vectors slotted into the
+    existing structure instead of a full rebuild,
+    ``CuVS2510GPUVectorsWriter.java:372-409,491-519``) and of the FTS path's
+    mergeOneField fast path.
+
+    Shape, per append of n_new nodes into an N-node graph:
+      1. candidate edges for the NEW nodes only: LSH bucket join with the
+         left side restricted to new ids (O(n_new·bands·bucket_cap) pairs —
+         existing buckets are never self-joined again) + anchor pairs for
+         the new nodes (anchors drawn from the full set, so appended nodes
+         get long-range edges into the old graph);
+      2. symmetrize and merge: candidates in BOTH directions union the old
+         edge table, one per-src top-degree truncation — old nodes adopt a
+         new neighbor only when it beats their current worst edge;
+      3. `iters` bounded NN-Descent refinement rounds over TOUCHED
+         neighborhoods only (new ids + every src whose adjacency gained a
+         new node): two-hop expansion restricted to touched srcs, so the
+         refinement costs O(|touched|·degree·cand_cap), not O(N·...);
+      4. stage the merged edge table into <graph_dir>.append, append the
+         new node rows, rename-swap edges, then write meta.json LAST
+         (atomic temp+rename, `commit` counter bumped) — the same
+         stage-and-swap discipline as ivf_compact, so a concurrent reader
+         never sees a half-written layout.
+
+    The entry point (medoid) is recomputed over the full node set — one
+    narrow O(N) pass — so append converges to the same serving entry a full
+    rebuild would pick. Returns the new meta (with per-round `conv_append`
+    replacement counts — the append's lineage signal). Complete-mode graphs
+    are exactness verifiers and refuse append (rebuild them instead).
+    Re-run graph_to_hnsw afterwards to refresh a packed serving copy.
+    """
+    meta = dict(_load_meta(graph_dir))
+    if meta.get("complete"):
+        raise ValueError(
+            "knn_graph_append: complete-mode graphs are exactness verifiers; "
+            "rebuild with knn_graph_build(complete=True) instead"
+        )
+    spark = new_embeddings.sparkSession
+    degree = int(meta["degree"])
+    old_nodes = spark.read.parquet(f"{graph_dir}/nodes")
+    new_nodes = _nodes(new_embeddings, id_col, vec_col)
+    stats = new_embeddings.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(
+            (F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).cast("long")
+        ).alias("n"),
+        F.max(
+            F.when(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) > 0),
+                F.size(vec_col),
+            )
+        ).alias("dim"),
+    ).collect()[0]
+    n_new = int(stats["n"] or 0)
+    if n_new == 0:
+        return meta  # nothing to insert (all rows NULL/empty) — no-op
+    if int(stats["dim"]) != int(meta["dim"]):
+        raise ValueError(
+            f"knn_graph_append: appended vectors have dim={int(stats['dim'])} "
+            f"but the graph was built with dim={meta['dim']}"
+        )
+    if (
+        new_nodes.join(old_nodes.select("id"), "id", "left_semi")
+        .limit(1)
+        .count()
+    ):
+        raise ValueError(
+            "knn_graph_append: appended ids collide with existing node ids"
+        )
+
+    new_ids = new_nodes.select("id")
+    all_nodes = old_nodes.select("id", "v").unionByName(new_nodes)
+    seedp = _lsh_seed_pairs(
+        all_nodes, bits, bands, bucket_cap, seed, left_ids=new_ids
+    ).unionByName(
+        _anchor_pairs(
+            all_nodes, n_anchors, anchors_per_node, seed, members=new_nodes
+        )
+    )
+    # symmetrize BEFORE scoring so old->new candidates ride the same kernel
+    cand = (
+        seedp.unionByName(
+            seedp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    old_edges = spark.read.parquet(f"{graph_dir}/edges")
+    scored = _score_pairs(cand, all_nodes)
+    edges = _top_degree(
+        old_edges.unionByName(scored), degree
+    ).localCheckpoint(eager=True)
+
+    # touched neighborhoods: new ids + every src that adopted a new neighbor
+    touched = (
+        new_ids.unionByName(
+            edges.join(
+                F.broadcast(new_ids.withColumnRenamed("id", "dst")),
+                "dst",
+                "left_semi",
+            ).select(F.col("src").alias("id"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    conv_append: list[int] = []
+    for it in range(iters):
+        und = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = und.join(
+            F.broadcast(touched.withColumnRenamed("id", "src")),
+            "src",
+            "left_semi",
+        ).alias("a")
+        b = und.alias("b")
+        two_hop = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        fresh = two_hop.join(
+            edges.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        wc = Window.partitionBy("src").orderBy(
+            F.xxhash64("dst", F.lit(seed + 1000 + it))
+        )
+        fresh = (
+            fresh.withColumn("_r", F.row_number().over(wc))
+            .where(F.col("_r") <= cand_cap)
+            .drop("_r")
+        )
+        new_edges = _top_degree(
+            edges.unionByName(_score_pairs(fresh, all_nodes)), degree
+        ).localCheckpoint(eager=True)
+        replaced = new_edges.join(
+            edges.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).count()
+        conv_append.append(int(replaced))
+        edges = new_edges
+        if replaced == 0:
+            break
+
+    n_total = int(meta["n"]) + n_new
+    n_parts = max(1, min(32, n_total // 4096 + 1))
+    tmp = f"{graph_dir.rstrip('/')}.append"
+    (
+        edges.repartitionByRange(n_parts, "src")
+        .sortWithinPartitions("src", "dst")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/edges")
+    )
+    (
+        new_nodes.repartitionByRange(
+            max(1, min(8, n_new // 4096 + 1)), "id"
+        )
+        .sortWithinPartitions("id")
+        .write.mode("append")
+        .parquet(f"{graph_dir}/nodes")
+    )
+    entry = _medoid(spark.read.parquet(f"{graph_dir}/nodes"))
+    idxfs.delete_dir(f"{graph_dir}/edges")
+    idxfs.move(f"{tmp}/edges", f"{graph_dir}/edges")
+    idxfs.delete_dir(tmp)
+
+    meta["n"] = n_total
+    meta["entry"] = int(entry)
+    meta["conv_append"] = list(meta.get("conv_append", [])) + conv_append
+    meta["n_appends"] = int(meta.get("n_appends", 0)) + 1
+    meta["commit"] = int(meta.get("commit", 0)) + 1
+    meta["n_gaps"] = int(meta.get("n_gaps", 0)) + int(stats["n_input"]) - n_new
     idxfs.write_bytes_atomic(
         f"{graph_dir}/meta.json", json.dumps(meta, indent=1).encode()
     )
@@ -602,31 +824,6 @@ def graph_to_hnsw(spark, graph_dir: str, hnsw_dir: str) -> dict:
     _GRAPH_META_CACHE.pop(hnsw_dir, None)
     _GRAPH_ARRAYS_CACHE.pop(hnsw_dir, None)
     return meta
-
-
-def _expand(spark, index_dir: str, fmt: str, frontier: list[int]) -> set[int]:
-    """One hop's neighbor fetch: a src-pruned scan (IN-filter pushdown over
-    the src-sorted parquet — row groups outside the frontier never load)."""
-    fl = [int(x) for x in frontier]
-    if fmt == "hnsw-v1":
-        rows = (
-            spark.read.parquet(f"{index_dir}/graph")
-            .where(F.col("src").isin(fl))
-            .select("nbrs")
-            .collect()
-        )
-        out: set[int] = set()
-        for r in rows:
-            out.update(int(x) for x in r["nbrs"])
-        return out
-    rows = (
-        spark.read.parquet(f"{index_dir}/edges")
-        .where(F.col("src").isin(fl))
-        .select("dst")
-        .distinct()
-        .collect()
-    )
-    return {int(r["dst"]) for r in rows}
 
 
 def _score_ids(spark, index_dir: str, ids: list[int], query: list[float]) -> dict:

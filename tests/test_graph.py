@@ -258,3 +258,95 @@ def test_batch_matches_single(spark, graph_dir, emb_np):
         assert [int(r["id"]) for r in mine] == [int(r["id"]) for r in single]
         for a, b in zip(mine, single):
             assert float(a["score"]) == pytest.approx(float(b["score"]), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# append / merge lifecycle (native index merge analog,
+# CuVS2510GPUVectorsWriter.java:372-409,491-519)
+# ---------------------------------------------------------------------------
+
+
+def _true_edges(ids, mat, deg):
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    out = set()
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -sims[r]))[:deg]
+        out.update((int(ids[r]), int(ids[c])) for c in order)
+    return out
+
+
+@pytest.fixture(scope="module")
+def appended_dir(spark, emb, tmp_path_factory):
+    """Graph built over the low-id half, then the high-id half appended."""
+    cut = int(emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0])
+    d = str(tmp_path_factory.mktemp("graph") / "appended")
+    G.knn_graph_build(emb.where(F.col("vec_id") < cut), d, degree=12, iters=3)
+    G.knn_graph_append(emb.where(F.col("vec_id") >= cut), d, iters=2)
+    return d
+
+
+def test_append_edge_recall_matches_rebuild_bound(
+    spark, emb, appended_dir, emb_np
+):
+    """append==rebuild quality: edge recall of the appended graph vs the
+    exact kNN graph over the FULL corpus must meet the same >=0.85 bound the
+    from-scratch build is held to — new nodes are wired in AND old nodes
+    adopt better new neighbors."""
+    ids, mat = emb_np
+    meta = json.loads(open(f"{appended_dir}/meta.json").read())
+    assert meta["n"] == len(ids)
+    assert meta["n_appends"] == 1 and meta["commit"] >= 1
+    true = _true_edges(ids, mat, meta["degree"])
+    got = {(s, d) for s, d, _ in _edge_set(spark, appended_dir)}
+    recall = len(got & true) / len(true)
+    assert recall >= 0.85, f"appended-graph edge recall {recall:.3f}"
+
+
+def test_append_search_recall(spark, appended_dir, emb_np, qvec, tmp_path):
+    """Serving over an appended graph: recall@10 >= 0.9 vs exact cosine —
+    the same bar as the from-scratch build's serving test. Exercises the
+    re-conversion path (graph_to_hnsw after append)."""
+    h = str(tmp_path / "hnsw_app")
+    G.graph_to_hnsw(spark, appended_dir, h)
+    ids, mat = emb_np
+    norms = np.linalg.norm(mat, axis=1)
+    q = np.asarray(qvec)
+    cos = (mat @ q) / (norms * np.linalg.norm(q))
+    exp = {int(ids[i]) for i in np.lexsort((ids, -cos))[:10]}
+    got = {
+        int(r["id"])
+        for r in G.graph_search(spark, h, qvec, k=10, ef=64).collect()
+    }
+    assert len(got & exp) / 10 >= 0.9
+
+
+def test_append_entry_matches_rebuild(spark, emb, appended_dir, tmp_path):
+    """The appended graph's entry point equals the full rebuild's (both are
+    the medoid of the same final node set)."""
+    d2 = str(tmp_path / "full")
+    m_full = G.knn_graph_build(emb, d2, degree=12, iters=3)
+    meta = json.loads(open(f"{appended_dir}/meta.json").read())
+    assert meta["entry"] == m_full["entry"]
+
+
+def test_append_guards(spark, emb, tmp_path):
+    d = str(tmp_path / "g")
+    G.knn_graph_build(emb.where(F.col("vec_id") < 64), d, degree=8, iters=1)
+    # id collision
+    with pytest.raises(ValueError, match="collide"):
+        G.knn_graph_append(emb.where(F.col("vec_id") < 8), d)
+    # dim mismatch
+    bad = spark.createDataFrame(
+        [(100000, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        G.knn_graph_append(bad, d)
+    # complete-mode graphs refuse append
+    dc = str(tmp_path / "gc")
+    G.knn_graph_build(
+        emb.where(F.col("vec_id") < 32), dc, complete=True
+    )
+    with pytest.raises(ValueError, match="complete"):
+        G.knn_graph_append(emb.where(F.col("vec_id") >= 32), dc)
