@@ -1818,6 +1818,9 @@ _GATE_PRIORITY_R5 = [
     "fts_suggest", "fts_suggest_complete", "fts_topk_common",
     "sim_ivfpq_exact", "sim_ivfpq_probe", "sim_graph_exact",
     "sim_graph_probe",
+    # new in round 5 (graph append lifecycle) — surfaced with the
+    # never-checked block so it earns a driver row in its first round
+    "sim_graph_append",
     # -- last green in round 3 (stale) ---------------------------------------
     "fts_global_stats", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_sigs", "dedup_minhash_lsh", "dedup_simhash",
@@ -2552,6 +2555,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(s: SparkSession, d: str) -> DataFrame:
         return s.read.parquet(os.path.join(d, "embeddings.parquet"))
 
+    def _recall_gate(s, probe_df, d, k, floor):
+        """Driver-checkable wrapper for APPROXIMATE probes: computes
+        recall@k against the exact cosine top-k in the gate itself and
+        returns one row (k, n_hits, recall_floor, recall_ok) that the SQL
+        oracle pins as constants — so a broken probe (empty results, wrong
+        ids, recall collapse below the config's documented floor) flips the
+        driver's hash check instead of hiding behind a rows-only gate. The
+        floors are set ~2x below the config's measured recall, so they
+        assert 'the structure works', not a point estimate."""
+        from cuvs_lucene_spark.pipeline.similarity import cosine_topk
+
+        got = {int(r["id"]) for r in probe_df.select("id").collect()}
+        exact = {
+            int(r["id"])
+            for r in cosine_topk(_emb(s, d), _SIM_QUERY_VEC, k=k).collect()
+        }
+        recall = len(got & exact) / float(k)
+        return s.createDataFrame(
+            [(k, len(got), float(floor), bool(recall >= floor))],
+            "k long, n_hits long, recall_floor double, recall_ok boolean",
+        )
+
     def dedup_exact(s, d):
         from cuvs_lucene_spark.pipeline.dedup import exact_duplicates
 
@@ -3230,7 +3255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf_dir = _index_dir(d) + "_ivf"
         if not os.path.exists(os.path.join(ivf_dir, "vectors", "_SUCCESS")):
             ivf_build(_emb(s, d), ivf_dir, n_centroids=16, iters=2)
-        return ivf_probe_search(s, ivf_dir, _SIM_QUERY_VEC, k=10, nprobe=2)
+        return _recall_gate(
+            s,
+            ivf_probe_search(s, ivf_dir, _SIM_QUERY_VEC, k=10, nprobe=2),
+            d, 10, 0.2,
+        )
 
     q["sim_ivf_probe"] = sim_ivf_probe
 
@@ -3263,8 +3292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ceiling are pinned by pytest."""
         from cuvs_lucene_spark.pipeline.similarity import ivfpq_search
 
-        return ivfpq_search(
-            s, _ivfpq_dir(s, d), _SIM_QUERY_VEC, k=10, nprobe=4, refine=4
+        return _recall_gate(
+            s,
+            ivfpq_search(
+                s, _ivfpq_dir(s, d), _SIM_QUERY_VEC, k=10, nprobe=4, refine=4
+            ),
+            d, 10, 0.2,
         )
 
     q["sim_ivfpq_probe"] = sim_ivfpq_probe
@@ -3309,9 +3342,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if not os.path.exists(os.path.join(h_dir, "meta.json")):
             knn_graph_build(_emb(s, d), g_dir, degree=12, iters=3)
             graph_to_hnsw(s, g_dir, h_dir)
-        return graph_search(s, h_dir, _SIM_QUERY_VEC, k=10, ef=48)
+        return _recall_gate(
+            s, graph_search(s, h_dir, _SIM_QUERY_VEC, k=10, ef=48), d, 10, 0.7
+        )
 
     q["sim_graph_probe"] = sim_graph_probe
+
+    def sim_graph_append(s, d):
+        """Graph-index APPEND lifecycle (native index merge analog,
+        CuVS2510GPUVectorsWriter.java:372-409,491-519): build NN-Descent
+        over the low-id half, knn_graph_append the high-id half (bounded
+        refinement over touched neighborhoods + atomic meta swap), convert,
+        serve. The recall floor asserts appended nodes are actually wired
+        into the traversal; append==rebuild edge recall and entry parity
+        are pinned by tests/test_graph.py."""
+        from cuvs_lucene_spark.pipeline.graph import (
+            graph_search,
+            graph_to_hnsw,
+            knn_graph_append,
+            knn_graph_build,
+        )
+
+        g_dir = _index_dir(d) + "_graph_app"
+        h_dir = _index_dir(d) + "_hnsw_app"
+        if not os.path.exists(os.path.join(h_dir, "meta.json")):
+            emb = _emb(s, d)
+            cut = int(
+                emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+            )
+            knn_graph_build(
+                emb.where(F.col("vec_id") < cut), g_dir, degree=12, iters=3
+            )
+            knn_graph_append(emb.where(F.col("vec_id") >= cut), g_dir, iters=2)
+            graph_to_hnsw(s, g_dir, h_dir)
+        return _recall_gate(
+            s, graph_search(s, h_dir, _SIM_QUERY_VEC, k=10, ef=64), d, 10, 0.7
+        )
+
+    q["sim_graph_append"] = sim_graph_append
 
     def multimodal_features(s, d):
         from cuvs_lucene_spark.pipeline.multimodal import (
@@ -4264,6 +4332,22 @@ FROM documents
     o["sim_graph_exact"] = _sim.cosine_topk_sql(
         "embeddings", _SIM_QUERY_VEC, k=10, filter_sql="vec_id < 256"
     )
+    # approximate probes: the gate computes recall@10 against the exact
+    # cosine top-k IN the gate and returns pinned constants, so the driver's
+    # hash check asserts the probe structurally works (k rows, ids drawn
+    # from the corpus, recall above the config's documented floor) — the
+    # replacement for their former rows-only status.
+
+    def _recall_oracle(floor: float) -> str:
+        return (
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_hits, "
+            f"CAST({floor!r} AS DOUBLE) AS recall_floor, TRUE AS recall_ok"
+        )
+
+    o["sim_ivf_probe"] = _recall_oracle(0.2)
+    o["sim_ivfpq_probe"] = _recall_oracle(0.2)
+    o["sim_graph_probe"] = _recall_oracle(0.7)
+    o["sim_graph_append"] = _recall_oracle(0.7)
     o["multimodal_features"] = f"""
 WITH feats AS ({_mm.features_sql("documents")})
 SELECT asset_id, kind, features[1] AS f0, features[2] AS f1,
