@@ -28,6 +28,7 @@ import pandas as pd
 from cuvs_lucene_spark.analysis import (
     BM25_B,
     BM25_K1,
+    analyze_py,
     LMD_MU,
     LMJM_LAMBDA,
     dequantize_dl_np,
@@ -45,18 +46,22 @@ class OracleIndex:
     avgdl: float = 0.0
     meta: pd.DataFrame = field(default=None, repr=False)  # doc_id, conv_id, turn_idx, role, ts
     sum_dl: int = 0                     # sumTotalTermFreq (true lengths) — LM Dirichlet p_c
+    analyzer: str = "standard"          # analysis chain; queries reuse it
 
 
-def build_oracle_index(pdf: pd.DataFrame) -> OracleIndex:
+def build_oracle_index(pdf: pd.DataFrame, analyzer: str = "standard") -> OracleIndex:
     """pdf: transcripts with columns conv_id, turn_idx, role, text, tool, ts.
 
     doc_id = row_number over (conv_id, turn_idx) ascending, 0-based — the
-    per-row invariant ordering from BASELINE.json.input_hint.
+    per-row invariant ordering from BASELINE.json.input_hint. ``analyzer``
+    selects the analysis chain (analysis.analyze_py twin of the engine's
+    pinned chain); queries against this index are analyzed with the same
+    chain, exactly like IndexReader reuses the build's analyzer.
     """
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
     doc_ids = np.arange(len(pdf), dtype=np.int64)
 
-    tokens = [tokenize_py(t) for t in pdf["text"]]
+    tokens = [analyze_py(t, analyzer) for t in pdf["text"]]
     dl = np.array([len(t) for t in tokens], dtype=np.int64)
     dl_d = dequantize_dl_np(quantize_dl_np(dl))
 
@@ -79,7 +84,10 @@ def build_oracle_index(pdf: pd.DataFrame) -> OracleIndex:
     }
     meta = pdf[["conv_id", "turn_idx", "role", "ts"]].copy()
     meta.insert(0, "doc_id", doc_ids)
-    return OracleIndex(doc_ids, dl_d, packed, n_docs, avgdl, meta, sum_dl=sum_dl)
+    return OracleIndex(
+        doc_ids, dl_d, packed, n_docs, avgdl, meta, sum_dl=sum_dl,
+        analyzer=analyzer,
+    )
 
 
 def oracle_idf(idx: OracleIndex, term: str) -> float:
@@ -122,7 +130,7 @@ def oracle_search(
     exclude: terms whose presence disqualifies a doc (BooleanQuery MUST_NOT).
     msm: minimum distinct matching terms for mode='or' (minimum_should_match).
     """
-    q_terms = tokenize_py(query)
+    q_terms = analyze_py(query, idx.analyzer)
     if k <= 0 or not q_terms or idx.n_docs == 0:
         return []
     # duplicate query terms each contribute a scorer occurrence (Lucene
@@ -180,7 +188,7 @@ def oracle_search(
     else:
         hit = matched > 0
     if exclude:
-        for term in set(tokenize_py(exclude)):
+        for term in set(analyze_py(exclude, idx.analyzer)):
             if term in idx.postings:
                 hit = hit.copy()
                 hit[idx.postings[term][0]] = False
