@@ -1537,6 +1537,69 @@ def search_with_context(
     )
 
 
+def search_with_context_batch(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    window: int = 2,
+    text_col: str = "text",
+    mode: str | list[str] = "or",
+    reader: IndexReader | None = None,
+    float32: bool = True,
+    field: str | None = None,
+    similarity: str = "bm25",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch analog of search_with_context: Q queries' hits fetch their
+    ±``window`` context turns in ONE corpus join instead of Q.
+
+    All Q top-k lists come from one search_batch job (shared postings scan),
+    then the ≤ Q·k hit rows broadcast against a single corpus scan with the
+    (conv_id, turn-range) predicate — the per-hit neighborhood fetch
+    amortizes across the batch exactly like the hop scans in
+    graph_search_batch. Output: search_with_context's columns plus a leading
+    ``qid``, ordered (qid, score desc, doc_id, ctx_turn_idx)."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    hits = search_batch(
+        spark, index_dir, queries, k=k, mode=mode, reader=reader,
+        float32=float32, field=field, similarity=similarity, k1=k1, b=b,
+    )
+    ctx = corpus.select(
+        F.col("conv_id").alias("_ctx_conv"),
+        F.col("turn_idx").alias("ctx_turn_idx"),
+        "role",
+        text_col,
+    )
+    joined = F.broadcast(hits).join(
+        ctx,
+        (F.col("conv_id") == F.col("_ctx_conv"))
+        & (F.col("ctx_turn_idx") >= F.col("turn_idx") - F.lit(window))
+        & (F.col("ctx_turn_idx") <= F.col("turn_idx") + F.lit(window)),
+    )
+    return (
+        joined.select(
+            "qid",
+            "doc_id",
+            "score",
+            "conv_id",
+            "turn_idx",
+            "ctx_turn_idx",
+            (F.col("ctx_turn_idx") - F.col("turn_idx")).alias("offset"),
+            (F.col("ctx_turn_idx") == F.col("turn_idx")).alias("is_hit"),
+            "role",
+            text_col,
+        )
+        .orderBy(
+            F.asc("qid"), F.desc("score"), F.asc("doc_id"),
+            F.asc("ctx_turn_idx"),
+        )
+    )
+
+
 def drill_down(
     spark: SparkSession,
     index_dir: str,

@@ -234,3 +234,32 @@ class TestQueryValidation:
         ivfpq_build(emb, d, n_centroids=4, m=2, ks=16)
         with pytest.raises(ValueError, match="8"):
             ivfpq_search(spark, d, [0.0] * 5, k=3)
+
+
+class TestContextBatch:
+    def test_batch_context_matches_single(self, spark, tiny_df, tiny_index):
+        """search_with_context_batch == per-query search_with_context rows
+        (modulo the leading qid), so the amortized path is drop-in."""
+        from cuvs_lucene_spark.query import (
+            search_with_context,
+            search_with_context_batch,
+        )
+
+        qs = ["world school", "merge sort"]
+        batch = search_with_context_batch(
+            spark, tiny_index, tiny_df, qs, k=4, window=1
+        ).collect()
+        for qid, q in enumerate(qs):
+            single = search_with_context(
+                spark, tiny_index, tiny_df, q, k=4, window=1
+            ).collect()
+            got = [
+                (r["doc_id"], r["ctx_turn_idx"], r["is_hit"], r["text"])
+                for r in batch
+                if r["qid"] == qid
+            ]
+            want = [
+                (r["doc_id"], r["ctx_turn_idx"], r["is_hit"], r["text"])
+                for r in single
+            ]
+            assert got == want, f"qid={qid}"
