@@ -1832,6 +1832,11 @@ _GATE_PRIORITY_R5 = [
 ]
 
 
+# per-(sf_dir, k) exact cosine top-k id sets shared by the probe recall
+# gates (see _recall_gate)
+_RECALL_EXACT_CACHE: dict = {}
+
+
 def _rotate_gates(d: dict) -> dict:
     """Reorder a gate dict so _GATE_PRIORITY_R5 entries come first (in that
     order), followed by the remaining keys in their registration order."""
@@ -2567,10 +2572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from cuvs_lucene_spark.pipeline.similarity import cosine_topk
 
         got = {int(r["id"]) for r in probe_df.select("id").collect()}
-        exact = {
-            int(r["id"])
-            for r in cosine_topk(_emb(s, d), _SIM_QUERY_VEC, k=k).collect()
-        }
+        # the exact reference top-k is identical for every probe gate at a
+        # given sf dir — compute it once per process (embeddings.parquet is
+        # immutable test data)
+        ck = (d, k)
+        exact = _RECALL_EXACT_CACHE.get(ck)
+        if exact is None:
+            exact = {
+                int(r["id"])
+                for r in cosine_topk(_emb(s, d), _SIM_QUERY_VEC, k=k).collect()
+            }
+            _RECALL_EXACT_CACHE[ck] = exact
         recall = len(got & exact) / float(k)
         return s.createDataFrame(
             [(k, len(got), float(floor), bool(recall >= floor))],

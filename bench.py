@@ -100,19 +100,33 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     # per-sf cached index (~100 s at sf0.1), and timing its reps immediately
     # after measures session churn from that build (GC, page-cache turnover)
     # rather than the query — observed 12.4 s vs the 2.3 s steady state.
-    for fn in qs.values():
-        fn(spark, SF_DIR).collect()
-    out: dict[str, float] = {}
-    fts_samples: list[float] = []
-    for name, fn in qs.items():
-        times = []
-        for _ in range(REPS):
+    # TWO warm passes: one is not enough to absorb JIT/codegen-cache warmup,
+    # which otherwise biases whichever gates run EARLY in registration order
+    # (observed ~2-3x on the facet family when the round-5 gate rotation
+    # moved them to the front) — per-gate times should measure the plan, not
+    # the gate's position.
+    for _ in range(2):
+        for fn in qs.values():
+            fn(spark, SF_DIR).collect()
+    # INTERLEAVED reps: run the whole gate list REPS times and take each
+    # gate's median ACROSS passes, instead of timing one gate's reps
+    # back-to-back. A transient host-noise window (co-tenant burst, GC,
+    # writeback) then lands on different gates in different passes and the
+    # median rejects it; with consecutive reps it used to swallow whole
+    # contiguous gate ranges (observed: 2-3x on positions 7-10 in one run,
+    # 21-27 in the next, 0.999 median ratio overall).
+    times: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(REPS):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
-            times.append(time.perf_counter() - t0)
-        out[name] = round(statistics.median(times), 4)
+            times[name].append(time.perf_counter() - t0)
+    out: dict[str, float] = {}
+    fts_samples: list[float] = []
+    for name, ts in times.items():
+        out[name] = round(statistics.median(ts), 4)
         if name.startswith("fts_topk_"):
-            fts_samples.extend(times)
+            fts_samples.extend(ts)
     # BASELINE.md protocol asks for p50/p95 over ≥100 warm executions; the
     # top-k family (~20 gates × REPS) pools to that order. One distribution
     # over the whole family is the honest serving-latency figure — per-query
