@@ -946,6 +946,46 @@ def ivfpq_build(
     _PQ_BOOKS_CACHE.pop(ivfpq_dir, None)
 
 
+def ivfpq_append(
+    spark,
+    embeddings: DataFrame,
+    ivfpq_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ append (lifecycle parity with ivf_append and
+    knn_graph_append — the vector analog of mergeOneField's fast path):
+    assign + PQ-encode the NEW vectors with the PERSISTED coarse centroids
+    and codebooks, append into the cid layout. Existing lists are never
+    read or rewritten; cost is one scan of the appended batch. Codebook
+    drift under a shifting data distribution shows up as list skew
+    (ivf_list_stats over this dir works unchanged) — retrain via
+    ivfpq_build when it grows.
+
+    Raises on a dim mismatch with the trained codebooks (the reader-side
+    guard's write-side twin)."""
+    cids, mat = _load_centroids(spark, ivfpq_dir)
+    books = _load_pq_books(spark, ivfpq_dir)
+    dim = int(mat.shape[1]) if mat.size else 0
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    first = emb.select(F.size("v").alias("d")).limit(1).collect()
+    if dim and first and int(first[0]["d"]) != dim:
+        raise ValueError(
+            f"ivfpq_append: appended vectors have dim={int(first[0]['d'])} "
+            f"but the index was trained with dim={dim}"
+        )
+    cents = {int(c): mat[i].tolist() for i, c in enumerate(cids)}
+    (
+        emb.withColumn("cid", _nearest_cid_expr(cents, "v"))
+        .withColumn("codes", pq_encode_col(books, "v"))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{ivfpq_dir}/vectors")
+    )
+
+
 def _load_pq_books(spark, ivfpq_dir: str) -> np.ndarray:
     if ivfpq_dir not in _PQ_BOOKS_CACHE:
         rows = spark.read.parquet(f"{ivfpq_dir}/pq_codebooks").collect()

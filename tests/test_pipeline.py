@@ -778,3 +778,46 @@ class TestPacking:
         assert got == want
         with pytest.raises(ValueError):
             PK.pack_sequences(df, 0)
+
+
+class TestIVFPQAppend:
+    QV = [float((i * 37 % 19) - 9) / 10.0 for i in range(64)]
+
+    def test_append_then_degenerate_search_is_exact(self, spark, emb, tmp_path):
+        """ivfpq_append lifecycle (mergeOneField fast-path analog): build on
+        the low-id half, append the high-id half encoded with the PERSISTED
+        codebooks, then the degenerate-exact config over the appended index
+        must equal exact cosine over the FULL corpus — i.e. appended rows
+        are fully searchable and their codes/cids match the trained
+        quantizers."""
+        cut = int(emb.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0])
+        d = str(tmp_path / "ivfpq_app")
+        S.ivfpq_build(
+            emb.where(F.col("vec_id") < cut), d, n_centroids=4, m=8, ks=16
+        )
+        S.ivfpq_append(spark, emb.where(F.col("vec_id") >= cut), d)
+        exact = [
+            (r["id"], r["score"])
+            for r in S.cosine_topk(emb, self.QV, 10).collect()
+        ]
+        got = [
+            (r["id"], r["score"])
+            for r in S.ivfpq_search(
+                spark, d, self.QV, k=10, nprobe=4, refine=10**6
+            ).collect()
+        ]
+        assert got == exact
+        # list stats work unchanged over the appended layout
+        st = S.ivf_list_stats(spark, d)
+        assert sum(st["counts"].values()) == emb.count()
+
+    def test_append_dim_guard(self, spark, emb, tmp_path):
+        d = str(tmp_path / "ivfpq_badapp")
+        S.ivfpq_build(
+            emb.where(F.col("vec_id") < 64), d, n_centroids=2, m=8, ks=8
+        )
+        bad = spark.createDataFrame(
+            [(10**6, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="dim"):
+            S.ivfpq_append(spark, bad, d)
