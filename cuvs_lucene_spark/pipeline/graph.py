@@ -338,6 +338,9 @@ def knn_graph_build(
     meta = {
         "format": "knn-graph-v1",
         "n": int(n),
+        # node count at the last FULL NN-Descent build — knn_graph_append
+        # grows n but not n_base; their gap drives knn_graph_compact
+        "n_base": int(n),
         "dim": dim,
         "degree": int(degree),
         "entry": int(entry),
@@ -550,6 +553,88 @@ def knn_graph_append(
     _GRAPH_META_CACHE.pop(graph_dir, None)
     _GRAPH_ARRAYS_CACHE.pop(graph_dir, None)
     return meta
+
+
+def knn_graph_stats(spark, graph_dir: str) -> dict:
+    """Graph-health signal — the merge-policy input (ivf_list_stats twin):
+    out-degree distribution (a node starved below the target degree after
+    appends is under-wired), append lineage, and the appended fraction since
+    the last FULL build (NN-Descent quality was proven for the base build;
+    bounded append refinement dilutes it as the appended share grows)."""
+    meta = _load_meta(graph_dir)
+    rows = (
+        spark.read.parquet(f"{graph_dir}/edges")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_srcs"),
+            F.min("deg").alias("min_deg"),
+            F.avg("deg").alias("avg_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .collect()[0]
+    )
+    n = int(meta["n"])
+    n_base = int(meta.get("n_base", n))
+    return {
+        "n": n,
+        "degree_target": int(meta["degree"]),
+        "n_srcs": int(rows["n_srcs"]),
+        "min_deg": int(rows["min_deg"]),
+        "avg_deg": float(rows["avg_deg"]),
+        "max_deg": int(rows["max_deg"]),
+        "n_appends": int(meta.get("n_appends", 0)),
+        "conv_append": list(meta.get("conv_append", [])),
+        "appended_frac": (n - n_base) / n if n else 0.0,
+    }
+
+
+def knn_graph_compact(
+    spark,
+    graph_dir: str,
+    appended_frac_bound: float = 0.5,
+    force: bool = False,
+    **build_kwargs,
+) -> bool:
+    """Rebuild trigger (the graph's ivf_compact / mergeOneField-rebuild
+    analog): when appended nodes exceed ``appended_frac_bound`` of the
+    graph — i.e. most of the structure was wired by bounded append
+    refinement rather than full NN-Descent — rebuild from the stored node
+    table. Returns True iff a rebuild ran.
+
+    The stored (id, v) rows are themselves the rebuild source (the S7
+    raw-values invariant); the rebuild stages into <graph_dir>.rebuild and
+    rename-swaps, so a concurrent reader never sees a half-written layout.
+    degree/iters default to the current meta's values; override via kwargs.
+    """
+    meta = _load_meta(graph_dir)
+    n = int(meta["n"])
+    frac = (n - int(meta.get("n_base", n))) / n if n else 0.0
+    if frac <= appended_frac_bound and not force:
+        return False
+    nodes = spark.read.parquet(f"{graph_dir}/nodes")
+    kw = dict(
+        degree=int(meta["degree"]),
+        iters=max(int(meta.get("iters", 3)), 1),
+        seed=int(meta.get("seed", 42)),
+    )
+    kw.update(build_kwargs)
+    tmp = f"{graph_dir.rstrip('/')}.rebuild"
+    knn_graph_build(nodes, tmp, id_col="id", vec_col="v", **kw)
+    for sub in ("nodes", "edges"):
+        idxfs.delete_dir(f"{graph_dir}/{sub}")
+        idxfs.move(f"{tmp}/{sub}", f"{graph_dir}/{sub}")
+    new_meta = json.loads(idxfs.read_bytes(f"{tmp}/meta.json").decode())
+    new_meta["commit"] = int(meta.get("commit", 0)) + 1
+    idxfs.write_bytes_atomic(
+        f"{graph_dir}/meta.json", json.dumps(new_meta, indent=1).encode()
+    )
+    idxfs.delete_dir(tmp)
+    _GRAPH_META_CACHE.pop(graph_dir, None)
+    _GRAPH_ARRAYS_CACHE.pop(graph_dir, None)
+    _GRAPH_META_CACHE.pop(tmp, None)
+    _GRAPH_ARRAYS_CACHE.pop(tmp, None)
+    return True
 
 
 def _medoid(nodes: DataFrame) -> int:

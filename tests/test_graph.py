@@ -350,3 +350,32 @@ def test_append_guards(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="complete"):
         G.knn_graph_append(emb.where(F.col("vec_id") >= 32), dc)
+
+
+def test_stats_and_compact_trigger(spark, emb, tmp_path):
+    """knn_graph_stats exposes the appended fraction; knn_graph_compact
+    declines below the bound, rebuilds above it (or when forced), and the
+    rebuilt graph equals a from-scratch build over the same node set —
+    the graph's ivf_compact analog."""
+    cut = int(emb.agg(F.expr("percentile(vec_id, 0.75)")).collect()[0][0])
+    d = str(tmp_path / "gc2")
+    G.knn_graph_build(emb.where(F.col("vec_id") < cut), d, degree=8, iters=2)
+    G.knn_graph_append(emb.where(F.col("vec_id") >= cut), d, iters=1)
+    st = G.knn_graph_stats(spark, d)
+    assert 0.0 < st["appended_frac"] < 0.5
+    assert st["n_appends"] == 1
+    assert st["min_deg"] >= 1 and st["max_deg"] <= st["degree_target"]
+    # below the bound: declines
+    assert G.knn_graph_compact(spark, d, appended_frac_bound=0.5) is False
+    # forced: rebuild runs, lineage resets, equals a from-scratch build
+    assert G.knn_graph_compact(spark, d, force=True) is True
+    meta = json.loads(open(f"{d}/meta.json").read())
+    assert meta["n_base"] == meta["n"] and meta.get("n_appends", 0) == 0
+    assert meta["commit"] >= 1
+    d2 = str(tmp_path / "gc2_ref")
+    G.knn_graph_build(emb, d2, degree=8, iters=2)
+    assert {(s, dd) for s, dd, _ in _edge_set(spark, d)} == {
+        (s, dd) for s, dd, _ in _edge_set(spark, d2)
+    }
+    st2 = G.knn_graph_stats(spark, d)
+    assert st2["appended_frac"] == 0.0
