@@ -130,6 +130,7 @@ def compact(
     buckets = segs[0]["buckets"]
     positional = bool(segs[0].get("positions", False))
     fields = tuple(segs[0].get("fields", ["text"]))
+    analyzer = segs[0].get("analyzer", "standard")
 
     del_ids = deleted_doc_ids(spark, cat) if deletes else None
 
@@ -241,6 +242,12 @@ def compact(
         "hot_terms": len(hot),
         "positions": positional,
         "fields": list(fields),
+        # the analysis chain is per-index and MUST survive compaction: the
+        # reader analyzes queries with segments[0]'s chain, so dropping it
+        # here would silently re-analyze an "english" index as "standard"
+        # after any compact (and build.py would propagate the loss to every
+        # future appended segment)
+        "analyzer": analyzer,
         "field_stats": field_stats,
         "run_id": run_id,
         "compacted_from": old_ids,

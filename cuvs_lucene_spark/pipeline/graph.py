@@ -153,13 +153,20 @@ def _lsh_seed_pairs(
         .where(F.col("_r") <= bucket_cap)
         .drop("_r")
     )
-    l = capped.select("band", "sig", F.col("id").alias("src"))
     if left_ids is not None:
-        l = l.join(
+        # append path: the LEFT (new-node) side comes from the UNCAPPED
+        # bucket membership — the cap ranks old and new members together,
+        # so a new node hashed below the cap in a dense existing bucket
+        # would otherwise get zero LSH seed candidates and be wired only by
+        # its anchor edges. New nodes always pair with up to bucket_cap
+        # bucket-mates; only the RIGHT side is capped.
+        l = tagged.select("band", "sig", F.col("id").alias("src")).join(
             F.broadcast(left_ids.select(F.col("id").alias("src"))),
             "src",
             "left_semi",
         )
+    else:
+        l = capped.select("band", "sig", F.col("id").alias("src"))
     r = capped.select("band", "sig", F.col("id").alias("dst"))
     return (
         l.join(r, ["band", "sig"])
@@ -394,10 +401,15 @@ def knn_graph_append(
          new node): two-hop expansion restricted to touched srcs, so the
          refinement costs O(|touched|·degree·cand_cap), not O(N·...);
       4. stage the merged edge table into <graph_dir>.append, append the
-         new node rows, rename-swap edges, then write meta.json LAST
-         (atomic temp+rename, `commit` counter bumped) — the same
-         stage-and-swap discipline as ivf_compact, so a concurrent reader
-         never sees a half-written layout.
+         new node rows, swap edges via two renames (old -> .edges.old,
+         staged -> edges), then write meta.json LAST (atomic temp+rename,
+         `commit` counter bumped). The meta commit is the visibility
+         point; the edge swap's unreadable window is two renames, not a
+         full recursive delete. A crash between the node write and the
+         meta commit leaves extra node rows that traversal never reaches
+         (no edges point at them) — recovery is
+         knn_graph_compact(force=True), which rebuilds from the stored
+         node table (the S7 raw-values invariant).
 
     The entry point (medoid) is recomputed over the full node set — one
     narrow O(N) pass — so append converges to the same serving entry a full
@@ -442,7 +454,10 @@ def knn_graph_append(
         .count()
     ):
         raise ValueError(
-            "knn_graph_append: appended ids collide with existing node ids"
+            "knn_graph_append: appended ids collide with existing node ids "
+            "(if a previous append crashed after its node write, run "
+            "knn_graph_compact(spark, graph_dir, force=True) to rebuild a "
+            "consistent graph from the stored node table first)"
         )
 
     new_ids = new_nodes.select("id")
@@ -537,8 +552,14 @@ def knn_graph_append(
         .parquet(f"{graph_dir}/nodes")
     )
     entry = _medoid(spark.read.parquet(f"{graph_dir}/nodes"))
-    idxfs.delete_dir(f"{graph_dir}/edges")
+    # two renames instead of delete-then-move: the window with no edges/
+    # dir shrinks from "delete every data file" to one rename, and a crash
+    # between them leaves the old edges recoverable under .edges.old
+    trash = f"{graph_dir.rstrip('/')}.edges.old"
+    idxfs.delete_dir(trash)
+    idxfs.move(f"{graph_dir}/edges", trash)
     idxfs.move(f"{tmp}/edges", f"{graph_dir}/edges")
+    idxfs.delete_dir(trash)
     idxfs.delete_dir(tmp)
 
     meta["n"] = n_total
@@ -603,9 +624,13 @@ def knn_graph_compact(
     table. Returns True iff a rebuild ran.
 
     The stored (id, v) rows are themselves the rebuild source (the S7
-    raw-values invariant); the rebuild stages into <graph_dir>.rebuild and
-    rename-swaps, so a concurrent reader never sees a half-written layout.
-    degree/iters default to the current meta's values; override via kwargs.
+    raw-values invariant); the rebuild stages into <graph_dir>.rebuild,
+    leaves nodes/ untouched (the node set IS the rebuild input), and swaps
+    only edges/ via two renames with the meta commit last — the unreadable
+    window is two renames, and a crash leaves the old edges under
+    .edges.old plus the full staging dir. Also the recovery path for a
+    crashed append (see knn_graph_append). degree/iters default to the
+    current meta's values; override via kwargs.
     """
     meta = _load_meta(graph_dir)
     n = int(meta["n"])
@@ -621,9 +646,14 @@ def knn_graph_compact(
     kw.update(build_kwargs)
     tmp = f"{graph_dir.rstrip('/')}.rebuild"
     knn_graph_build(nodes, tmp, id_col="id", vec_col="v", **kw)
-    for sub in ("nodes", "edges"):
-        idxfs.delete_dir(f"{graph_dir}/{sub}")
-        idxfs.move(f"{tmp}/{sub}", f"{graph_dir}/{sub}")
+    # the node SET is unchanged by a rebuild (it is the rebuild's input),
+    # so only edges/ swaps — via two renames, same discipline as append;
+    # the staged node copy is just discarded
+    trash = f"{graph_dir.rstrip('/')}.edges.old"
+    idxfs.delete_dir(trash)
+    idxfs.move(f"{graph_dir}/edges", trash)
+    idxfs.move(f"{tmp}/edges", f"{graph_dir}/edges")
+    idxfs.delete_dir(trash)
     new_meta = json.loads(idxfs.read_bytes(f"{tmp}/meta.json").decode())
     new_meta["commit"] = int(meta.get("commit", 0)) + 1
     idxfs.write_bytes_atomic(
@@ -709,7 +739,11 @@ def _load_meta(graph_dir: str) -> dict:
 
 BROADCAST_GRAPH_MAX_BYTES = 256 << 20
 
+# bounded like the FTS _TERM_STATS_CACHE: each entry can hold up to
+# BROADCAST_GRAPH_MAX_BYTES of numpy arrays, so cap the number of distinct
+# index dirs held at once (insertion-order eviction)
 _GRAPH_ARRAYS_CACHE: dict[str, dict] = {}
+_GRAPH_ARRAYS_MAX_DIRS = 4
 
 
 def _graph_bytes_estimate(meta: dict) -> int:
@@ -764,6 +798,8 @@ def _graph_local_arrays(spark, index_dir: str, meta: dict) -> dict:
         "norms": norms,
         "row_of": {int(i): j for j, i in enumerate(ids)},
     }
+    while len(_GRAPH_ARRAYS_CACHE) >= _GRAPH_ARRAYS_MAX_DIRS:
+        _GRAPH_ARRAYS_CACHE.pop(next(iter(_GRAPH_ARRAYS_CACHE)))
     _GRAPH_ARRAYS_CACHE[index_dir] = arrays
     return arrays
 
@@ -815,40 +851,48 @@ def _hop_expand_score(
     visited_ids: list[int],
     query: list[float],
 ) -> dict[int, float]:
-    """One FUSED hop for the distributed path: src-pruned adjacency scan →
-    explode → visited-exclusion → join nodes → cosine, all in ONE Spark job
-    (one collect of ≤ frontier·degree scalar rows) instead of the former
-    expand-then-score pair of actions."""
+    """One hop for the distributed path, two pruned actions: (1) src-pruned
+    adjacency scan collecting ≤ frontier·degree candidate ids, (2) id-IN
+    pruned node scan scoring the new candidates. Both scans push their IN
+    predicates into the sorted parquet (row groups outside the id sets never
+    load), so per-hop bytes stay O(frontier·degree) no matter how large the
+    graph — the property that matters on this path, which only serves graphs
+    too big for the broadcast kernel (joining the tiny candidate set against
+    the full node table would instead scan every row group per hop)."""
     fl = [int(x) for x in frontier]
     if fmt == "hnsw-v1":
-        cand = (
+        rows = (
             spark.read.parquet(f"{index_dir}/graph")
             .where(F.col("src").isin(fl))
-            .select(F.explode("nbrs").alias("id"))
-            .distinct()
+            .select("nbrs")
+            .collect()
         )
+        cand: set[int] = set()
+        for r in rows:
+            cand.update(int(x) for x in r["nbrs"])
     else:
-        cand = (
+        rows = (
             spark.read.parquet(f"{index_dir}/edges")
             .where(F.col("src").isin(fl))
-            .select(F.col("dst").alias("id"))
+            .select("dst")
             .distinct()
+            .collect()
         )
-    # exclude already-scored ids executor-side when the list is small enough
-    # for an IN; otherwise score-and-drop driver-side (same values anyway).
-    if visited_ids and len(visited_ids) <= 2048:
-        cand = cand.where(~F.col("id").isin([int(x) for x in visited_ids]))
+        cand = {int(r["dst"]) for r in rows}
+    new = sorted(cand.difference(int(x) for x in visited_ids))
+    if not new:
+        return {}
     q = _qlit([float(x) for x in query])
-    nodes = spark.read.parquet(f"{index_dir}/nodes")
-    rows = (
-        nodes.join(F.broadcast(cand), "id")
+    scored = (
+        spark.read.parquet(f"{index_dir}/nodes")
+        .where(F.col("id").isin(new))
         .select(
             "id",
             (_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))).alias("c"),
         )
         .collect()
     )
-    return {int(r["id"]): float(r["c"]) for r in rows}
+    return {int(r["id"]): float(r["c"]) for r in scored}
 
 
 def _check_dim(query: list[float], meta: dict, surface: str) -> None:

@@ -86,8 +86,12 @@ def cosine_topk(
     # cosine_topk has no index metadata to pre-validate against — it is a
     # DataFrame op, not an index — so the check rides the scan itself:
     # zero extra jobs, and a mismatched row fails loudly naming both dims
-    # instead of silently zip_with-truncating the dot product.
-    dim_ok = F.size(F.col(vec_col)) == F.lit(len(query))
+    # instead of silently zip_with-truncating the dot product. NULL/empty
+    # rows stay tolerated gaps (TestCuVSGaps analog — they score NULL and
+    # fall out of the top-k exactly as before); only a PRESENT vector of
+    # the wrong length raises.
+    gap = F.col(vec_col).isNull() | (F.size(vec_col) == 0)
+    dim_ok = gap | (F.size(F.col(vec_col)) == F.lit(len(query)))
     guarded = F.when(dim_ok, F.col(vec_col).cast("array<double>")).otherwise(
         F.raise_error(
             F.concat(
@@ -967,14 +971,30 @@ def ivfpq_append(
     cids, mat = _load_centroids(spark, ivfpq_dir)
     books = _load_pq_books(spark, ivfpq_dir)
     dim = int(mat.shape[1]) if mat.size else 0
+    # NULL/empty vectors are tolerated gaps (same contract as the graph
+    # path's _nodes projection); every PRESENT vector must match the
+    # trained dim — checked across the WHOLE batch in one agg, not just
+    # the first row — and appended ids must not collide with stored ones
+    # (a silent duplicate would corrupt the degenerate-exact contract).
     emb = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    first = emb.select(F.size("v").alias("d")).limit(1).collect()
-    if dim and first and int(first[0]["d"]) != dim:
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.size("v") > 0))
+    stats = emb.agg(
+        F.min(F.size("v")).alias("dmin"), F.max(F.size("v")).alias("dmax")
+    ).collect()[0]
+    if stats["dmin"] is None:
+        return  # nothing to append (all rows NULL/empty)
+    if dim and (int(stats["dmin"]) != dim or int(stats["dmax"]) != dim):
         raise ValueError(
-            f"ivfpq_append: appended vectors have dim={int(first[0]['d'])} "
-            f"but the index was trained with dim={dim}"
+            f"ivfpq_append: appended vectors have dims in "
+            f"[{int(stats['dmin'])}, {int(stats['dmax'])}] but the index "
+            f"was trained with dim={dim}"
+        )
+    existing = spark.read.parquet(f"{ivfpq_dir}/vectors").select("id")
+    if emb.join(existing, "id", "left_semi").limit(1).count():
+        raise ValueError(
+            "ivfpq_append: appended ids collide with stored vector ids"
         )
     cents = {int(c): mat[i].tolist() for i, c in enumerate(cids)}
     (

@@ -71,8 +71,13 @@ BATTERY = [
     dict(q="merge sort window", mode="or", msm=2),
     dict(q="merge join", mode="or", exclude="sort"),
     dict(q="merge sort", mode="or", filter_role="user"),
-    # english-analyzer discriminator: stemming + stopwords must agree
-    dict(q="the running tables", mode="or"),
+    # english-analyzer discriminator: stemming + stopwords must agree AND
+    # the query must be non-empty under the english chain (corpus terms
+    # "always"/"his" stem to "alway"/"hi", "the" is a stopword) — a raw
+    # standard-chain query against the stemmed postings returns nothing,
+    # so an index that loses its analysis chain (e.g. across a compaction)
+    # fails this row instead of passing vacuously
+    dict(q="the always his", mode="or"),
 ]
 
 
@@ -163,16 +168,22 @@ def test_config_lifecycle_matches_oracle(spark, corpus, tmp_path, cfg):
     import numpy as np
 
     global_ids = np.flatnonzero(keep)
-    for spec in BATTERY[:4]:
+    # the FULL battery re-runs post-compact — in particular the english
+    # discriminator, which is what catches a compaction that loses the
+    # index's analysis chain (the reader would re-analyze with "standard")
+    for spec in BATTERY:
+        role = spec.get("filter_role")
         exp = oracle_search(
-            idx2, spec["q"], k=10, mode=spec["mode"], msm=spec.get("msm")
+            idx2, spec["q"], k=10, mode=spec["mode"], msm=spec.get("msm"),
+            exclude=spec.get("exclude"), accept=_oracle_accept(idx2, role),
         )
         exp = [(int(global_ids[doc]), s) for doc, s in exp]
         got = [
             (r["doc_id"], r["score"])
             for r in search(
                 spark, d, spec["q"], k=10, mode=spec["mode"],
-                msm=spec.get("msm"),
+                msm=spec.get("msm"), exclude=spec.get("exclude"),
+                filter_cond=(F.col("role") == role) if role else None,
             ).collect()
         ]
         assert [g for g, _ in got] == [e for e, _ in exp], (
