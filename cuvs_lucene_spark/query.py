@@ -762,6 +762,9 @@ def search_batch(
     similarity: str = "bm25",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    filter_cond: Column | str | None = None,
+    exclude: str | None = None,
+    msm: int | list[int | None] | None = None,
 ) -> DataFrame:
     """Top-k BM25 for MANY queries in ONE job: (qid, doc_id, score, conv_id,
     turn_idx), qid = the query's position in `queries`. `mode` is one
@@ -781,6 +784,12 @@ def search_batch(
 
     Scale shape: cost ≈ one search over the union of terms + a Q×-fanout of
     the matched-doc rows — not Q independent jobs.
+
+    filter_cond / exclude apply to the WHOLE batch (one accepted-id
+    semi-join / one MUST_NOT anti-join shared by every query — the batch
+    analog of running Q filtered searches against the same constraint);
+    msm is an int for all queries or a per-query list like ``mode``
+    (None entries mean no minimum).
     """
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
@@ -808,17 +817,24 @@ def search_batch(
     modes = [mode] * len(queries) if isinstance(mode, str) else list(mode)
     if len(modes) != len(queries):
         raise ValueError("mode list must match queries length")
-    specs = []  # (qid, weights, present-terms, mode) for answerable queries
+    msms = (
+        [msm] * len(queries)
+        if msm is None or isinstance(msm, int)
+        else list(msm)
+    )
+    if len(msms) != len(queries):
+        raise ValueError("msm list must match queries length")
+    specs = []  # (qid, weights, present-terms, mode, msm) per answerable query
     for qi, toks in enumerate(parsed):
         w = Counter(toks)
         pres = sorted(t for t in w if t in present)
         if not pres or (modes[qi] == "and" and len(pres) < len(w)):
             continue
-        specs.append((qi, w, pres, modes[qi]))
+        specs.append((qi, w, pres, modes[qi], msms[qi]))
     if not specs:
         return empty
 
-    active = sorted({t for _qi, _w, pres, _m in specs for t in pres})
+    active = sorted({t for _qi, _w, pres, _m, _n in specs for t in pres})
     tindex = {t: i for i, t in enumerate(active)}
     # same Similarity dispatch as search(): the LM sims need p_c (cf + the
     # field token total), everything else a df-derived weight — the shared
@@ -844,6 +860,29 @@ def search_batch(
     del_ids = deleted_doc_ids(spark, rd.cat)
     if del_ids is not None:
         score_rows = score_rows.join(F.broadcast(del_ids), "doc_id", "left_anti")
+    if filter_cond is not None:
+        score_rows = score_rows.join(
+            _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
+        )
+    if exclude:
+        ex_terms = sorted(set(rd.analyze(exclude)))
+        ex_stats = rd.term_stats(ex_terms, fld)
+        ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
+        if ex_present:
+            from cuvs_lucene_spark.operators.merge import decode_postings
+
+            ex_post = rd.cat.read_postings(spark).where(
+                F.col("bucket").isin(
+                    sorted({ex_stats[t][1] for t in ex_present})
+                )
+                & (F.col("field") == fld)
+                & F.col("term").isin(ex_present)
+            )
+            score_rows = score_rows.join(
+                decode_postings(ex_post).select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
     per_term = [
         F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
         for i in range(len(active))
@@ -851,14 +890,14 @@ def search_batch(
     agg = score_rows.groupBy("doc_id").agg(*per_term)
 
     q_structs = []
-    for qi, w, pres, q_mode in specs:
+    for qi, w, pres, q_mode, q_msm in specs:
         total = F.lit(0.0)
         matched = F.lit(0)
         for t in pres:  # sorted — the deterministic summation order
             c = F.col(f"_s{tindex[t]}")
             total = total + F.lit(float(w[t])) * F.coalesce(c, F.lit(0.0))
             matched = matched + F.when(c.isNotNull(), 1).otherwise(0)
-        need = len(w) if q_mode == "and" else 1
+        need = len(w) if q_mode == "and" else max(1, q_msm or 1)
         q_structs.append(
             F.struct(
                 F.lit(qi).alias("qid"),

@@ -263,3 +263,28 @@ class TestContextBatch:
                 for r in single
             ]
             assert got == want, f"qid={qid}"
+
+
+class TestSearchBatchKnobs:
+    """search_batch's batch-level filter_cond/exclude and per-query msm
+    must match the single-query path exactly (one shared join per
+    constraint instead of Q)."""
+
+    def test_batch_filter_exclude_msm_match_single(self, spark, tiny_index):
+        from cuvs_lucene_spark.query import search, search_batch
+
+        qs = ["world school student", "merge sort"]
+        cond = F.col("role") == "user"
+        batch = search_batch(
+            spark, tiny_index, qs, k=8, filter_cond=cond, exclude="join",
+            msm=[2, None], float32=False,
+        ).collect()
+        for qid, (q, m) in enumerate(zip(qs, [2, None])):
+            single = search(
+                spark, tiny_index, q, k=8, filter_cond=cond, exclude="join",
+                msm=m, float32=False,
+            ).collect()
+            got = [(r["doc_id"], round(r["score"], 6)) for r in batch
+                   if r["qid"] == qid]
+            want = [(r["doc_id"], round(r["score"], 6)) for r in single]
+            assert got == want, f"qid={qid}"
