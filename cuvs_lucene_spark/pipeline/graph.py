@@ -259,13 +259,19 @@ def knn_graph_build(
     stats = embeddings.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(valid.cast("long")).alias("n"),
-        F.max(F.when(valid, F.size(vec_col))).alias("dim"),
+        F.min(F.when(valid, F.size(vec_col))).alias("dmin"),
+        F.max(F.when(valid, F.size(vec_col))).alias("dmax"),
     ).collect()[0]
     n_input, n = int(stats["n_input"]), int(stats["n"] or 0)
     nodes = _nodes(embeddings, id_col, vec_col)
     if n == 0:
         raise ValueError("knn_graph_build: empty input (or all vectors NULL)")
-    dim = int(stats["dim"])
+    if int(stats["dmin"]) != int(stats["dmax"]):
+        raise ValueError(
+            f"knn_graph_build: mixed vector dims in input "
+            f"[{int(stats['dmin'])}, {int(stats['dmax'])}]"
+        )
+    dim = int(stats["dmax"])
     degree = min(degree, max(1, n - 1))
 
     if complete:
@@ -367,6 +373,20 @@ def knn_graph_build(
     return meta
 
 
+def _swap_dir(graph_dir: str, name: str, staged: str) -> None:
+    """Replace <graph_dir>/<name> with `staged` via two renames; tolerates a
+    missing live dir (recovery after a crash between the renames of an
+    earlier swap) and never deletes the .old backup while it is the only
+    copy."""
+    live = f"{graph_dir}/{name}"
+    trash = f"{graph_dir.rstrip('/')}.{name}.old"
+    if idxfs.exists(live):
+        idxfs.delete_dir(trash)
+        idxfs.move(live, trash)
+    idxfs.move(staged, live)
+    idxfs.delete_dir(trash)
+
+
 def knn_graph_append(
     new_embeddings: DataFrame,
     graph_dir: str,
@@ -428,25 +448,30 @@ def knn_graph_append(
     degree = int(meta["degree"])
     old_nodes = spark.read.parquet(f"{graph_dir}/nodes")
     new_nodes = _nodes(new_embeddings, id_col, vec_col)
+    valid_new = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     stats = new_embeddings.agg(
         F.count(F.lit(1)).alias("n_input"),
-        F.sum(
-            (F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)).cast("long")
-        ).alias("n"),
-        F.max(
-            F.when(
-                F.col(vec_col).isNotNull() & (F.size(vec_col) > 0),
-                F.size(vec_col),
-            )
-        ).alias("dim"),
+        F.sum(valid_new.cast("long")).alias("n"),
+        F.min(F.when(valid_new, F.size(vec_col))).alias("dmin"),
+        F.max(F.when(valid_new, F.size(vec_col))).alias("dmax"),
+        F.count_distinct(
+            F.when(valid_new, F.col(id_col))
+        ).alias("n_ids"),
     ).collect()[0]
     n_new = int(stats["n"] or 0)
     if n_new == 0:
         return meta  # nothing to insert (all rows NULL/empty) — no-op
-    if int(stats["dim"]) != int(meta["dim"]):
+    if int(stats["dmin"]) != int(meta["dim"]) or int(stats["dmax"]) != int(
+        meta["dim"]
+    ):
         raise ValueError(
-            f"knn_graph_append: appended vectors have dim={int(stats['dim'])} "
-            f"but the graph was built with dim={meta['dim']}"
+            f"knn_graph_append: appended vectors have dims in "
+            f"[{int(stats['dmin'])}, {int(stats['dmax'])}] but the graph "
+            f"was built with dim={meta['dim']}"
+        )
+    if int(stats["n_ids"]) != n_new:
+        raise ValueError(
+            "knn_graph_append: appended batch contains duplicate ids"
         )
     if (
         new_nodes.join(old_nodes.select("id"), "id", "left_semi")
@@ -555,11 +580,7 @@ def knn_graph_append(
     # two renames instead of delete-then-move: the window with no edges/
     # dir shrinks from "delete every data file" to one rename, and a crash
     # between them leaves the old edges recoverable under .edges.old
-    trash = f"{graph_dir.rstrip('/')}.edges.old"
-    idxfs.delete_dir(trash)
-    idxfs.move(f"{graph_dir}/edges", trash)
-    idxfs.move(f"{tmp}/edges", f"{graph_dir}/edges")
-    idxfs.delete_dir(trash)
+    _swap_dir(graph_dir, "edges", f"{tmp}/edges")
     idxfs.delete_dir(tmp)
 
     meta["n"] = n_total
@@ -624,13 +645,15 @@ def knn_graph_compact(
     table. Returns True iff a rebuild ran.
 
     The stored (id, v) rows are themselves the rebuild source (the S7
-    raw-values invariant); the rebuild stages into <graph_dir>.rebuild,
-    leaves nodes/ untouched (the node set IS the rebuild input), and swaps
-    only edges/ via two renames with the meta commit last — the unreadable
-    window is two renames, and a crash leaves the old edges under
-    .edges.old plus the full staging dir. Also the recovery path for a
-    crashed append (see knn_graph_append). degree/iters default to the
-    current meta's values; override via kwargs.
+    raw-values invariant); the rebuild stages into <graph_dir>.rebuild and
+    swaps nodes/ then edges/ via guarded two-rename swaps with the meta
+    commit last — each swap's unreadable window is two renames, a crash
+    leaves the old table under .<name>.old plus the full staging dir, and
+    a missing live dir (crashed earlier swap) is tolerated, which makes
+    this the recovery path for a crashed append (see knn_graph_append).
+    The node swap also re-compacts the per-append node files back into one
+    globally range-sorted layout. degree/iters default to the current
+    meta's values; override via kwargs.
     """
     meta = _load_meta(graph_dir)
     n = int(meta["n"])
@@ -646,14 +669,15 @@ def knn_graph_compact(
     kw.update(build_kwargs)
     tmp = f"{graph_dir.rstrip('/')}.rebuild"
     knn_graph_build(nodes, tmp, id_col="id", vec_col="v", **kw)
-    # the node SET is unchanged by a rebuild (it is the rebuild's input),
-    # so only edges/ swaps — via two renames, same discipline as append;
-    # the staged node copy is just discarded
-    trash = f"{graph_dir.rstrip('/')}.edges.old"
-    idxfs.delete_dir(trash)
-    idxfs.move(f"{graph_dir}/edges", trash)
-    idxfs.move(f"{tmp}/edges", f"{graph_dir}/edges")
-    idxfs.delete_dir(trash)
+    # swap BOTH tables: the node SET is unchanged, but the rebuild's
+    # repartitionByRange layout re-compacts the per-append node files back
+    # into globally range-sorted ones (the layout id-IN pruning relies on).
+    # Nodes swap first so a reader between the swaps sees new nodes (same
+    # rows) with old edges — consistent; each swap tolerates a missing live
+    # dir, which is also what makes this the recovery path for a crashed
+    # append/compact.
+    _swap_dir(graph_dir, "nodes", f"{tmp}/nodes")
+    _swap_dir(graph_dir, "edges", f"{tmp}/edges")
     new_meta = json.loads(idxfs.read_bytes(f"{tmp}/meta.json").decode())
     new_meta["commit"] = int(meta.get("commit", 0)) + 1
     idxfs.write_bytes_atomic(
@@ -798,6 +822,9 @@ def _graph_local_arrays(spark, index_dir: str, meta: dict) -> dict:
         "norms": norms,
         "row_of": {int(i): j for j, i in enumerate(ids)},
     }
+    # refreshing a stale entry must not evict an unrelated index: drop our
+    # own old entry first, then bound the dir count
+    _GRAPH_ARRAYS_CACHE.pop(index_dir, None)
     while len(_GRAPH_ARRAYS_CACHE) >= _GRAPH_ARRAYS_MAX_DIRS:
         _GRAPH_ARRAYS_CACHE.pop(next(iter(_GRAPH_ARRAYS_CACHE)))
     _GRAPH_ARRAYS_CACHE[index_dir] = arrays

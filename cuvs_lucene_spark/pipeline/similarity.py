@@ -976,12 +976,18 @@ def ivfpq_append(
     # trained dim — checked across the WHOLE batch in one agg, not just
     # the first row — and appended ids must not collide with stored ones
     # (a silent duplicate would corrupt the degenerate-exact contract).
+    # id stays UNcast — ivfpq_build writes the caller's id type verbatim,
+    # and appending a different type would produce mixed-schema parquet
+    # (same contract as the sibling ivf_append)
     emb = embeddings.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull() & (F.size("v") > 0))
     stats = emb.agg(
-        F.min(F.size("v")).alias("dmin"), F.max(F.size("v")).alias("dmax")
+        F.min(F.size("v")).alias("dmin"),
+        F.max(F.size("v")).alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("id").alias("n_ids"),
     ).collect()[0]
     if stats["dmin"] is None:
         return  # nothing to append (all rows NULL/empty)
@@ -990,6 +996,10 @@ def ivfpq_append(
             f"ivfpq_append: appended vectors have dims in "
             f"[{int(stats['dmin'])}, {int(stats['dmax'])}] but the index "
             f"was trained with dim={dim}"
+        )
+    if int(stats["n_ids"]) != int(stats["n"]):
+        raise ValueError(
+            "ivfpq_append: appended batch contains duplicate ids"
         )
     existing = spark.read.parquet(f"{ivfpq_dir}/vectors").select("id")
     if emb.join(existing, "id", "left_semi").limit(1).count():

@@ -441,6 +441,30 @@ def make_score_kernel(
     return score
 
 
+def _excluded_doc_ids(
+    spark: SparkSession, rd: IndexReader, exclude: str, fld: str
+) -> DataFrame | None:
+    """MUST_NOT (BooleanQuery exclusion): the excluded terms' docID union as
+    a DataFrame for a left-anti join, or None when no excluded term exists
+    in the index. Shared by search() and search_batch() so the exclusion
+    semantics cannot diverge. No broadcast hint — an excluded hot term's doc
+    set can be huge; AQE promotes small ones to broadcast. Positions/payload
+    never read: decode_postings projects them away."""
+    ex_terms = sorted(set(rd.analyze(exclude)))
+    ex_stats = rd.term_stats(ex_terms, fld)
+    ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
+    if not ex_present:
+        return None
+    from cuvs_lucene_spark.operators.merge import decode_postings
+
+    ex_post = rd.cat.read_postings(spark).where(
+        F.col("bucket").isin(sorted({ex_stats[t][1] for t in ex_present}))
+        & (F.col("field") == fld)
+        & F.col("term").isin(ex_present)
+    )
+    return decode_postings(ex_post).select("doc_id").distinct()
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -696,24 +720,9 @@ def search(
     from cuvs_lucene_spark.operators.deletes import deleted_doc_ids
 
     del_ids = deleted_doc_ids(spark, rd.cat)
-    # MUST_NOT (BooleanQuery exclusion): the excluded terms' docID union,
-    # applied as a plain left-anti join (no broadcast hint — an excluded hot
-    # term's doc set can be huge; AQE promotes small ones to broadcast).
-    # Positions/payload never read: decode_postings projects them away.
     ex_ids: DataFrame | None = None
     if exclude:
-        ex_terms = sorted(set(rd.analyze(exclude)))
-        ex_stats = rd.term_stats(ex_terms, fld)
-        ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
-        if ex_present:
-            from cuvs_lucene_spark.operators.merge import decode_postings
-
-            ex_post = rd.cat.read_postings(spark).where(
-                F.col("bucket").isin(sorted({ex_stats[t][1] for t in ex_present}))
-                & (F.col("field") == fld)
-                & F.col("term").isin(ex_present)
-            )
-            ex_ids = decode_postings(ex_post).select("doc_id").distinct()
+        ex_ids = _excluded_doc_ids(spark, rd, exclude, fld)
     eff_msm = msm if msm is not None else 1
     if prune == "auto":
         sum_df = sum(stats[t][0] for t in present)
@@ -824,6 +833,17 @@ def search_batch(
     )
     if len(msms) != len(queries):
         raise ValueError("msm list must match queries length")
+    # same validation as search(): msm applies to mode='or' and must be >= 1
+    for vqi, v_msm in enumerate(msms):
+        if v_msm is None:
+            continue
+        if modes[vqi] == "and":
+            raise ValueError(
+                f"msm (minimum_should_match) applies to mode='or' "
+                f"(query {vqi} has mode='and')"
+            )
+        if v_msm < 1:
+            raise ValueError(f"msm must be >= 1 (query {vqi})")
     specs = []  # (qid, weights, present-terms, mode, msm) per answerable query
     for qi, toks in enumerate(parsed):
         w = Counter(toks)
@@ -865,24 +885,9 @@ def search_batch(
             _accepted_doc_ids(rd, filter_cond), "doc_id", "left_semi"
         )
     if exclude:
-        ex_terms = sorted(set(rd.analyze(exclude)))
-        ex_stats = rd.term_stats(ex_terms, fld)
-        ex_present = [t for t in ex_terms if ex_stats.get(t, (0, 0))[0] > 0]
-        if ex_present:
-            from cuvs_lucene_spark.operators.merge import decode_postings
-
-            ex_post = rd.cat.read_postings(spark).where(
-                F.col("bucket").isin(
-                    sorted({ex_stats[t][1] for t in ex_present})
-                )
-                & (F.col("field") == fld)
-                & F.col("term").isin(ex_present)
-            )
-            score_rows = score_rows.join(
-                decode_postings(ex_post).select("doc_id").distinct(),
-                "doc_id",
-                "left_anti",
-            )
+        ex_ids_b = _excluded_doc_ids(spark, rd, exclude, fld)
+        if ex_ids_b is not None:
+            score_rows = score_rows.join(ex_ids_b, "doc_id", "left_anti")
     per_term = [
         F.sum(F.when(F.col("tidx") == i, F.col("score"))).alias(f"_s{i}")
         for i in range(len(active))
@@ -897,7 +902,7 @@ def search_batch(
             c = F.col(f"_s{tindex[t]}")
             total = total + F.lit(float(w[t])) * F.coalesce(c, F.lit(0.0))
             matched = matched + F.when(c.isNotNull(), 1).otherwise(0)
-        need = len(w) if q_mode == "and" else max(1, q_msm or 1)
+        need = len(w) if q_mode == "and" else (q_msm or 1)
         q_structs.append(
             F.struct(
                 F.lit(qi).alias("qid"),

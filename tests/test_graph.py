@@ -379,3 +379,40 @@ def test_stats_and_compact_trigger(spark, emb, tmp_path):
     }
     st2 = G.knn_graph_stats(spark, d)
     assert st2["appended_frac"] == 0.0
+
+
+def test_append_batch_guards(spark, emb, tmp_path):
+    """In-batch duplicate ids and mixed dims are rejected up front."""
+    d = str(tmp_path / "gbg")
+    G.knn_graph_build(emb.where(F.col("vec_id") < 64), d, degree=8, iters=1)
+    dup = spark.createDataFrame(
+        [(10**6, [0.1] * 64), (10**6, [0.2] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        G.knn_graph_append(dup, d)
+    mixed = spark.createDataFrame(
+        [(10**6, [0.1] * 64), (10**6 + 1, [0.2] * 32)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dims in"):
+        G.knn_graph_append(mixed, d)
+
+
+def test_compact_recovers_crashed_swap(spark, emb, tmp_path):
+    """Crash window repro: edges/ renamed away (only .edges.old remains) —
+    the documented recovery, knn_graph_compact(force=True), must rebuild a
+    working graph instead of crashing on the missing dir."""
+    import shutil
+
+    d = str(tmp_path / "gcrash")
+    G.knn_graph_build(emb.where(F.col("vec_id") < 128), d, degree=8, iters=1)
+    shutil.move(f"{d}/edges", f"{d}.edges.old")  # mid-swap crash state
+    assert G.knn_graph_compact(spark, d, force=True) is True
+    meta = json.loads(open(f"{d}/meta.json").read())
+    assert meta["n"] == 128
+    # graph serves again
+    h = str(tmp_path / "gcrash_h")
+    G.graph_to_hnsw(spark, d, h)
+    qv = [0.1] * 64
+    assert G.graph_search(spark, h, qv, k=3).count() == 3

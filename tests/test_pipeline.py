@@ -821,3 +821,25 @@ class TestIVFPQAppend:
         )
         with pytest.raises(ValueError, match="dim"):
             S.ivfpq_append(spark, bad, d)
+
+
+class TestIVFPQAppendGuards:
+    def test_in_batch_duplicates_rejected(self, spark, emb, tmp_path):
+        d = str(tmp_path / "pq_dupapp")
+        S.ivfpq_build(
+            emb.where(F.col("vec_id") < 64), d, n_centroids=2, m=8, ks=8
+        )
+        dup = spark.createDataFrame(
+            [(10**6, [0.1] * 64), (10**6, [0.2] * 64)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            S.ivfpq_append(spark, dup, d)
+
+    def test_stored_collision_rejected(self, spark, emb, tmp_path):
+        d = str(tmp_path / "pq_collapp")
+        S.ivfpq_build(
+            emb.where(F.col("vec_id") < 64), d, n_centroids=2, m=8, ks=8
+        )
+        with pytest.raises(ValueError, match="collide"):
+            S.ivfpq_append(spark, emb.where(F.col("vec_id") < 4), d)

@@ -288,3 +288,13 @@ class TestSearchBatchKnobs:
                    if r["qid"] == qid]
             want = [(r["doc_id"], round(r["score"], 6)) for r in single]
             assert got == want, f"qid={qid}"
+
+
+class TestSearchBatchValidation:
+    def test_msm_validation_matches_single(self, spark, tiny_index):
+        from cuvs_lucene_spark.query import search_batch
+
+        with pytest.raises(ValueError, match="mode='or'"):
+            search_batch(spark, tiny_index, ["world"], mode="and", msm=2)
+        with pytest.raises(ValueError, match=">= 1"):
+            search_batch(spark, tiny_index, ["world"], msm=0)
