@@ -35,6 +35,28 @@ CASES = [
     (112, 60, 15, 1.01, 0.5, 0.2, 4, 2, 0.10),  # half the texts NULL (zipf needs a>1)
 ]
 
+# soak mode: RANDOM_ORACLE_SOAK=<seed> [RANDOM_ORACLE_SOAK_N=<count>] appends
+# that many freshly drawn corpus/config cases — the way to widen this battery
+# arbitrarily without touching the pinned list (pinned cases stay the
+# reproducible regression set; soak cases are for hunting, and a failure
+# prints its full parameter tuple so it can be promoted into CASES).
+import os as _os
+
+if _os.environ.get("RANDOM_ORACLE_SOAK"):
+    _rng = np.random.default_rng(int(_os.environ["RANDOM_ORACLE_SOAK"]))
+    for _i in range(int(_os.environ.get("RANDOM_ORACLE_SOAK_N", "12"))):
+        CASES.append((
+            10_000 + _i,
+            int(_rng.integers(1, 3000)),
+            int(_rng.integers(3, 500)),
+            float(_rng.uniform(1.01, 3.0)),
+            float(_rng.uniform(0.0, 0.3)),
+            float(_rng.uniform(0.0, 0.3)),
+            int(_rng.integers(2, 17)),
+            int(_rng.integers(1, 9)),
+            float(_rng.uniform(0.03, 0.4)),
+        ))
+
 
 def _gen_corpus(seed, n_docs, vocab, zipf_a, p_null, p_empty) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
