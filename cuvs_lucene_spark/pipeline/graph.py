@@ -1105,6 +1105,8 @@ def graph_search_batch(
     ef: int = 48,
     max_hops: int = 12,
     kernel: str = "auto",
+    filter_cond=None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Batched beam search — the batch analog of search_batch on the FTS
     side. Same two kernels as graph_search: ``broadcast`` runs every query's
@@ -1113,6 +1115,12 @@ def graph_search_batch(
     scan is pruned by the UNION of frontiers; candidate scoring ships each
     node's vector once and scores it against exactly the queries that need
     it, executor-side). Driver state stays <= Q·(ef + degree·frontier) ids.
+
+    filter_cond/deletes follow graph_search's filtered-HNSW semantics
+    (traversal UNfiltered, acceptance applied at collection) and are shared
+    by the whole batch: result assembly is ONE Spark job over the union of
+    the per-query candidate pools — the same masked, rounded, tie-broken
+    scoring expression as the single-query path.
 
     Returns (qid, rank, id, score).
     """
@@ -1165,13 +1173,60 @@ def graph_search_batch(
             for qid, i, s in _score_pairs_batch(spark, index_dir, need, qmat):
                 visited[qid][i] = s
 
-    out = []
+    # result assembly: ONE Spark job for the whole batch — the (qid, id)
+    # candidate pools broadcast against an id-pruned node scan, masked
+    # (acceptance-at-collection) and re-scored with the exact path's
+    # expression and rounding, ranked per qid. Identical contract to
+    # graph_search's single-query assembly.
+    pool_rows = []
     for qid in sorted(qmat):
-        pool = sorted(visited[qid].items(), key=lambda t: (-t[1], t[0]))[:k]
-        for rank, (i, s) in enumerate(pool, 1):
-            out.append((qid, rank, i, round(s, 6)))
-    return spark.createDataFrame(
-        out, "qid long, rank long, id long, score double"
+        pool = sorted(visited[qid].items(), key=lambda t: (-t[1], t[0]))
+        if filter_cond is None and deletes is None:
+            pool = pool[: max(4 * k, 100)]
+        pool_rows.extend((int(qid), int(i)) for i, _ in pool)
+    if not pool_rows:
+        return spark.createDataFrame(
+            [], "qid long, rank long, id long, score double"
+        )
+    pools = spark.createDataFrame(pool_rows, "qid long, id long")
+    ids = sorted({i for _q, i in pool_rows})
+    nodes = spark.read.parquet(f"{index_dir}/nodes").where(
+        F.col("id").isin(ids)
+    )
+    from cuvs_lucene_spark.pipeline.similarity import _apply_vector_mask
+
+    nodes = _apply_vector_mask(nodes, "id", filter_cond, deletes)
+    qv_arr = F.create_map(
+        *[
+            x
+            for qid in sorted(qmat)
+            for x in (F.lit(int(qid)), _qlit(qmat[qid]))
+        ]
+    )
+    scored = (
+        nodes.join(F.broadcast(pools), "id")
+        .withColumn("_qv", qv_arr[F.col("qid")])
+        .select(
+            "qid",
+            "id",
+            F.round(
+                _dot(F.col("v"), F.col("_qv"))
+                / (_norm(F.col("v")) * _norm(F.col("_qv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("rank").cast("long"),
+            F.col("id").cast("long"),
+            "score",
+        )
+        .orderBy("qid", "rank")
     )
 
 

@@ -416,3 +416,28 @@ def test_compact_recovers_crashed_swap(spark, emb, tmp_path):
     G.graph_to_hnsw(spark, d, h)
     qv = [0.1] * 64
     assert G.graph_search(spark, h, qv, k=3).count() == 3
+
+
+def test_batch_filtered_matches_single(spark, hnsw_dir, emb_np):
+    """graph_search_batch with filter/deletes == per-query graph_search with
+    the same mask (shared single-job assembly, identical rounding and
+    tie-breaks)."""
+    ids, mat = emb_np
+    rng = np.random.default_rng(23)
+    qs = [
+        (0, [float(x) for x in mat[3] + rng.normal(0, 0.05, mat.shape[1])]),
+        (1, [float(x) for x in mat[11] + rng.normal(0, 0.05, mat.shape[1])]),
+    ]
+    cond = F.col("id") % 2 == 0
+    dels = spark.createDataFrame([(int(ids[0]),)], "id long")
+    batch = G.graph_search_batch(
+        spark, hnsw_dir, qs, k=5, filter_cond=cond, deletes=dels
+    ).collect()
+    for qid, qv in qs:
+        single = G.graph_search(
+            spark, hnsw_dir, qv, k=5, filter_cond=cond, deletes=dels
+        ).collect()
+        got = [(r["rank"], r["id"], r["score"]) for r in batch if r["qid"] == qid]
+        want = [(r["rank"], r["id"], r["score"]) for r in single]
+        assert got == want, f"qid={qid}"
+        assert all(i % 2 == 0 and i != int(ids[0]) for _rk, i, _s in got)
