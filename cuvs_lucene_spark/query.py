@@ -1596,6 +1596,9 @@ def search_with_context_batch(
     similarity: str = "bm25",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    filter_cond: Column | str | None = None,
+    exclude: str | None = None,
+    msm: int | list[int | None] | None = None,
 ) -> DataFrame:
     """Batch analog of search_with_context: Q queries' hits fetch their
     ±``window`` context turns in ONE corpus join instead of Q.
@@ -1611,6 +1614,7 @@ def search_with_context_batch(
     hits = search_batch(
         spark, index_dir, queries, k=k, mode=mode, reader=reader,
         float32=float32, field=field, similarity=similarity, k1=k1, b=b,
+        filter_cond=filter_cond, exclude=exclude, msm=msm,
     )
     ctx = corpus.select(
         F.col("conv_id").alias("_ctx_conv"),
